@@ -1,0 +1,4 @@
+"""Relational operators (SURVEY.md §2.1-2.7). Importing this package
+registers every query in the central registry."""
+
+from . import aggregates  # noqa: F401

@@ -1,0 +1,76 @@
+"""Query registry: the single source of truth for the driver contract.
+
+Every operator module registers its queries here with the ``@query``
+decorator. ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin
+views over this registry, and the local parity tests iterate it, so an
+operator is "declared done" in exactly one place.
+
+``oracle`` is the DuckDB-runnable ANSI SQL equivalent; ``None`` marks a
+genuinely non-SQL-expressible op (the driver then records a weaker
+rows-only check — SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    description: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    description: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as the Spark implementation of query ``name``."""
+
+    def decorate(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            description=description or (fn.__doc__ or "").strip().splitlines()[0]
+            if (description or fn.__doc__)
+            else "",
+            tags=tuple(tags),
+        )
+        return fn
+
+    return decorate
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module (side effect: registry population)."""
+    # Imports are local to avoid a cycle: operator modules import `query`
+    # from this module at their import time.
+    from . import operators, functions, llm  # noqa: F401
+
+    return REGISTRY
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in load_all().items()}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None
+    }

@@ -1,0 +1,78 @@
+"""SparkSession factory tuned for this engine.
+
+Design notes (scale-first):
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and SMJ->broadcast conversion replace hand-tuned partition counts when
+  the same plan runs at 100 TB on a real cluster.
+- Arrow on: every JVM<->Python crossing (pandas_udf, toPandas) is
+  batch-columnar instead of row-pickled.
+- UTC session timezone: parquet timestamps compare bit-identically with
+  the DuckDB oracle (DuckDB timestamps are UTC-naive).
+- shuffle.partitions defaults to the local core count; on a real cluster
+  AQE's coalescing makes the initial number far less critical, but a sane
+  default avoids 200 tiny partitions on test data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "sparkstreamingtohdfsofsensorsdata-spark"
+
+
+def default_parallelism() -> int:
+    """Local parallelism: honor the driver's SPARK_GRAFT_CPUS if set."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def build_session(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    All knobs that matter for both local testing and cluster scale are
+    set here once so every entry point (batch, SQL, streaming, bench)
+    runs under the same execution profile.
+    """
+    cores = default_parallelism()
+    if master is None:
+        master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- optimizer / runtime re-planning ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        # --- JVM<->Python transfer ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- determinism for the oracle comparison ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- scan efficiency ---
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # --- quieter local runs ---
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

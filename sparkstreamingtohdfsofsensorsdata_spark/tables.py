@@ -1,0 +1,51 @@
+"""Fixture-table access.
+
+One parquet file per table at ``{sf_dir}/{name}.parquet`` (TESTDATA.md).
+Loading goes through here so every operator reads with the same scan
+settings and so a future cluster deployment can swap the path scheme
+(e.g. HDFS, partitioned directories) in one place.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Batch-read one fixture table.
+
+    Column pruning and predicate pushdown happen automatically because
+    callers express projections/filters declaratively on the returned
+    DataFrame (verify with ``.explain()`` -> ``PushedFilters``).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL entry point."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,27 @@
+"""Smoke tests for the driver contract surface."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty", "count_order"}
+
+
+def test_queries_and_oracles_align(spark):
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert qs, "no queries registered"
+    # every oracle key must have a query
+    assert set(os_) <= set(qs)
+
+
+def test_flagship_parity(spark, duck):
+    from conftest import run_parity
+
+    n = run_parity(spark, duck, "q_agg_group")
+    assert n > 0
