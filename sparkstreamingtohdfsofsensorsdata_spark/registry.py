@@ -43,9 +43,19 @@ def query(
     def decorate(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Timestamp semantics must not depend on the caller's session:
+            # parquet instants are rendered in session TZ, and the DuckDB
+            # oracle is UTC-naive — pin UTC so both sides agree.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
         REGISTRY[name] = QuerySpec(
             name=name,
-            fn=fn,
+            fn=wrapped,
             oracle=oracle,
             description=description or (fn.__doc__ or "").strip().splitlines()[0]
             if (description or fn.__doc__)
