@@ -7,7 +7,7 @@ group cardinality, not input rows).
 
 Floating-point note: double sums are not associative, and Spark and the
 DuckDB oracle reduce in different orders. Every money/measure aggregate
-is therefore rounded (2dp for sums, 6dp for ratios) in BOTH the Spark
+is therefore rounded at 6dp — true decimal precision of the inputs is <=4dp, so 6dp rounding is an identity on the true value and only scrubs float-order noise (2dp rounding hit decimal-tie divergence: Spark rounds the shortest string repr HALF_UP, DuckDB rounds the raw double) in BOTH the Spark
 query and the oracle SQL, which makes the value-hash comparison stable
 without weakening it.
 """
@@ -27,10 +27,10 @@ from ..tables import load
         SELECT
             l_returnflag,
             l_linestatus,
-            round(sum(l_quantity), 2)                                        AS sum_qty,
-            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-            round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+            round(sum(l_quantity), 6)                                        AS sum_qty,
+            round(sum(l_extendedprice), 6)                                   AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
+            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
             round(avg(l_quantity), 6)                                        AS avg_qty,
             round(avg(l_extendedprice), 6)                                   AS avg_price,
             round(avg(l_discount), 6)                                        AS avg_disc,
@@ -51,13 +51,235 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+        SELECT count(*)                         AS n_rows,
+               round(sum(l_quantity), 6)        AS total_qty,
+               round(avg(l_extendedprice), 6)   AS avg_price,
+               round(min(l_extendedprice), 6)   AS min_price,
+               round(max(l_extendedprice), 6)   AS max_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+        FROM lineitem
+    """,
+    description="Ungrouped (global) aggregation -> single row",
+    tags=("agg",),
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("total_revenue"),
+    )
+
+
+@query(
+    "q_agg_count_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey)                    AS nd_parts,
+               count(DISTINCT l_suppkey)                    AS nd_supps,
+               round(CAST(sum(DISTINCT l_quantity) AS DOUBLE), 6) AS sum_distinct_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    description="Exact distinct aggregation (expand + two-phase agg in Spark)",
+    tags=("agg", "distinct"),
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("nd_parts"),
+        F.count_distinct("l_suppkey").alias("nd_supps"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 6).alias("sum_distinct_qty"),
+    )
+
+
+@query(
+    "q_agg_approx_distinct",
+    oracle=None,  # HLL++ estimates are engine-specific -> rows-only check
+    description="HyperLogLog++ approximate distinct (sketch, mergeable at scale)",
+    tags=("agg", "approx"),
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct is the 100 TB path: fixed-size sketch per
+    partition merged at the driver vs a full shuffle for exact distinct."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 6)               AS sd_qty,
+               round(var_samp(l_extendedprice), 4)             AS var_price,
+               round(corr(l_quantity, l_extendedprice), 6)     AS corr_qty_price,
+               round(covar_samp(l_quantity, l_discount), 6)    AS cov_qty_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    description="Statistical aggregates: stddev/variance/corr/covar",
+    tags=("agg", "stats"),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+               round(quantile_cont(l_extendedprice, 0.50), 6) AS p50_price,
+               round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price,
+               round(median(l_quantity), 6)                   AS med_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    description="Exact interpolated percentiles + median",
+    tags=("agg", "percentile"),
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile matches DuckDB's quantile_cont (linear
+    interpolation). At 100 TB, swap to percentile_approx (t-digest
+    sketch, mergeable) — kept exact here because it is oracle-checkable.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 6).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", 0.50), 6).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", 0.75), 6).alias("p75_price"),
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+               round(sum(l_quantity), 6) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="Hierarchical subtotals via ROLLUP + grouping_id",
+    tags=("agg", "rollup"),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+               round(sum(l_extendedprice), 6) AS sum_price,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="All grouping-set combinations via CUBE",
+    tags=("agg", "cube"),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_price", "n")
+
+
+EVENT_TYPES = ["click", "purchase", "error", "signup", "view"]
+
+
+@query(
+    "q_agg_pivot",
+    oracle="""
+        SELECT user_id,
+               round(sum(CASE WHEN event_type = 'click'    THEN value END), 6) AS click,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+               round(sum(CASE WHEN event_type = 'error'    THEN value END), 6) AS error,
+               round(sum(CASE WHEN event_type = 'signup'   THEN value END), 6) AS signup,
+               round(sum(CASE WHEN event_type = 'view'     THEN value END), 6) AS view
+        FROM events
+        GROUP BY user_id
+    """,
+    description="Pivot (rows -> typed columns); explicit value list avoids a discovery pass",
+    tags=("agg", "pivot"),
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passing the pivot values explicitly matters at scale: without
+    them Spark runs an extra distinct-scan job just to learn the
+    column set."""
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 6))
+    )
+    return piv
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+        SELECT o_orderkey,
+               (SELECT string_agg(x.l_linenumber::VARCHAR, ',' ORDER BY x.l_linenumber)
+                  FROM lineitem x WHERE x.l_orderkey = o_orderkey)   AS line_numbers,
+               (SELECT string_agg(DISTINCT y.l_returnflag, ',' ORDER BY y.l_returnflag)
+                  FROM lineitem y WHERE y.l_orderkey = o_orderkey)   AS flags
+        FROM (SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem WHERE l_orderkey % 100 = 7) t
+    """,
+    description="List/set aggregation, rendered as sorted CSV strings for determinism",
+    tags=("agg", "collect"),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_list order is nondeterministic in a distributed shuffle ->
+    # numeric-sort the array first, cast to string after, then join.
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 7)
+    return li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("line_numbers"),
+        F.concat_ws(",", F.array_sort(F.collect_set("l_returnflag"))).alias("flags"),
     )

@@ -1,0 +1,316 @@
+"""Join operators (SURVEY.md §2.3).
+
+Scale notes baked into each query:
+
+- Equi-joins shuffle both sides on the key unless one side is broadcast.
+  Dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  broadcast explicitly — at 100 TB the fact table never moves.
+- Non-equi (theta/range) joins have no hash path; unconstrained they are
+  cartesian. Every non-equi join here is bounded by an equi component
+  (band join per user) or by provably tiny inputs (region x nation).
+- The as-of join is implemented as union + window "last non-null", the
+  merge-asof formulation: one shuffle on (user), no range explosion —
+  this is the form that survives 1000 executors, unlike a range join
+  whose per-key pair count grows quadratically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "q_join_inner_equi",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE o.o_totalprice > 100000
+    """,
+    description="Hash/sort-merge equi-join (Catalyst picks the physical strategy)",
+    tags=("join",),
+)
+def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+        SELECT l.l_orderkey, l.l_quantity, p.p_name, p.p_brand, s.s_name
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE p.p_size <= 5 AND l.l_quantity >= 40
+    """,
+    description="Map-side broadcast join: fact table never shuffles",
+    tags=("join", "broadcast"),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select("l_orderkey", "l_quantity", "p_name", "p_brand", "s_name")
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+    description="Left outer join (null-extended right side)",
+    tags=("join", "outer"),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_join_right",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name
+        FROM orders o
+        RIGHT JOIN customer c
+          ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+    description="Right outer join",
+    tags=("join", "outer"),
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000)
+    return o.join(c, cond, "right").select("o_orderkey", "o_totalprice", "c_custkey", "c_name")
+
+
+@query(
+    "q_join_full",
+    oracle="""
+        WITH cust_per_nation AS (
+            SELECT c_nationkey AS nationkey, count(*) AS n_cust
+            FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+        ),
+        supp_per_nation AS (
+            SELECT s_nationkey AS nationkey, count(*) AS n_supp
+            FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+        )
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               c.n_cust, s.n_supp
+        FROM cust_per_nation c
+        FULL OUTER JOIN supp_per_nation s ON c.nationkey = s.nationkey
+    """,
+    description="Full outer join of two aggregated sides (nulls on both sides)",
+    tags=("join", "outer"),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    joined = cust.alias("c").join(
+        supp.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full"
+    )
+    return joined.select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+        F.col("c.n_cust").alias("n_cust"),
+        F.col("s.n_supp").alias("n_supp"),
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+    """,
+    description="Left-semi join (EXISTS): probe side streamed, no row duplication",
+    tags=("join", "semi"),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+    """,
+    description="Left-anti join (NOT EXISTS)",
+    tags=("join", "anti"),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+        SELECT r.r_name, n.n_name,
+               CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_home
+        FROM region r
+        CROSS JOIN nation n
+    """,
+    description="Cross join (bounded: 5 x 25 rows)",
+    tags=("join", "cross"),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_home"),
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, n.n_nationkey, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey < n.n_nationkey
+        WHERE n.n_nationkey <= 5
+    """,
+    description="Non-equi theta join (broadcast nested-loop; small side broadcast)",
+    tags=("join", "theta"),
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") <= 5)
+    # Only a nested-loop strategy can evaluate '<' — broadcast the tiny side
+    # so the big side never shuffles.
+    return s.join(F.broadcast(n), s.s_nationkey < n.n_nationkey, "inner").select(
+        "s_suppkey", "s_name", "n_nationkey", "n_name"
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+        SELECT a.event_id AS left_id,
+               b.event_id AS right_id,
+               a.user_id
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        WHERE a.event_type = 'purchase'
+    """,
+    description="Band (range) join bounded by an equi key: pairs within 10min per user",
+    tags=("join", "range"),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equi component (user_id) makes this a hash join with a
+    residual range filter — per-key pair count stays bounded, which is
+    what keeps it viable at 100 TB (a pure range join would be
+    quadratic). events.ts is us-aligned so Spark/DuckDB agree exactly."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").alias("a")
+    b = ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return a.join(b, cond, "inner").select(
+        F.col("a.event_id").alias("left_id"),
+        F.col("b.event_id").alias("right_id"),
+        F.col("a.user_id").alias("user_id"),
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+        SELECT p.event_id,
+               p.user_id,
+               CAST(date_trunc('second', p.ts) AS TIMESTAMP) AS purchase_ts,
+               (SELECT v.event_id FROM events v
+                 WHERE v.user_id = p.user_id
+                   AND v.event_type = 'view'
+                   AND v.ts <= p.ts
+                 ORDER BY v.ts DESC, v.event_id DESC
+                 LIMIT 1) AS asof_view_id
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    """,
+    description="As-of join (merge-asof): latest view at-or-before each purchase per user",
+    tags=("join", "asof"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable as-of: union both sides with a tag, one window sorted by
+    (ts, tag, id) per user, carry the last non-null view id forward.
+    One shuffle on user_id, linear state — no range-join explosion.
+    Tie rule (matches oracle): views at the same ts as the purchase are
+    visible; among equal-ts views the max event_id wins.
+    """
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"),
+        F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(1).alias("side"), "event_id",
+    )
+    # side=0 (view) sorts before side=1 (purchase) at equal ts -> inclusive
+    # "at-or-before"; view_event_id as final key -> max id wins ties.
+    merged = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "view_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("asof_view_id", F.last("view_event_id", ignorenulls=True).over(w))
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", F.col("ts")).alias("purchase_ts"),
+        "asof_view_id",
+    )

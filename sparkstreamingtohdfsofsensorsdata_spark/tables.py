@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import expr, timestamp_micros
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -39,9 +41,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Column pruning and predicate pushdown happen automatically because
     callers express projections/filters declaratively on the returned
     DataFrame (verify with ``.explain()`` -> ``PushedFilters``).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it as a
+    raw long via the legacy conf and rebuild a TimestampType column;
+    the fixture's values are us-aligned so ns->us floor division is
+    lossless and agrees exactly with the DuckDB oracle.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
