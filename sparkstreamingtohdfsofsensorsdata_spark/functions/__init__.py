@@ -1,1 +1,3 @@
 """Scalar-function family queries (SURVEY.md §2.8)."""
+
+from . import collections, scalars  # noqa: F401

@@ -1,0 +1,191 @@
+"""Scalar function families: string / date / math / conditional
+(SURVEY.md §2.8). One composite query per family.
+
+Everything here is a built-in ``pyspark.sql.functions`` call — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. Cross-dialect traps
+handled per expression:
+
+- DuckDB ``regexp_replace`` replaces the first match unless the ``'g'``
+  flag is passed; Spark always replaces all.
+- DuckDB ``CAST(double AS INTEGER)`` rounds; Spark truncates -> use an
+  explicit trunc/floor on both sides.
+- Spark ``dayofweek`` is 1=Sunday..7; DuckDB ``dayofweek`` is
+  0=Sunday..6 -> oracle adds 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name)                                    AS name_upper,
+               lower(p_brand)                                   AS brand_lower,
+               trim(p_type)                                     AS type_trim,
+               length(p_name)                                   AS name_len,
+               substring(p_name, 1, 8)                          AS name_prefix,
+               concat_ws('|', p_brand, p_type)                  AS brand_type,
+               lpad(CAST(p_size AS VARCHAR), 4, '0')            AS size_padded,
+               strpos(p_name, 'a')                              AS first_a,
+               regexp_extract(p_name, '([a-z]+)', 1)            AS first_word,
+               regexp_replace(p_name, '[aeiou]', '_', 'g')      AS devoweled,
+               CASE WHEN regexp_matches(p_name, '^[a-z]{4}')
+                    THEN 1 ELSE 0 END                           AS starts_4alpha
+        FROM part
+        WHERE p_partkey % 7 = 0
+    """,
+    description="String family: case/trim/substring/pad/search/regex",
+    tags=("function", "string"),
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim("p_type").alias("type_trim"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_name").rlike("^[a-z]{4}"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("starts_4alpha"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate)                                  AS yr,
+               month(o_orderdate)                                 AS mo,
+               day(o_orderdate)                                   AS dom,
+               quarter(o_orderdate)                               AS qtr,
+               dayofweek(o_orderdate) + 1                         AS dow,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)  AS month_end,
+               date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE))               AS days_since_95,
+               CAST(o_orderdate AS DATE) + 30                     AS due_date,
+               CAST(o_orderdate AS DATE)                          AS order_day,
+               epoch(o_orderdate)::BIGINT                         AS epoch_sec
+        FROM orders
+        WHERE o_orderkey % 11 = 0
+    """,
+    description="Date/time family: extract/trunc/diff/add/epoch",
+    tags=("function", "date"),
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.to_date("o_orderdate").alias("order_day"),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice, 0)                      AS price_round0,
+               floor(l_extendedprice)                         AS price_floor,
+               ceil(l_extendedprice)                          AS price_ceil,
+               abs(l_discount - 0.05)                         AS disc_dev_raw,
+               round(pow(l_quantity, 2), 6)                   AS qty_sq,
+               round(sqrt(l_quantity), 6)                     AS qty_sqrt,
+               round(exp(l_discount), 6)                      AS disc_exp,
+               round(ln(l_extendedprice), 6)                  AS price_ln,
+               round(log10(l_extendedprice), 6)               AS price_log10,
+               CAST(sign(l_discount - 0.05) AS BIGINT)        AS disc_sign,
+               CAST(l_orderkey % 13 AS BIGINT)                AS key_mod,
+               round(greatest(l_quantity, l_discount * 100), 6) AS biggest,
+               round(least(l_quantity, l_discount * 100), 6)    AS smallest
+        FROM lineitem
+        WHERE l_orderkey % 17 = 0
+    """,
+    description="Math family: rounding/powers/logs/sign/mod/greatest-least",
+    tags=("function", "math"),
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 17 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 0).alias("price_round0"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev_raw"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        # sign(): double in Spark, integer in DuckDB -> long on both sides
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
+        (F.col("l_orderkey") % 13).alias("key_mod"),
+        F.round(F.greatest("l_quantity", F.col("l_discount") * 100), 6).alias("biggest"),
+        F.round(F.least("l_quantity", F.col("l_discount") * 100), 6).alias("smallest"),
+    )
+
+
+@query(
+    "q_fn_cond",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice >= 300000 THEN 'high'
+                    WHEN o_totalprice >= 100000 THEN 'mid'
+                    ELSE 'low' END                             AS price_tier,
+               coalesce(nullif(o_orderstatus, 'O'), 'open')    AS status_label,
+               nullif(o_orderpriority, '1-URGENT')             AS non_urgent_prio,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final,
+               CAST(trunc(o_totalprice / 1000) AS BIGINT)      AS price_k,
+               CAST(o_orderkey AS VARCHAR)                     AS key_str
+        FROM orders
+        WHERE o_orderkey % 13 = 0
+    """,
+    description="Conditional family: CASE/coalesce/nullif/if/casts",
+    tags=("function", "conditional"),
+)
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_tier"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+        F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("non_urgent_prio"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_final"
+        ),
+        # DuckDB CAST(double AS INT) rounds, Spark truncates -> trunc on
+        # both sides for identical semantics.
+        (F.col("o_totalprice") / 1000).cast("long").alias("price_k"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+    )
