@@ -66,6 +66,9 @@ def build_session(
         # --- scan efficiency ---
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # --- streaming: checkpoint checksum manager deadlocks across
+        #     sequential queries in one session (see streaming/runner.py) ---
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         # --- quieter local runs ---
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

@@ -1,0 +1,161 @@
+"""Source factory (SURVEY.md §2.1): batch + streaming readers behind one
+interface, so pipelines are written once and bound to a source kind at
+deploy time — the reference's Kafka/socket/file trio re-expressed.
+
+The file-replay source is the offline-testable stand-in for Kafka: a
+directory of parquet chunk files consumed ``maxFilesPerTrigger`` at a
+time gives a deterministic micro-batch sequence (SURVEY.md §5.3).
+
+``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark rejects; both
+batch and streaming readers take it as a raw long (legacy conf) and
+rebuild a microsecond TimestampType column — lossless on this data.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import load, table_path
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# The pristine fixture file: ts is TIMESTAMP(NANOS), read as ns longs.
+EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
+# Files we re-write ourselves (replay chunks): ts is a normal us timestamp.
+EVENTS_TS_SCHEMA = _events_schema(T.TimestampType())
+
+
+def _finish_events(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def batch_source(spark: SparkSession, sf_dir: str, table: str = "events") -> DataFrame:
+    """Batch view of a table — identical columns to the stream view."""
+    return load(spark, sf_dir, table)
+
+
+def stream_source(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    raw_ns: bool = False,
+) -> DataFrame:
+    """File-replay stream of events from ``path`` (a parquet glob or
+    chunk directory). Chunk the input + ``max_files_per_trigger=1`` to
+    exercise true multi-micro-batch execution.
+
+    ``raw_ns=True`` reads the pristine fixture file (TIMESTAMP(NANOS) ->
+    ns longs -> rebuilt us timestamps); the default expects files this
+    engine wrote itself (normal us timestamps)."""
+    if raw_ns:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA if raw_ns else EVENTS_TS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(path)
+    return _finish_events(stream) if raw_ns else stream
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream view of the fixture events table (single-file replay).
+
+    The file stream source rejects a bare file path ("Option 'basePath'
+    must be a directory") but accepts a glob that matches it."""
+    return stream_source(spark, table_path(sf_dir, "events") + "*", raw_ns=True)
+
+
+def make_replay_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
+) -> str:
+    """Split the events table into ``n_chunks`` parquet files so a
+    maxFilesPerTrigger=1 stream replays them as distinct micro-batches.
+    Chunks are ordered by ts so event-time advances like a live source.
+    """
+    if not glob.glob(os.path.join(out_dir, "chunk_*")):
+        ev = load(spark, sf_dir, "events")
+        n = ev.count()
+        per = (n + n_chunks - 1) // n_chunks
+        # monotonically_increasing_id is only globally ordered on a single
+        # partition — test-rig only, never a scale path.
+        ev2 = (
+            ev.coalesce(1)
+            .orderBy("ts", "event_id")
+            .withColumn("rid", F.monotonically_increasing_id())
+            .withColumn("chunk", (F.col("rid") / per).cast("int"))
+        )
+        for i in range(n_chunks):
+            tmp = os.path.join(out_dir, f"_tmp_{i:03d}")
+            (
+                ev2.filter(F.col("chunk") == i)
+                .drop("rid", "chunk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            # The stream source does not recurse into subdirectories:
+            # flatten the single part file to a plain chunk file.
+            (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            os.replace(part, os.path.join(out_dir, f"chunk_{i:03d}.parquet"))
+            shutil.rmtree(tmp)
+    return out_dir
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka-shaped source: same downstream schema as the file replay.
+
+    The Kafka connector jar is not present in this offline environment;
+    the call is real but will fail at stream start without it — gate
+    behind deployment config, as the reference gated its receivers.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.StringType()),
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                    T.StructField("props", T.StringType()),
+                ]
+            ),
+        ).alias("r")
+    )
+    return parsed.select(
+        "r.event_id",
+        F.to_timestamp("r.ts").alias("ts"),
+        "r.user_id",
+        "r.event_type",
+        "r.value",
+        "r.props",
+    )

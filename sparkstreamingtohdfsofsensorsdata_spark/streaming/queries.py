@@ -1,0 +1,183 @@
+"""Driver-facing streaming queries: each runs a genuinely streaming
+plan (file-replay source -> stateful operators -> availableNow) to
+completion and returns the materialized result.
+
+Because the replay covers the whole fixture and watermarks are set to
+retain everything, each result equals the identical batch computation
+— so the windowed aggregations and joins carry full DuckDB oracles
+(sessionization is expressed relationally via lag + gap + running sum),
+a stronger check than the rows-only fallback.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.factory import events_stream
+from ..tables import load
+from . import ops
+from .runner import add_event_date, run_to_memory, write_file_sink
+from .stateful import alert_fsm
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               count(*)             AS n,
+               round(sum(value), 6) AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="Streaming tumbling-window agg (1h buckets) == batch equivalent",
+    tags=("streaming", "window"),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(ops.tumbling_counts(events_stream(spark, sf_dir)))
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+        SELECT window_start, event_type,
+               count(*)             AS n,
+               round(avg(value), 6) AS value_avg
+        FROM (
+            SELECT epoch_ms(CAST(floor(epoch(ts)/1800)*1800*1000 AS BIGINT)) AS window_start,
+                   event_type, value
+            FROM events
+            UNION ALL
+            SELECT epoch_ms(CAST((floor(epoch(ts)/1800)*1800 - 1800)*1000 AS BIGINT)) AS window_start,
+                   event_type, value
+            FROM events
+        ) expanded
+        GROUP BY 1, 2
+    """,
+    description="Streaming sliding-window agg (1h window / 30m slide)",
+    tags=("streaming", "window"),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(ops.sliding_stats(events_stream(spark, sf_dir)))
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        tagged AS (
+            SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM ordered
+        )
+        SELECT CAST(min(ts) AS TIMESTAMP)  AS session_start,
+               user_id,
+               count(*)                    AS n_events,
+               round(sum(value), 6)        AS session_value
+        FROM tagged
+        GROUP BY user_id, sess_id
+    """,
+    description="Streaming session windows (30m gap) == relational sessionization",
+    tags=("streaming", "session"),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(ops.session_aggregate(events_stream(spark, sf_dir)))
+
+
+@query(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    description="Streaming dedup: first-seen per key == batch DISTINCT on the keys",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        ops.dedup_keys(events_stream(spark, sf_dir)), output_mode="append"
+    )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    description="Stream-static enrichment join (per-batch broadcast of the dim)",
+    tags=("streaming", "join"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = load(spark, sf_dir, "customer")
+    return run_to_memory(
+        ops.enrich_with_dim(events_stream(spark, sf_dir), dim), output_mode="append"
+    )
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+        SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id AS p_user
+        FROM events p
+        JOIN events v
+          ON v.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND v.event_type = 'view'
+         AND v.ts <= p.ts
+         AND v.ts > p.ts - INTERVAL 10 MINUTE
+    """,
+    description="Stream-stream time-bounded join (purchases x prior views)",
+    tags=("streaming", "join"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        ops.purchases_joined_views(events_stream(spark, sf_dir)), output_mode="append"
+    )
+
+
+@query(
+    "q_stream_stateful_alerts",
+    oracle="""
+        WITH w AS (
+            SELECT user_id, event_id, value,
+                   lag(value, 1) OVER win AS v1,
+                   lag(value, 2) OVER win AS v2
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id
+        FROM w
+        WHERE value > 50 AND v1 > 50 AND v2 > 50
+    """,
+    description="applyInPandasWithState alert FSM (3 consecutive high readings)",
+    tags=("streaming", "stateful"),
+)
+def q_stream_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(alert_fsm(events_stream(spark, sf_dir)), output_mode="append")
+
+
+@query(
+    "q_stream_sink",
+    oracle=None,  # file-sink round-trip: row-count contract
+    description="Exactly-once partitioned parquet sink (the reference's HDFS sink) + read-back",
+    tags=("streaming", "sink"),
+)
+def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream -> date-partitioned checkpointed parquet -> batch read-back.
+    Fresh sink/checkpoint dirs per call keep reruns exactly-once."""
+    base = tempfile.mkdtemp(prefix="stream_sink_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    stream = add_event_date(events_stream(spark, sf_dir))
+    write_file_sink(stream, out, ckpt, partition_cols=("event_date",))
+    back = spark.read.parquet(out)
+    return back.groupBy("event_date").agg(F.count(F.lit(1)).alias("n"))

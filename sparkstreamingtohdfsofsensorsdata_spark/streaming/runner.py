@@ -1,0 +1,118 @@
+"""Streaming execution helpers: run-to-completion + the file sink.
+
+``run_to_memory`` drives a streaming DataFrame with
+``trigger(availableNow=True)`` to completion and returns the result as
+a batch DataFrame — the offline analogue of a continuously-running
+query, used by both the driver-facing queries and the replay tests.
+
+``write_file_sink`` is the reference's defining operation (stream ->
+partitioned files on HDFS-style storage) done the Structured Streaming
+way: checkpointed offsets + ``_spark_metadata`` commit log give
+exactly-once file output; ``partitionBy(date)`` gives the
+time-partitioned layout that enables partition pruning downstream.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _prepare_streaming_session(result: DataFrame) -> None:
+    """Per-query confs that must hold regardless of who built the session.
+
+    Checkpoint file checksums (Spark 4.1's ChecksumCheckpointFileManager)
+    share a bounded thread pool across queries; after a handful of
+    sequential streaming queries in one session its state-store writes
+    block indefinitely (observed: a 16s stream-stream join never
+    completing). Checkpoint durability does not depend on them — disable.
+    """
+    result.sparkSession.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"
+    )
+
+
+def run_to_memory(
+    result: DataFrame,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the materialized result.
+
+    complete mode emits every window including those still above the
+    watermark — that is what makes the result equal to the same
+    aggregation run in batch, and therefore oracle-checkable. (The
+    memory sink materializes the whole result: fine for aggregates,
+    never for raw 100 TB passthrough — that's what the file sink is
+    for.)
+    """
+    _prepare_streaming_session(result)
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+def write_file_sink(
+    result: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: tuple[str, ...] = (),
+    output_mode: str = "append",
+) -> None:
+    """Stream -> exactly-once partitioned parquet (the 'HDFS sink').
+
+    ``path``/``checkpoint`` accept any Hadoop-FS URI (hdfs://, s3a://,
+    file:/); readers only see files recorded in ``_spark_metadata``, so
+    a crashed batch never exposes partial output, and restarting with
+    the same checkpoint resumes from committed offsets.
+    """
+    _prepare_streaming_session(result)
+    writer = (
+        result.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    q = writer.start()
+    q.awaitTermination(300)
+
+
+def run_foreach_batch(
+    result: DataFrame,
+    fn,
+    output_mode: str = "append",
+) -> None:
+    """foreachBatch sink: hands each micro-batch to ``fn(df, epoch_id)``
+    as a batch DataFrame — the idiomatic escape hatch for sinks without
+    native streaming support (JDBC, MERGE targets)."""
+    _prepare_streaming_session(result)
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .foreachBatch(fn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def add_event_date(events: DataFrame) -> DataFrame:
+    """Derive the partition column for the time-partitioned sink layout."""
+    return events.withColumn("event_date", F.to_date("ts"))

@@ -1,0 +1,163 @@
+"""Streaming batch-equivalence + late-data + exactly-once tests
+(SURVEY.md §5.3).
+
+The replay rig splits events into time-ordered chunk files and streams
+them with maxFilesPerTrigger=1, so operators execute across many
+micro-batches with real state handoff — then results are compared to
+the identical computation run in batch (prefix-consistency makes that a
+sound oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreamingtohdfsofsensorsdata_spark.sources.factory import (
+    make_replay_dir,
+    stream_source,
+)
+from sparkstreamingtohdfsofsensorsdata_spark.streaming import ops
+from sparkstreamingtohdfsofsensorsdata_spark.streaming.runner import (
+    add_event_date,
+    run_to_memory,
+    write_file_sink,
+)
+from sparkstreamingtohdfsofsensorsdata_spark.streaming.stateful import alert_fsm
+from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("replay"))
+    return make_replay_dir(spark, SF_DIR, out, n_chunks=6)
+
+
+def _chunked_stream(spark, replay_dir):
+    return stream_source(spark, replay_dir, max_files_per_trigger=1)
+
+
+def _write_chunk(df, dest: str):
+    """Write df as a single flat parquet FILE (the stream source does
+    not recurse into part-file subdirectories)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    tmp = dest + "_tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+    os.replace(part, dest)
+    _shutil.rmtree(tmp)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_equals_batch_across_microbatches(spark, replay_dir):
+    streamed = run_to_memory(ops.tumbling_counts(_chunked_stream(spark, replay_dir)))
+    batch = ops.tumbling_counts(load(spark, SF_DIR, "events"))
+    cols = ["window_start", "event_type", "n", "value_sum"]
+    assert _rows(streamed, *cols) == _rows(batch, *cols)
+
+
+def test_session_equals_batch_across_microbatches(spark, replay_dir):
+    streamed = run_to_memory(ops.session_aggregate(_chunked_stream(spark, replay_dir)))
+    batch = ops.session_aggregate(load(spark, SF_DIR, "events"))
+    cols = ["session_start", "user_id", "n_events", "session_value"]
+    assert _rows(streamed, *cols) == _rows(batch, *cols)
+
+
+def test_stateful_alerts_equal_single_batch(spark, replay_dir):
+    """FSM state must survive micro-batch boundaries: chunked replay and
+    one-shot replay must flag the same events."""
+    chunked = run_to_memory(
+        alert_fsm(_chunked_stream(spark, replay_dir)), output_mode="append"
+    )
+    oneshot = run_to_memory(
+        alert_fsm(stream_source(spark, f"{SF_DIR}/events.parquet*", raw_ns=True)),
+        output_mode="append",
+    )
+    assert _rows(chunked, "user_id", "event_id") == _rows(oneshot, "user_id", "event_id")
+    assert chunked.count() > 0
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """Append-mode windows close when the watermark passes; events
+    arriving later than the delay are dropped, not double-counted."""
+    ev = load(spark, SF_DIR, "events")
+    recent = ev.filter(F.col("ts") >= F.lit("2024-01-20"))
+    old = ev.filter(F.col("ts") < F.lit("2024-01-05"))
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_chunk(recent, str(src / "a_recent.parquet"))
+
+    agg = (
+        stream_source(spark, str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    import uuid
+
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_before = spark.table(name).count()
+        # late chunk: 15+ days older than the watermark by now
+        _write_chunk(old, str(src / "b_old.parquet"))
+        q.processAllAvailable()
+        after = spark.table(name)
+        n_after = after.count()
+    finally:
+        q.stop()
+
+    assert old.count() > 0
+    # no window from the late (pre-Jan-5) range may appear
+    assert after.filter(F.col("window_start") < F.lit("2024-01-05")).count() == 0
+    assert n_after == n_before
+
+
+def test_file_sink_exactly_once_resume(spark, tmp_path):
+    """Restarting the sink with the same checkpoint must not duplicate
+    committed files; new chunks are appended exactly once."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = load(spark, SF_DIR, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    _write_chunk(first, str(src / "c0.parquet"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = add_event_date(stream_source(spark, str(src)))
+        write_file_sink(stream, out, ckpt, partition_cols=("event_date",))
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+
+    # restart with no new data: nothing re-emitted
+    run_once()
+    assert spark.read.parquet(out).count() == n1
+
+    # add data, restart: appended exactly once
+    _write_chunk(second, str(src / "c1.parquet"))
+    run_once()
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert back.select("event_id").distinct().count() == ev.count()
+    # partitioned layout on disk
+    assert any(p.startswith("event_date=") for p in os.listdir(out))
