@@ -1,0 +1,82 @@
+"""Benchmark harness: wall-clock per registered query at the bench SF.
+
+Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf"}. Honors $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and $SPARK_GRAFT_CPUS (default all cores).
+
+Each query is forced end-to-end with a noop-format write so the full
+physical plan executes (scan -> shuffle -> sink) without driver-side
+collect skew; streaming queries already materialize inside their query
+function, so their timing covers the streamed execution itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pandas as pd
+
+from sparkstreamingtohdfsofsensorsdata_spark.registry import load_all
+from sparkstreamingtohdfsofsensorsdata_spark.session import build_session
+
+
+def _warmup(spark) -> None:
+    """Start the JVM pipelines and the Python UDF workers before timing.
+
+    The first Python-UDF query in a session pays ~15s of worker spin-up
+    on local[32]; that is a session cost, not an operator cost, so pay
+    it here once instead of inside whichever query runs first.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _identity(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).repartition(32).select(_identity("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
+def _run_one(spec, spark, sf_dir: str) -> float:
+    start = time.perf_counter()
+    df = spec.fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = build_session(app_name="bench")
+
+    _warmup(spark)
+    specs = load_all()
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        try:
+            timings[name] = round(_run_one(spec, spark, sf_dir), 3)
+        except Exception as exc:  # a failing query must not sink the run
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    spark.stop()
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -43,16 +44,25 @@ def _alert_fn(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     run = state.get[0] if state.exists else 0
-    alert_ids: list[int] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for _, row in pdf.iterrows():
-            run = run + 1 if row["value"] > ALERT_THRESHOLD else 0
-            if run >= RUN_LENGTH:
-                alert_ids.append(int(row["event_id"]))
-    state.update((run,))
-    if alert_ids:
-        yield pd.DataFrame({"user_id": [user_id] * len(alert_ids), "event_id": alert_ids})
+    batches = [pdf for pdf in pdfs if len(pdf)]
+    if not batches:
+        state.update((run,))
+        return
+    pdf = pd.concat(batches).sort_values(["ts", "event_id"])
+    high = pdf["value"].to_numpy() > ALERT_THRESHOLD
+    n = len(high)
+    # run[i] = length of the consecutive-high run ending at i:
+    # distance to the most recent non-high position (vectorized fold).
+    idx = np.arange(n)
+    last_low = np.maximum.accumulate(np.where(~high, idx, -1))
+    run_vec = idx - last_low
+    lows = np.flatnonzero(~high)
+    first_low = lows[0] if lows.size else n
+    run_vec[:first_low] += run  # carry the run in progress from prior batches
+    state.update((int(run_vec[-1]),))
+    alert_ids = pdf["event_id"].to_numpy()[run_vec >= RUN_LENGTH]
+    if alert_ids.size:
+        yield pd.DataFrame({"user_id": user_id, "event_id": alert_ids})
 
 
 def alert_fsm(events: DataFrame) -> DataFrame:
