@@ -1,3 +1,3 @@
 """Scalar-function family queries (SURVEY.md §2.8)."""
 
-from . import collections, scalars  # noqa: F401
+from . import collections, scalars, udfs  # noqa: F401

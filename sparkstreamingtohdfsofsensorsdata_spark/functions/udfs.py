@@ -1,0 +1,146 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+Every tier of the Python extension surface, each mirrored by a pure-SQL
+oracle so the wire path (Arrow batching, type mapping, null handling)
+is verified — not just "it ran":
+
+- scalar pandas UDF (Series -> Series): the vectorized fast path;
+- row-at-a-time Python UDF: implemented because the surface exists,
+  documented as the slow path (per-row pickling, no codegen) — never
+  use in hot paths;
+- grouped-agg pandas UDF: custom aggregate usable in groupBy and
+  windows;
+- applyInPandas grouped-map: per-group arbitrary pandas transforms;
+- mapInPandas is exercised by q_llm_multimodal.
+
+All UDFs here compute SQL-expressible math on purpose: the point of
+the tests is the boundary, and real pipelines should push exactly this
+kind of expression back into JVM-side built-ins (see functions/).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "q_udf_pandas_scalar",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+                   AS charged
+        FROM lineitem
+        WHERE l_orderkey % 50 = 0
+    """,
+    description="Vectorized scalar pandas UDF (Arrow Series->Series) vs SQL arithmetic",
+    tags=("udf", "pandas"),
+)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def charged(
+        price: pd.Series, disc: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1.0 - disc) * (1.0 + tax)
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(charged("l_extendedprice", "l_discount", "l_tax"), 6).alias(
+            "charged"
+        ),
+    )
+
+
+@query(
+    "q_udf_row_scalar",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority || '#' || CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR)
+                   AS tag
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+    """,
+    description="Row-at-a-time Python UDF (the documented slow path) vs SQL concat",
+    tags=("udf", "slow-path"),
+)
+def q_udf_row_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(T.StringType())
+    def tag(prio: str, total: float) -> str:
+        return f"{prio}#{int(total)}"
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return orders.select(
+        "o_orderkey", tag("o_orderpriority", "o_totalprice").alias("tag")
+    )
+
+
+@query(
+    "q_udf_grouped_agg",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_discount)
+                     / sum(l_extendedprice), 6) AS wavg_discount
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    description="Grouped-agg pandas UDAF (price-weighted avg discount) vs SQL sum/sum",
+    tags=("udf", "udaf"),
+)
+def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def wavg(price: pd.Series, disc: pd.Series) -> float:
+        return float((price * disc).sum() / price.sum())
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_discount"), 6).alias("wavg_discount")
+    )
+
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderpriority", T.StringType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "q_udf_grouped_map",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               round((o_totalprice - avg(o_totalprice) OVER w)
+                     / stddev_samp(o_totalprice) OVER w, 6) AS zscore
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority)
+        QUALIFY o_orderkey % 20 = 0
+    """,
+    description="applyInPandas grouped-map (per-group z-score) vs SQL window avg/stddev",
+    tags=("udf", "grouped-map"),
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["o_totalprice"].mean()
+        std = pdf["o_totalprice"].std(ddof=1)
+        out = pdf[pdf["o_orderkey"] % 20 == 0]
+        return pd.DataFrame(
+            {
+                "o_orderkey": out["o_orderkey"],
+                "o_orderpriority": out["o_orderpriority"],
+                "zscore": ((out["o_totalprice"] - mean) / std).round(6),
+            }
+        )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return orders.groupBy("o_orderpriority").applyInPandas(zscore, ZSCORE_SCHEMA)

@@ -1,0 +1,334 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2.10):
+exact hash dedup, MinHash+LSH near-dedup, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design:
+
+- Exact dedup is a hash-groupBy: one shuffle on the content hash, no
+  comparisons. At 100 TB, hash first (64-128 bit), never compare text.
+- MinHash+LSH is the scale path for near-dedup: signatures are computed
+  per-document (embarrassingly parallel, JVM-side HOFs), banding turns
+  the quadratic all-pairs problem into a groupBy on band keys, and only
+  same-bucket candidates are compared. Hot buckets are the classic skew
+  risk — AQE skew-join handles moderate cases; degenerate buckets (all
+  documents identical) should be capped/salted upstream.
+- The all-pairs variants (n-gram Jaccard, SimHash pairs, embedding
+  cosine) are deliberately restricted to a small id slice: they are the
+  correctness oracle for the similarity math. The banded/LSH forms are
+  what runs on the full corpus.
+
+The hash family is md5 in both engines, so every operator here —
+including MinHash — is bit-reproducible against the DuckDB oracle; no
+seeded RNG is involved anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+N_MINHASH = 12  # 4 bands x 3 rows
+N_BANDS = 4
+BAND_ROWS = 3
+
+# Spark-SQL expression fragments (mirrored 1:1 in the DuckDB oracles).
+SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(1, length(text) - 2),"
+    " i -> substring(text, i, 3)))"
+)
+# Word-bigram shingles for MinHash: the standard granularity for LLM
+# corpus dedup (char n-grams over-match on shared vocabulary), and ~10x
+# fewer hash calls per document than char 3-grams.
+WORD_SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(1, size(toks) - 1),"
+    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+)
+# One md5 pair per shingle (64 hex chars) sliced into twelve 5-char
+# chunks = 12 independent 20-bit hash functions. 12x fewer md5 calls
+# than hashing per (seed, shingle), with identical minhash semantics.
+SIG_EXPR = (
+    "transform(shingles, sh -> concat(md5(sh), md5(concat('x', sh))))"
+)
+MIN_EXPR = (
+    f"transform(sequence(0, {N_MINHASH - 1}),"
+    " s -> array_min(transform(hs, h -> substring(h, s * 5 + 1, 5))))"
+)
+
+
+@query(
+    "q_llm_exact_dedup",
+    oracle="""
+        SELECT source,
+               count(*)                                        AS n_docs,
+               count(DISTINCT md5(lower(trim(text))))          AS n_unique,
+               CAST(count(*) AS BIGINT)
+                 - count(DISTINCT md5(lower(trim(text))))      AS n_dup_rows,
+               min(doc_id)                                     AS first_doc
+        FROM documents
+        GROUP BY source
+    """,
+    description="Exact dedup: content-hash groupBy on normalized text, per-source dup counts",
+    tags=("llm", "dedup"),
+)
+def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        docs.select("source", "doc_id", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dup_rows"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@query(
+    "q_llm_ngram_jaccard",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, length(text) - 1),
+                                                i -> substr(text, i, 3))) AS s
+            FROM documents
+            WHERE doc_id < 60
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))
+                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE),
+                     6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ORDER BY jaccard DESC, id_a, id_b
+        LIMIT 20
+    """,
+    description="n-gram Jaccard near-dup: exact 3-gram set similarity, top-20 pairs (oracle slice)",
+    tags=("llm", "dedup", "jaccard"),
+)
+def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sh = docs.select("doc_id", F.expr(SHINGLES_EXPR).alias("s"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.s"), F.col("b.s"))))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+def _band_key_sql(b: int, spark_dialect: bool = False) -> str:
+    """Band-key expression; bracket indexing is 1-based in DuckDB but
+    0-based in Spark, so the Spark variant uses element_at (1-based)."""
+    elem = (
+        (lambda i: f"element_at(sig, {i})")
+        if spark_dialect
+        else (lambda i: f"sig[{i}]")
+    )
+    parts = " || '|' || ".join(
+        elem(b * BAND_ROWS + r + 1) for r in range(BAND_ROWS)
+    )
+    return f"md5('{b}|' || {parts})"
+
+
+@query(
+    "q_llm_minhash_lsh",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+            FROM tok
+        ),
+        sig AS (
+            SELECT doc_id,
+                   list_transform(range(0, {N_MINHASH}),
+                       s -> list_min(list_transform(
+                            list_transform(shingles,
+                                sh2 -> md5(sh2) || md5('x' || sh2)),
+                            h -> substr(h, s * 5 + 1, 5)))) AS sig
+            FROM sh
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, sig, {_band_key_sql(b)} AS band_key FROM sig" for b in range(N_BANDS))}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(list_sum(list_transform(range(1, {N_MINHASH + 1}),
+                     i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+                     / {float(N_MINHASH)}, 6) AS est_jaccard
+        FROM cand
+        QUALIFY row_number() OVER (ORDER BY est_jaccard DESC, id_a, id_b) <= 50
+        ORDER BY est_jaccard DESC, id_a, id_b
+    """,
+    description="MinHash+LSH near-dedup: md5 minhash signatures, 4x3 banding, bucket join, top-50 candidates",
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sig = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.expr(WORD_SHINGLES_EXPR).alias("shingles"))
+        .select("doc_id", F.expr(SIG_EXPR).alias("hs"))
+        .select("doc_id", F.expr(MIN_EXPR).alias("sig"))
+        # the md5-heavy signature plan is read by the band explode AND
+        # two candidate joins — compute it once (at real scale: persist
+        # the signature table to storage instead)
+        .persist()
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[F.expr(_band_key_sql(b, spark_dialect=True)) for b in range(N_BANDS)]
+            )
+        ).alias("band_key"),
+    )
+    # Join on ids ONLY: a self-similar corpus makes band buckets huge,
+    # and carrying two 12-element signatures through every candidate
+    # pair multiplies shuffle width ~50x (observed OOM at sf0.1). Dedup
+    # the narrow pairs first, then broadcast the signature table back.
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pair_ids = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    cand = (
+        pair_ids.join(
+            F.broadcast(sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))),
+            "id_b",
+        )
+    )
+    est = F.expr(
+        f"aggregate(transform(sequence(1, {N_MINHASH}),"
+        " i -> CASE WHEN element_at(sig_a, i) = element_at(sig_b, i)"
+        " THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"
+    ) / float(N_MINHASH)
+    return (
+        cand.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .orderBy(F.col("est_jaccard").desc(), "id_a", "id_b")
+        .limit(50)
+    )
+
+
+SIMHASH_EXPR = (
+    "cast(aggregate(transform(sequence(1, 32),"
+    " b -> CASE WHEN aggregate(toks, 0,"
+    "   (acc, t) -> acc + CASE WHEN substring(md5(t), b, 1) >= '8'"
+    "   THEN 1 ELSE -1 END) > 0"
+    " THEN shiftleft(cast(1 as bigint), b - 1) ELSE cast(0 as bigint) END),"
+    " cast(0 as bigint), (acc, x) -> acc + x) as bigint)"
+)
+
+
+@query(
+    "q_llm_simhash",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(1, 33),
+                        b -> CASE WHEN list_sum(list_transform(
+                                 string_split(text, ' '),
+                                 t -> CASE WHEN substr(md5(t), b, 1) >= '8'
+                                      THEN 1 ELSE -1 END)) > 0
+                             THEN CAST(1 AS BIGINT) << (b - 1)
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+            FROM documents
+            WHERE doc_id < 60
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        QUALIFY row_number() OVER (ORDER BY hamming ASC, id_a, id_b) <= 20
+        ORDER BY hamming ASC, id_a, id_b
+    """,
+    description="SimHash near-dup: 32-bit nibble simhash over tokens, top-20 closest pairs by Hamming",
+    tags=("llm", "dedup", "simhash"),
+)
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    s = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", F.expr(SIMHASH_EXPR).alias("simhash"))
+    a = s.alias("a")
+    b = s.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .orderBy(F.col("hamming").asc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@query(
+    "q_llm_embed_neardup",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        QUALIFY row_number() OVER (
+            ORDER BY list_dot_product(a.e, b.e) DESC, id_a, id_b) <= 20
+        ORDER BY cosine DESC, id_a, id_b
+    """,
+    description="Embedding-cosine near-dup: top-20 most-similar vector pairs (unit-norm => dot)",
+    tags=("llm", "dedup", "embedding"),
+)
+def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            dot.alias("dot"),
+        )
+        .orderBy(F.col("dot").desc(), "id_a", "id_b")
+        .limit(20)
+        .select("id_a", "id_b", F.round("dot", 6).alias("cosine"))
+    )

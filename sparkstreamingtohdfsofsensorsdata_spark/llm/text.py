@@ -1,0 +1,300 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.10):
+token counting, quality scoring, language ID, TF-IDF, fingerprinting.
+
+Everything here is built from JVM-side expressions (split / HOFs /
+regexp / md5) — no Python UDFs — so the whole family rides whole-stage
+codegen and scales linearly with document count. Per-document work is
+O(doc length); nothing shuffles except the declared aggregations.
+
+Tokenization contract: documents.text is single-space-separated tokens,
+so ``split(text, ' ')`` is exact on the fixture; the regex token count
+shows the robust variant for real corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# Tiny deterministic language profiles: marker tokens a real n-gram
+# language identifier would learn from training text. On the synthetic
+# fixture every document draws from one English-ish vocabulary, so the
+# interesting (and tested) part is the scoring machinery, not accuracy.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "los", "de"),
+    "fr": ("le", "la", "les", "des"),
+    "zh": (),  # ideographic languages are detected by script, not tokens
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "q_llm_text_stats",
+    oracle="""
+        SELECT doc_id,
+               length(text)                                          AS chars,
+               len(string_split(text, ' '))                          AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z0-9]+'))            AS re_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT)              AS bpe_est_tokens,
+               len(list_distinct(string_split(text, ' ')))           AS vocab,
+               round(length(replace(text, ' ', ''))
+                     / len(string_split(text, ' ')), 6)              AS avg_token_len
+        FROM documents
+        WHERE doc_id % 3 = 0
+    """,
+    description="Token counting: whitespace, regex, BPE-estimate; vocab + avg token length",
+    tags=("llm", "text"),
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("chars"),
+        F.size(toks).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "re_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).alias("bpe_est_tokens"),
+        F.size(F.array_distinct(toks)).alias("vocab"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) / F.size(toks), 6
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_llm_quality",
+    oracle=f"""
+        WITH scored AS (
+            SELECT source,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_distinct(string_split(text, ' ')))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)   AS ttr,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> list_contains({list(STOPWORDS)!r}, t)))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)   AS stop_ratio,
+                   CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+                       AS len_ok
+            FROM documents
+        )
+        SELECT source,
+               count(*)                                   AS n_docs,
+               round(avg(ttr), 6)                         AS avg_ttr,
+               round(avg(stop_ratio), 6)                  AS avg_stop_ratio,
+               CAST(sum(CASE WHEN len_ok = 1 AND stop_ratio < 0.5
+                             AND ttr > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS n_keep
+        FROM scored
+        GROUP BY source
+    """,
+    description="Quality scoring: type-token ratio, stopword ratio, length gate -> keep/drop",
+    tags=("llm", "text", "quality"),
+)
+def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    scored = docs.select(
+        "source",
+        (F.size(F.array_distinct(toks)) / n_tok).alias("ttr"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tok
+        ).alias("stop_ratio"),
+        F.when(F.length("text").between(100, 20000), 1).otherwise(0).alias("len_ok"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+        F.sum(
+            F.when(
+                (F.col("len_ok") == 1)
+                & (F.col("stop_ratio") < 0.5)
+                & (F.col("ttr") > 0.05),
+                1,
+            ).otherwise(0)
+        ).alias("n_keep"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = LANG_MARKERS[lang]
+    if not markers:
+        # script detection: any CJK codepoint (literal range chars — the
+        # \\u escape syntax differs between RE2 and Java regex)
+        return "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 1000 ELSE 0 END"
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> list_contains({list(markers)!r}, t)))"
+    )
+
+
+@query(
+    "q_llm_lang_id",
+    oracle=f"""
+        WITH scores AS (
+            SELECT lang AS labeled,
+                   {_lang_score_sql('en')} AS s_en,
+                   {_lang_score_sql('de')} AS s_de,
+                   {_lang_score_sql('es')} AS s_es,
+                   {_lang_score_sql('fr')} AS s_fr,
+                   {_lang_score_sql('zh')} AS s_zh
+            FROM documents
+        ),
+        pred AS (
+            SELECT labeled,
+                   CASE greatest(s_en, s_de, s_es, s_fr, s_zh)
+                        WHEN s_zh THEN 'zh' WHEN s_en THEN 'en'
+                        WHEN s_de THEN 'de' WHEN s_es THEN 'es' ELSE 'fr'
+                   END AS predicted
+            FROM scores
+        )
+        SELECT labeled, predicted, count(*) AS n
+        FROM pred
+        GROUP BY 1, 2
+    """,
+    description="Language ID: marker-token + script heuristic, confusion counts vs labels",
+    tags=("llm", "text", "langid"),
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def score(lang: str):
+        markers = LANG_MARKERS[lang]
+        if not markers:
+            return (
+                F.when(F.col("text").rlike("[一-鿿]"), 1000).otherwise(0)
+            )
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = docs.select(
+        F.col("lang").alias("labeled"),
+        score("en").alias("s_en"),
+        score("de").alias("s_de"),
+        score("es").alias("s_es"),
+        score("fr").alias("s_fr"),
+        score("zh").alias("s_zh"),
+    )
+    best = F.greatest("s_en", "s_de", "s_es", "s_fr", "s_zh")
+    pred = scores.select(
+        "labeled",
+        F.when(best == F.col("s_zh"), "zh")
+        .when(best == F.col("s_en"), "en")
+        .when(best == F.col("s_de"), "de")
+        .when(best == F.col("s_es"), "es")
+        .otherwise("fr")
+        .alias("predicted"),
+    )
+    return pred.groupBy("labeled", "predicted").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_llm_tfidf",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, t.term, count(*) AS tf
+            FROM documents, unnest(string_split(text, ' ')) AS t(term)
+            GROUP BY doc_id, t.term
+        ),
+        df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term ASC) AS rk
+            FROM scored
+        )
+        WHERE rk <= 3 AND doc_id % 10 = 0
+    """,
+    description="TF-IDF term scoring: explode -> tf, df join, smoothed idf, top-3 terms/doc",
+    tags=("llm", "text", "tfidf"),
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar; at scale: a broadcast scalar subquery
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") % 10 == 0))
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "q_llm_fingerprint",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id, source,
+                   md5(text) AS full_hash,
+                   list_min(list_transform(range(1, length(text) - 3),
+                                           i -> md5(substr(text, i, 5)))) AS min_shingle,
+                   list_max(list_transform(range(1, length(text) - 3),
+                                           i -> md5(substr(text, i, 5)))) AS max_shingle
+            FROM documents
+        )
+        SELECT source,
+               count(*)                          AS n_docs,
+               count(DISTINCT full_hash)         AS n_unique,
+               min(min_shingle)                  AS src_min_shingle,
+               max(max_shingle)                  AS src_max_shingle
+        FROM fp
+        GROUP BY source
+    """,
+    description="Document fingerprinting: full-text md5 + min/max 5-gram shingle hash (winnowing bound)",
+    tags=("llm", "text", "fingerprint"),
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 4),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(5))),
+    )
+    fp = docs.select(
+        "source",
+        F.md5("text").alias("full_hash"),
+        F.array_min(shingle_hashes).alias("min_shingle"),
+        F.array_max(shingle_hashes).alias("max_shingle"),
+    )
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("full_hash").alias("n_unique"),
+        F.min("min_shingle").alias("src_min_shingle"),
+        F.max("max_shingle").alias("src_max_shingle"),
+    )

@@ -52,6 +52,9 @@ def build_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs every executor thread inside the driver JVM —
+        # the 1g default heap GC-thrashes under 32-way parallelism
+        .config("spark.driver.memory", "8g")
         # --- optimizer / runtime re-planning ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
