@@ -20,6 +20,8 @@ kind of expression back into JVM-side built-ins (see functions/).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -103,6 +105,66 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(wavg("l_extendedprice", "l_discount"), 6).alias("wavg_discount")
     )
+
+
+@query(
+    "q_udf_iter_pandas",
+    oracle="""
+        SELECT event_id,
+               round(ln(1 + abs(value)) * 2.5, 6) AS score
+        FROM events
+        WHERE event_id % 25 = 0
+    """,
+    description="Iterator pandas UDF: one-time per-partition init (model-load pattern), Arrow-batched scoring",
+    tags=("udf", "iterator"),
+)
+def q_udf_iter_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # Expensive init runs ONCE per partition, not per batch — the
+        # pattern for loading a model/tokenizer in LLM scoring UDFs.
+        import numpy as np
+
+        coeff = 2.5  # stand-in for a loaded model's parameter
+        for values in batches:
+            yield pd.Series(np.log1p(values.abs()) * coeff)
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    return ev.select("event_id", F.round(score("value"), 6).alias("score"))
+
+
+@query(
+    "q_udf_udtf",
+    oracle="""
+        SELECT doc_id, u.pos AS pos, u.term AS term
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, least(len(toks), 5) + 1),
+                       i -> struct_pack(pos := i - 1, term := toks[i]))) AS u
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents
+                WHERE doc_id % 40 = 0
+            )
+        )
+    """,
+    description="Python UDTF: one row in, N rows out (leading tokens with positions)",
+    tags=("udf", "udtf"),
+)
+def q_udf_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, term string")
+    class LeadingTokens:
+        def eval(self, text: str):
+            for pos, term in enumerate(text.split(" ")[:5]):
+                yield pos, term
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 40 == 0)
+    return docs.lateralJoin(
+        LeadingTokens(F.col("text").outer())
+    ).select("doc_id", "pos", "term")
 
 
 ZSCORE_SCHEMA = T.StructType(
