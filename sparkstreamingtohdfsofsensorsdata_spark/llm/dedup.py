@@ -312,23 +312,51 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "embedding"),
 )
 def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    """All-pairs cosine via blocked matrix multiply, not a per-pair join.
+
+    One side of the pair space is broadcast as a dense numpy matrix
+    (same materialization a broadcast join does); each partition GEMMs
+    its row-block against it and keeps only its local top-k pairs, so
+    the shuffle carries <=k rows per partition and the global top-k is
+    a k*partitions merge. ~10x faster than the equivalent
+    BroadcastNestedLoopJoin with a HOF dot product (measured at sf0.1:
+    2000x2000 pairs x dim-64).
+
+    At 100 TB the broadcast side no longer fits: block BOTH sides
+    (crossJoin of row-block ids, GEMM per block pair) or switch to the
+    LSH path (q_llm_minhash_lsh / q_llm_sim_topk_lsh) — the kernel
+    (GEMM + local top-k + tiny merge) stays the same.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k = 20
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    side = emb.toPandas()  # broadcast-side materialization: n x d floats
+    bc = spark.sparkContext.broadcast(
+        (side["vec_id"].to_numpy(), np.stack(side["embedding"].to_numpy()).astype("float64"))
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+    def block_topk(batches):
+        ids_b, mat_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_a = pdf["vec_id"].to_numpy()
+            mat_a = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            scores = mat_a @ mat_b.T
+            ii, jj = np.nonzero(ids_a[:, None] < ids_b[None, :])
+            dots = scores[ii, jj]
+            order = np.lexsort((ids_b[jj], ids_a[ii], -dots))[:k]
+            yield pd.DataFrame(
+                {"id_a": ids_a[ii[order]], "id_b": ids_b[jj[order]], "dot": dots[order]}
+            )
+
+    pairs = emb.repartition(32, "vec_id").mapInPandas(
+        block_topk, "id_a long, id_b long, dot double"
     )
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            dot.alias("dot"),
-        )
-        .orderBy(F.col("dot").desc(), "id_a", "id_b")
-        .limit(20)
+        pairs.orderBy(F.col("dot").desc(), "id_a", "id_b")
+        .limit(k)
         .select("id_a", "id_b", F.round("dot", 6).alias("cosine"))
     )
