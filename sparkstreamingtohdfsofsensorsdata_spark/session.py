@@ -17,10 +17,25 @@ Design notes (scale-first):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "sparkstreamingtohdfsofsensorsdata-spark"
+
+
+def scratch_dir(prefix: str = "scratch_") -> str:
+    """Ephemeral scratch directory, on tmpfs when the host has one.
+
+    Shuffle spill, streaming checkpoints, and state-store commits are
+    fsync-heavy; putting them on a RAM disk removes disk-throttle
+    stalls on this single-node rig. The durable analogue on a real
+    cluster is NVMe-local spark.local.dir + HDFS/S3 checkpoints — only
+    *restart-critical* checkpoints need durable storage, and only the
+    file-sink query here claims restartability.
+    """
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
 def default_parallelism() -> int:
@@ -53,8 +68,10 @@ def build_session(
         SparkSession.builder.appName(app_name)
         .master(master)
         # local mode runs every executor thread inside the driver JVM —
-        # the 1g default heap GC-thrashes under 32-way parallelism
-        .config("spark.driver.memory", "8g")
+        # the 1g default heap GC-thrashes under 32-way parallelism, and a
+        # long multi-query session (74 bench queries: cached LSH models,
+        # memory-sink tables, state stores) still thrashes at 8g
+        .config("spark.driver.memory", "32g")
         # --- optimizer / runtime re-planning ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -72,6 +89,8 @@ def build_session(
         # --- streaming: checkpoint checksum manager deadlocks across
         #     sequential queries in one session (see streaming/runner.py) ---
         .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+        # --- scratch on tmpfs: shuffle + block-manager spill files ---
+        .config("spark.local.dir", scratch_dir("spark_local_"))
         # --- quieter local runs ---
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

@@ -11,12 +11,12 @@ a stronger check than the rows-only fallback.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..session import scratch_dir
 from ..sources.factory import events_stream
 from ..tables import load
 from . import ops
@@ -175,7 +175,7 @@ def q_stream_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream -> date-partitioned checkpointed parquet -> batch read-back.
     Fresh sink/checkpoint dirs per call keep reruns exactly-once."""
-    base = tempfile.mkdtemp(prefix="stream_sink_")
+    base = scratch_dir("stream_sink_")
     out, ckpt = f"{base}/out", f"{base}/ckpt"
     stream = add_event_date(events_stream(spark, sf_dir))
     write_file_sink(stream, out, ckpt, partition_cols=("event_date",))

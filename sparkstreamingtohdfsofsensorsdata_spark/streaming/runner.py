@@ -14,10 +14,13 @@ time-partitioned layout that enables partition pruning downstream.
 
 from __future__ import annotations
 
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..session import scratch_dir
 
 
 def _prepare_streaming_session(result: DataFrame) -> None:
@@ -51,10 +54,16 @@ def run_to_memory(
     """
     _prepare_streaming_session(result)
     name = f"mem_{uuid.uuid4().hex[:12]}"
+    # Explicit tmpfs checkpoint: state-store commits are fsync-heavy and
+    # this checkpoint is run-scoped (availableNow to completion), so RAM
+    # is the right place — a restartable deployment would point this at
+    # HDFS/S3 instead (write_file_sink does).
+    ckpt = scratch_dir("ckpt_")
     q = (
         result.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -63,6 +72,7 @@ def run_to_memory(
     finally:
         if q.isActive:
             q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     spark = result.sparkSession
     return spark.table(name)
 
