@@ -298,3 +298,44 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("line_numbers"),
         F.concat_ws(",", F.array_sort(F.collect_set("l_returnflag"))).alias("flags"),
     )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, o_orderpriority,
+               GROUPING(l_returnflag) * 2 + GROUPING(o_orderpriority) AS gid,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY GROUPING SETS ((l_returnflag, o_orderpriority), (l_returnflag), ())
+    """,
+    description="Explicit GROUPING SETS (subtotal lattice subset) via Dataset.groupingSets",
+    tags=("agg", "grouping_sets"),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlike rollup/cube this computes only the requested lattice nodes.
+
+    Spark expands grouping sets with a single Expand + one hash
+    aggregate, so the fact table is scanned once no matter how many
+    sets are requested — at 100 TB that one-scan property is the whole
+    point versus unioning per-set aggregates.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        j.groupingSets(
+            [["l_returnflag", "o_orderpriority"], ["l_returnflag"], []],
+            "l_returnflag",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "o_orderpriority", "gid", "revenue", "n")
+    )

@@ -60,3 +60,53 @@ def q_scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prop_k") >= 50)
     )
+
+
+@query(
+    "q_sink_partitioned",
+    oracle="""
+        SELECT event_type,
+               count(*)             AS n,
+               round(sum(value), 6) AS value_sum
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+        GROUP BY event_type
+    """,
+    description="Batch partitioned parquet sink + partition-pruned read-back",
+    tags=("scan", "sink", "partitioning"),
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest layout story: write events hive-partitioned by day,
+    read back with a day filter, aggregate.
+
+    The read-back plan must show PartitionFilters (directory-level
+    pruning: only 3 of ~30 day directories are listed/scanned) — the
+    layout that makes a 100 TB time-range query touch only its days.
+    The date literals are static here, so pruning happens at planning
+    time; a join against a date dimension would use DPP the same way.
+    """
+    from ..session import scratch_dir
+
+    out = scratch_dir("part_sink_")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    # Sort within partitions by the partition column before the write so
+    # each task writes at most a handful of day-files (avoids the
+    # task-count x partition-count small-file explosion at scale;
+    # the heavier alternative is repartition(day) — a full shuffle).
+    ev.sortWithinPartitions("event_date").write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(out)
+
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            F.col("event_date").between("2024-01-05", "2024-01-07")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
