@@ -1,0 +1,95 @@
+"""Physical-plan inspection (SURVEY.md §4): the "is this the plan I
+would want at 100 TB" checks, as code instead of eyeballing.
+
+Each predicate takes a DataFrame, forces analysis/planning (not
+execution), and greps the executed-plan string. They power the
+test_plans suite; use them interactively too:
+
+    from sparkstreamingtohdfsofsensorsdata_spark.plans import inspect
+    inspect.report(df)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_str(df: DataFrame) -> str:
+    """Final physical plan (after AQE re-planning if it already ran)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_str(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def has_pushed_filters(df: DataFrame, *fragments: str) -> bool:
+    """True if some parquet scan pushes a filter mentioning every fragment."""
+    for line in plan_str(df).splitlines():
+        if "PushedFilters: [" in line and "PushedFilters: []" not in line:
+            if all(f in line for f in fragments):
+                return True
+    return False
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each parquet scan (pruning check)."""
+    out = []
+    for line in plan_str(df).splitlines():
+        if "ReadSchema: struct<" in line:
+            inner = line.split("ReadSchema: struct<", 1)[1].rsplit(">", 1)[0]
+            cols = [c.split(":")[0].strip() for c in inner.split(",") if ":" in c]
+            out.append(cols)
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in plan_str(df) or "BroadcastExchange" in plan_str(df)
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in plan_str(df)
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    """Global top-k compiled to TakeOrderedAndProject (no full sort)."""
+    return "TakeOrderedAndProject" in plan_str(df)
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """Map-side combine before the shuffle (partial_ function calls)."""
+    return "partial_" in plan_str(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen stages. Tree strings mark fused
+    operators with a ``*(n)`` prefix (and some render the long form)."""
+    import re
+
+    text = plan_str(df)
+    stages = set(re.findall(r"\*\((\d+)\)", text))
+    return max(len(stages), text.count("WholeStageCodegen"))
+
+
+def has_partition_filters(df: DataFrame, fragment: str) -> bool:
+    for line in plan_str(df).splitlines():
+        if "PartitionFilters: [" in line and fragment in line:
+            return True
+    return False
+
+
+def report(df: DataFrame) -> dict[str, object]:
+    """One-call summary of the scale-relevant plan properties."""
+    text = plan_str(df)
+    return {
+        "broadcast_join": "BroadcastHashJoin" in text,
+        "sort_merge_join": "SortMergeJoin" in text,
+        "take_ordered_top_k": "TakeOrderedAndProject" in text,
+        "partial_aggregation": "partial_" in text,
+        "whole_stage_codegen_stages": codegen_stage_count(df),
+        "pushed_filters": [
+            line.strip() for line in text.splitlines() if "PushedFilters: [" in line
+        ],
+        "read_schemas": [
+            line.strip() for line in text.splitlines() if "ReadSchema:" in line
+        ],
+    }

@@ -71,7 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registry population)."""
     # Imports are local to avoid a cycle: operator modules import `query`
     # from this module at their import time.
-    from . import operators, functions, llm, streaming  # noqa: F401
+    from . import golden, operators, functions, llm, streaming  # noqa: F401
 
     return REGISTRY
 
