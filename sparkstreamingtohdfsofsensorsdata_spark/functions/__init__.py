@@ -1,3 +1,4 @@
 """Scalar-function family queries (SURVEY.md §2.8)."""
 
-from . import collections, scalars, udfs  # noqa: F401
+# scalars/udfs first: import order is registry order (see registry.load_all).
+from . import scalars, udfs, collections  # noqa: F401

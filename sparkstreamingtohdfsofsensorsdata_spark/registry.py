@@ -68,10 +68,19 @@ def query(
 
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import every operator module (side effect: registry population)."""
+    """Import every operator module (side effect: registry population).
+
+    Import order IS registry order, which external harnesses may treat
+    as evaluation priority (a truncated run covers a prefix). Families
+    whose driver verification lagged in round 1 (scalar fns, UDFs, LLM,
+    streaming) register first; the long-verified relational core last.
+    """
     # Imports are local to avoid a cycle: operator modules import `query`
     # from this module at their import time.
-    from . import golden, operators, functions, llm, streaming  # noqa: F401
+    from .functions import scalars, udfs  # noqa: F401
+    from . import llm, streaming  # noqa: F401
+    from .functions import collections  # noqa: F401
+    from . import golden, operators  # noqa: F401
 
     return REGISTRY
 
