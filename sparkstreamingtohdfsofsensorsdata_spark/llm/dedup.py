@@ -191,9 +191,13 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(SIG_EXPR).alias("hs"))
         .select("doc_id", F.expr(MIN_EXPR).alias("sig"))
         # the md5-heavy signature plan is read by the band explode AND
-        # two candidate joins — compute it once (at real scale: persist
-        # the signature table to storage instead)
-        .persist()
+        # two candidate joins — compute it once. localCheckpoint (lazy)
+        # caches like persist() but its blocks are released by the
+        # ContextCleaner once the result DataFrame is garbage-collected,
+        # so repeated library calls don't accumulate cached blocks the
+        # way an unmanaged .persist() does. (At real scale: write the
+        # signature table to storage once instead.)
+        .localCheckpoint(eager=False)
     )
     bands = sig.select(
         "doc_id",
@@ -293,6 +297,9 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_BLOCKS = 8
+
+
 @query(
     "q_llm_embed_neardup",
     oracle="""
@@ -312,48 +319,87 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "embedding"),
 )
 def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine via blocked matrix multiply, not a per-pair join.
+    """All-pairs cosine via TWO-SIDED blocked matrix multiply — no side
+    of the pair space ever touches the driver.
 
-    One side of the pair space is broadcast as a dense numpy matrix
-    (same materialization a broadcast join does); each partition GEMMs
-    its row-block against it and keeps only its local top-k pairs, so
-    the shuffle carries <=k rows per partition and the global top-k is
-    a k*partitions merge. ~10x faster than the equivalent
-    BroadcastNestedLoopJoin with a HOF dot product (measured at sf0.1:
-    2000x2000 pairs x dim-64).
+    Every vector hashes to one of B row-blocks; the unordered pair
+    space is covered by the B*(B+1)/2 block pairs (ba <= bb). Each
+    vector is shuffled once per partner block (tagged with the block
+    pair it serves and which operand it is), then one applyInPandas
+    group per block pair GEMMs its A-rows against its B-rows and keeps
+    only the group-local top-k pairs. The global answer is a
+    k * B*(B+1)/2 - row merge.
 
-    At 100 TB the broadcast side no longer fits: block BOTH sides
-    (crossJoin of row-block ids, GEMM per block pair) or switch to the
-    LSH path (q_llm_minhash_lsh / q_llm_sim_topk_lsh) — the kernel
-    (GEMM + local top-k + tiny merge) stays the same.
+    Scale shape: shuffle volume is N*(B+1) rows total (each row
+    replicated to its partner blocks) — the classic sqrt-scaling
+    blocked all-pairs — and peak memory per task is two blocks
+    (~2*N*d/B floats), so B is chosen so a block pair fits an
+    executor; the driver only ever sees k rows per block pair. At
+    100 TB you raise B (or pre-filter with the LSH path
+    q_llm_minhash_lsh / q_llm_sim_topk_lsh); the kernel (per-pair GEMM
+    + local top-k + tiny merge) is unchanged.
     """
     import numpy as np
     import pandas as pd
 
     k = 20
+    nb = NEARDUP_BLOCKS
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    side = emb.toPandas()  # broadcast-side materialization: n x d floats
-    bc = spark.sparkContext.broadcast(
-        (side["vec_id"].to_numpy(), np.stack(side["embedding"].to_numpy()).astype("float64"))
+    blk = emb.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int")
+    )
+    # A-operand: block ba serves every pair (ba, bb >= ba).
+    a_side = blk.select(
+        F.col("blk").alias("ba"),
+        F.explode(F.sequence(F.col("blk"), F.lit(nb - 1))).alias("bb"),
+        "vec_id",
+        "embedding",
+        F.lit(0).alias("operand"),
+    )
+    # B-operand: block bb serves every pair (ba <= bb, bb).
+    b_side = blk.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ba"),
+        F.col("blk").alias("bb"),
+        "vec_id",
+        "embedding",
+        F.lit(1).alias("operand"),
     )
 
-    def block_topk(batches):
-        ids_b, mat_b = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids_a = pdf["vec_id"].to_numpy()
-            mat_a = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            scores = mat_a @ mat_b.T
-            ii, jj = np.nonzero(ids_a[:, None] < ids_b[None, :])
-            dots = scores[ii, jj]
-            order = np.lexsort((ids_b[jj], ids_a[ii], -dots))[:k]
-            yield pd.DataFrame(
-                {"id_a": ids_a[ii[order]], "id_b": ids_b[jj[order]], "dot": dots[order]}
+    def block_pair_topk(key, pdf):
+        ba, bb = key
+        a = pdf[pdf["operand"] == 0]
+        b = pdf[pdf["operand"] == 1]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id_a": [], "id_b": [], "dot": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "dot": "float64"}
             )
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        scores = (
+            np.stack(a["embedding"].to_numpy()).astype("float64")
+            @ np.stack(b["embedding"].to_numpy()).astype("float64").T
+        )
+        if ba == bb:
+            # Same block on both operands: each unordered pair appears
+            # in both orientations — keep the id_a < id_b one.
+            ii, jj = np.nonzero(ids_a[:, None] < ids_b[None, :])
+            lo, hi = ids_a[ii], ids_b[jj]
+        else:
+            # Distinct blocks: each unordered pair appears exactly once;
+            # orient it by id regardless of which block hashed lower.
+            ii, jj = np.nonzero(np.ones_like(scores, dtype=bool))
+            lo = np.minimum(ids_a[ii], ids_b[jj])
+            hi = np.maximum(ids_a[ii], ids_b[jj])
+        dots = scores[ii, jj]
+        order = np.lexsort((hi, lo, -dots))[:k]
+        return pd.DataFrame(
+            {"id_a": lo[order], "id_b": hi[order], "dot": dots[order]}
+        )
 
-    pairs = emb.repartition(32, "vec_id").mapInPandas(
-        block_topk, "id_a long, id_b long, dot double"
+    pairs = (
+        a_side.unionByName(b_side)
+        .groupBy("ba", "bb")
+        .applyInPandas(block_pair_topk, "id_a long, id_b long, dot double")
     )
     return (
         pairs.orderBy(F.col("dot").desc(), "id_a", "id_b")

@@ -184,21 +184,62 @@ def q_llm_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_NPROBE = 3
+IVF_NLIST = 16
+IVF_SEED = 7
+IVF_LLOYD_ITERS = 2
+
+
+def _assign_cells(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Argmax-dot cell per vector against a broadcast centroid table."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "e", "cell", _dot_expr("ce", "e").alias("cdot")
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), "cell")
+    return (
+        scored.withColumn("crk", F.row_number().over(wcell))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "e", "cell")
+    )
+
+
+def _recompute_centroids(assigned: DataFrame) -> DataFrame:
+    """Spherical-k-means update: per-cell mean, renormalized to unit
+    length. posexplode -> (cell, dim) partial averages, so the pass is
+    a map-side-combined agg of the corpus scan — never a driver fit."""
+    return (
+        assigned.select("cell", F.posexplode("e").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda s: s.cval).alias("m"))
+        .select(
+            "cell",
+            F.expr(
+                "transform(m, x -> x / sqrt(aggregate(m, 0D, (a, y) -> a + y * y)))"
+            ).alias("ce"),
+        )
+    )
 
 
 @query(
     "q_llm_sim_topk_ivf",
     oracle=None,  # approximate (recall < 1 by design) -> rows-only; recall is asserted in tests
-    description="IVF-style ANN: coarse quantizer (per-label centroid) + nprobe inverted-list search",
+    description="IVF ANN: unsupervised spherical-k-means quantizer (seeded init + distributed Lloyd) + nprobe inverted-list search",
     tags=("llm", "similarity", "ann", "ivf"),
 )
 def q_llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-file ANN, the other production scale path next to LSH.
 
-    1. Coarse quantizer: centroid per coarse cell (here: one Lloyd step
-       from the label partition — posexplode to (cell, dim) partial
-       averages, so the centroid pass is a map-side-combined agg of the
-       corpus scan, never a driver-side fit).
+    1. Coarse quantizer: unsupervised spherical k-means. Init = the
+       IVF_NLIST corpus vectors with the smallest xxhash64(vec_id, seed)
+       (a deterministic uniform sample — TakeOrdered of nlist rows, no
+       driver fit), then IVF_LLOYD_ITERS distributed Lloyd iterations:
+       broadcast-join assignment + posexplode partial-average update.
+       Between iterations only the nlist x dim centroid scalars touch
+       the driver — the standard k-means broadcast round-trip (what
+       MLlib's KMeans does); the corpus itself never leaves executors.
+       No fixture column (label etc.) is consulted anywhere.
     2. Assign: every vector joins the broadcast centroid table (tiny:
        nlist x dim) and keeps its argmax-dot cell = its inverted list.
     3. Probe: each query scores the same broadcast centroids and keeps
@@ -207,38 +248,36 @@ def q_llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. Exact re-rank within candidates: HOF dot + per-query window
        top-k, identical to the brute-force tier.
 
-    At 100 TB: the corpus-side assignment is one broadcast-join scan
+    At 100 TB: the quantizer is fit once on a sample and written beside
+    the corpus; the corpus-side assignment is one broadcast-join scan
     persisted alongside the vectors (write-once), probes touch only
     nprobe/nlist of the data, and no shuffle moves the corpus — the
     only shuffle is the per-query top-k over already-filtered
     candidates. Returns per-query recall@k against the exact result so
     the accuracy/cost trade is measured, not assumed.
     """
-    v = _as_double(load(spark, sf_dir, "embeddings")).join(
-        load(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
-    )
+    v = _as_double(load(spark, sf_dir, "embeddings"))
 
+    # Seeded deterministic init: nlist actual corpus vectors (unit norm
+    # already), chosen by hash order — reproducible and label-free.
     centroids = (
-        v.select("label", F.posexplode("e").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("cval"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+        v.withColumn("h", F.xxhash64("vec_id", F.lit(IVF_SEED)))
+        .orderBy("h")
+        .limit(IVF_NLIST)
         .select(
-            F.col("label").alias("cell"),
-            F.transform("pc", lambda s: s.cval).alias("ce"),
+            (F.row_number().over(Window.orderBy("h")) - 1).alias("cell"),
+            F.col("e").alias("ce"),
         )
     )
+    for _ in range(IVF_LLOYD_ITERS):
+        updated = _recompute_centroids(_assign_cells(v, centroids))
+        # nlist x dim scalars only — the k-means centroid broadcast
+        # round-trip, not a data-path collect.
+        centroids = spark.createDataFrame(
+            updated.collect(), "cell int, ce array<double>"
+        )
 
-    scored_cells = v.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "e", "cell", _dot_expr("ce", "e").alias("cdot")
-    )
-    wcell = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), "cell")
-    assigned = (
-        scored_cells.withColumn("crk", F.row_number().over(wcell))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "e", "cell")
-    )
+    assigned = _assign_cells(v, centroids)
 
     q = assigned.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")

@@ -49,6 +49,12 @@ def query(
             # parquet instants are rendered in session TZ, and the DuckDB
             # oracle is UTC-naive — pin UTC so both sides agree.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # Nor may results depend on the caller's cwd: ship this
+            # package to Python workers so by-reference cloudpickled
+            # UDFs import cleanly everywhere (see ensure_package_on_workers).
+            from .session import ensure_package_on_workers
+
+            ensure_package_on_workers(spark)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -136,6 +136,28 @@ def kafka_source(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+    return _parse_json_events(raw)
+
+
+def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Socket text source (SURVEY §2.1), one JSON event per line — same
+    downstream schema as the Kafka and file-replay sources.
+
+    Spark's socket source is dev-only (no offset tracking, so no
+    exactly-once recovery); it exists here for source-trio completeness
+    and local smoke runs. Untestable in this offline environment.
+    """
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return _parse_json_events(raw)
+
+
+def _parse_json_events(raw: DataFrame) -> DataFrame:
+    """value:string JSON lines -> the canonical events schema."""
     parsed = raw.select(
         F.from_json(
             F.col("value").cast("string"),

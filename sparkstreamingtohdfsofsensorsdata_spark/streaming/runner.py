@@ -68,7 +68,14 @@ def run_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            # A silently-partial memory table would surface later as a
+            # baffling parity mismatch — fail loudly at the source.
+            raise TimeoutError(
+                f"streaming query {name!r} still running after {timeout_s}s; "
+                "refusing to return a partial memory table"
+            )
     finally:
         if q.isActive:
             q.stop()
@@ -102,7 +109,12 @@ def write_file_sink(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     q = writer.start()
-    q.awaitTermination(300)
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("file-sink query still running after 300s")
+    finally:
+        if q.isActive:
+            q.stop()
 
 
 def run_foreach_batch(
@@ -120,7 +132,12 @@ def run_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("foreachBatch query still running after 300s")
+    finally:
+        if q.isActive:
+            q.stop()
 
 
 def add_event_date(events: DataFrame) -> DataFrame:

@@ -68,3 +68,27 @@ def test_semi_join_no_duplication(spark):
     # left-semi must stay a semi join (no row-duplicating inner rewrite)
     text = inspect.plan_str(q(spark, "q_join_semi"))
     assert "LeftSemi" in text
+
+
+def test_embed_neardup_fully_distributed(spark):
+    # Two-sided blocked GEMM: the pair space is covered by executor-side
+    # applyInPandas groups — no driver-side materialization of the
+    # corpus anywhere in the query body.
+    import inspect as pyinspect
+
+    from sparkstreamingtohdfsofsensorsdata_spark.llm import dedup
+
+    src = pyinspect.getsource(dedup.q_llm_embed_neardup)
+    assert "toPandas" not in src and ".collect()" not in src
+    assert "FlatMapGroupsInPandas" in inspect.plan_str(
+        q(spark, "q_llm_embed_neardup")
+    )
+
+
+def test_ivf_quantizer_is_label_free(spark):
+    # The coarse quantizer must be unsupervised: no parquet scan may
+    # READ the fixture's ground-truth `label` column (it still shows in
+    # the Relation schema listing — pruning is what proves non-use).
+    df = q(spark, "q_llm_sim_topk_ivf")
+    schemas = inspect.read_schema_columns(df)
+    assert schemas and all("label" not in cols for cols in schemas)
