@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 
 N_MINHASH = 12  # 4 bands x 3 rows
 N_BANDS = 4
@@ -184,7 +184,7 @@ def _band_key_sql(b: int, spark_dialect: bool = False) -> str:
     tags=("llm", "dedup", "minhash", "lsh"),
 )
 def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     sig = (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .select("doc_id", F.expr(WORD_SHINGLES_EXPR).alias("shingles"))
@@ -244,30 +244,47 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hash once per token (not once per token per bit — 32x fewer md5
+# calls), then fold the 32 sign bits over the cached hex digests.
+# Operates on a pre-computed `hs` column = transform(toks, t -> md5(t)).
+TOKEN_HASHES_EXPR = "transform(toks, t -> md5(t))"
 SIMHASH_EXPR = (
     "cast(aggregate(transform(sequence(1, 32),"
-    " b -> CASE WHEN aggregate(toks, 0,"
-    "   (acc, t) -> acc + CASE WHEN substring(md5(t), b, 1) >= '8'"
+    " b -> CASE WHEN aggregate(hs, 0,"
+    "   (acc, h) -> acc + CASE WHEN substring(h, b, 1) >= '8'"
     "   THEN 1 ELSE -1 END) > 0"
     " THEN shiftleft(cast(1 as bigint), b - 1) ELSE cast(0 as bigint) END),"
     " cast(0 as bigint), (acc, x) -> acc + x) as bigint)"
 )
+# DuckDB mirror of the same two-step computation (hash once, fold bits).
+SIMHASH_ORACLE_CTE = """
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(1, 33),
+                        b -> CASE WHEN list_sum(list_transform(hs,
+                                 h -> CASE WHEN substr(h, b, 1) >= '8'
+                                      THEN 1 ELSE -1 END)) > 0
+                             THEN CAST(1 AS BIGINT) << (b - 1)
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+            FROM (SELECT doc_id,
+                         list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+                  FROM documents{where})
+"""
+
+
+def _simhash_df(docs: DataFrame) -> DataFrame:
+    return (
+        spread(docs, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.expr(TOKEN_HASHES_EXPR).alias("hs"))
+        .select("doc_id", F.expr(SIMHASH_EXPR).alias("simhash"))
+    )
 
 
 @query(
     "q_llm_simhash",
-    oracle="""
+    oracle=f"""
         WITH s AS (
-            SELECT doc_id,
-                   CAST(list_sum(list_transform(range(1, 33),
-                        b -> CASE WHEN list_sum(list_transform(
-                                 string_split(text, ' '),
-                                 t -> CASE WHEN substr(md5(t), b, 1) >= '8'
-                                      THEN 1 ELSE -1 END)) > 0
-                             THEN CAST(1 AS BIGINT) << (b - 1)
-                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
-            FROM documents
-            WHERE doc_id < 60
+            {SIMHASH_ORACLE_CTE.format(where=" WHERE doc_id < 60")}
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming
@@ -279,10 +296,7 @@ SIMHASH_EXPR = (
     tags=("llm", "dedup", "simhash"),
 )
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    s = docs.select(
-        "doc_id", F.split("text", " ").alias("toks")
-    ).select("doc_id", F.expr(SIMHASH_EXPR).alias("simhash"))
+    s = _simhash_df(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60))
     a = s.alias("a")
     b = s.alias("b")
     return (
@@ -294,6 +308,90 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("hamming").asc(), "id_a", "id_b")
         .limit(20)
+    )
+
+
+SIMHASH_BANDS = 4  # 4 x 8-bit bands over the 32-bit simhash
+SIMHASH_HAMMING_MAX = SIMHASH_BANDS - 1  # banding is COMPLETE within this radius
+
+
+@query(
+    "q_llm_simhash_banded",
+    oracle=f"""
+        WITH s AS (
+            {SIMHASH_ORACLE_CTE.format(where="")}
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bv FROM s" for b in range(SIMHASH_BANDS))}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sa, b.simhash AS sb
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING_MAX}
+        ORDER BY hamming ASC, id_a, id_b
+    """,
+    description="SimHash banded near-dup: 4x8-bit band bucket join over the FULL corpus, all pairs within the guaranteed Hamming radius",
+    tags=("llm", "dedup", "simhash", "lsh"),
+)
+def q_llm_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale SimHash path (q_llm_simhash is the exact
+    all-pairs oracle slice; this runs the whole corpus).
+
+    The 32-bit simhash is cut into SIMHASH_BANDS 8-bit bands; by
+    pigeonhole, any pair within Hamming distance SIMHASH_BANDS-1 shares
+    at least one full band, so a groupBy/join on (band, band_value)
+    finds EVERY near-duplicate within that radius without the quadratic
+    all-pairs compare — the output is exactly the pairs a dedup pass
+    would drop, not a lossy sample (test_similarity asserts the set
+    equals the all-pairs computation).
+    Same scale shape as MinHash banding: signatures are per-doc
+    map-side work, the only shuffles are the band-bucket join and the
+    candidate top-k; candidate pairs are deduped as narrow ids before
+    the (broadcast) signature rejoin, mirroring q_llm_minhash_lsh's
+    documented OOM fix. Hot buckets (boilerplate-heavy corpora) are the
+    usual skew risk — AQE skew-join or upstream bucket caps handle it.
+    """
+    # read by the band explode and two candidate rejoins; GC-scoped
+    # cache (same rationale as the minhash signature table)
+    s = _simhash_df(load(spark, sf_dir, "documents")).localCheckpoint(eager=False)
+    bands = s.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"concat('{b}:', shiftright(simhash, {8 * b}) & 255)")
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pair_ids = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    cand = pair_ids.join(
+        F.broadcast(s.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))),
+        "id_a",
+    ).join(
+        F.broadcast(s.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))),
+        "id_b",
+    )
+    return (
+        cand.select("id_a", "id_b", F.expr("bit_count(sa ^ sb)").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .orderBy(F.col("hamming").asc(), "id_a", "id_b")
     )
 
 

@@ -59,6 +59,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition iff the scan under-splits the available cores.
+
+    CPU-heavy per-row expressions (md5 signatures, simhash folds) are
+    only as parallel as their input partitioning, and a small parquet
+    file arrives as ONE split regardless of cluster size. At real scale
+    the source is thousands of splits and this is a no-op; when the
+    input collapses below the session's parallelism, one narrow shuffle
+    spreads the hash work across every core.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for the SQL entry point."""
     for name in TABLES:

@@ -25,3 +25,40 @@ def test_ivf_recall_floor(spark):
 
 def test_lsh_recall_floor(spark):
     assert _mean_recall(spark, "q_llm_sim_topk_lsh") >= 0.25
+
+
+def test_simhash_banding_complete_within_hamming_3(spark):
+    """Pigeonhole guarantee, checked on data: 4 x 8-bit bands surface
+    EXACTLY the pairs within Hamming distance SIMHASH_BANDS-1 = 3 that
+    a quadratic all-pairs pass finds — banding loses nothing inside the
+    guaranteed radius."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import (
+        SIMHASH_HAMMING_MAX,
+        _simhash_df,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    s = _simhash_df(load(spark, sf, "documents"))
+    a, b = s.alias("a"), s.alias("b")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+            .collect()
+        )
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in registry.load_all()["q_llm_simhash_banded"].fn(spark, sf).collect()
+    }
+    assert exact, "fixture has no near-pairs; test is vacuous"
+    assert banded == exact
