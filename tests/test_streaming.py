@@ -129,6 +129,209 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     assert n_after == n_before
 
 
+def _run_with_ckpt(spark, df, ckpt: str, name: str, output_mode: str = "complete"):
+    """Run an availableNow pass against a DURABLE checkpoint and return
+    the memory-sink table (fresh table per pass; state/offsets resume
+    from the checkpoint)."""
+    from sparkstreamingtohdfsofsensorsdata_spark.streaming.runner import (
+        _prepare_streaming_session,
+    )
+
+    _prepare_streaming_session(df)
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "streaming pass did not finish"
+    return spark.table(name)
+
+
+def test_windowed_agg_restart_recovery(spark, tmp_path):
+    """Kill-and-resume for STATEFUL aggregation: a second availableNow
+    pass on the same checkpoint must recover window state, fold in the
+    new chunk, and emit exactly the batch answer over all data."""
+    ev = load(spark, SF_DIR, "events")
+    first = ev.filter(F.col("ts") < F.lit("2024-01-15"))
+    second = ev.filter(F.col("ts") >= F.lit("2024-01-15"))
+    assert first.count() > 0 and second.count() > 0
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    cols = ["window_start", "event_type", "n", "value_sum"]
+
+    _write_chunk(first, str(src / "c0.parquet"))
+    t1 = _run_with_ckpt(
+        spark, ops.tumbling_counts(stream_source(spark, str(src))), ckpt, "rr_agg_1"
+    )
+    assert _rows(t1, *cols) == _rows(ops.tumbling_counts(first), *cols)
+
+    # "crash": the first query object is gone; only the checkpoint survives.
+    _write_chunk(second, str(src / "c1.parquet"))
+    t2 = _run_with_ckpt(
+        spark, ops.tumbling_counts(stream_source(spark, str(src))), ckpt, "rr_agg_2"
+    )
+    # complete mode re-emits ALL windows: pre-restart windows must come
+    # back from the recovered state store, not just the new chunk.
+    assert _rows(t2, *cols) == _rows(ops.tumbling_counts(ev), *cols)
+
+
+def test_stream_stream_join_restart_recovery(spark, tmp_path):
+    """Kill-and-resume for stream-stream join state, through the file
+    sink (the memory sink refuses append-mode checkpoint recovery):
+    pairs whose two sides arrive on opposite sides of the restart can
+    only be emitted if the buffered side survived the checkpoint, and
+    the committed output must stay exactly-once."""
+    ev = load(spark, SF_DIR, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        write_file_sink(
+            ops.purchases_joined_views(stream_source(spark, str(src))), out, ckpt
+        )
+
+    _write_chunk(first, str(src / "c0.parquet"))
+    run_once()
+    r1 = set(_rows(spark.read.parquet(out), "p_id", "v_id"))
+
+    # "crash": only checkpoint + committed files survive; resume.
+    _write_chunk(second, str(src / "c1.parquet"))
+    run_once()
+    final = spark.read.parquet(out)
+    rall = set(_rows(final, "p_id", "v_id"))
+
+    batch = set(_rows(ops.purchases_joined_views(ev), "p_id", "v_id"))
+    assert rall == batch
+    assert final.count() == len(rall), "restart duplicated committed join rows"
+    # the recovery proof: some post-restart pair is NOT derivable from
+    # the second half alone — its other side was recovered state.
+    second_only = set(_rows(ops.purchases_joined_views(second), "p_id", "v_id"))
+    assert (rall - r1) - second_only
+
+
+def test_update_mode_emits_changed_windows_only(spark, tmp_path):
+    """Update mode: each micro-batch emits exactly the windows it
+    changed; last emission per window equals the batch answer."""
+    # Parity-split chunks so the SAME windows receive rows in several
+    # micro-batches (time-ordered chunks rarely straddle a window edge,
+    # which would make update mode degenerate to one emission per window).
+    ev = load(spark, SF_DIR, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        _write_chunk(ev.filter(F.col("event_id") % 3 == i), str(src / f"c{i}.parquet"))
+    agg = ops.tumbling_counts(
+        stream_source(spark, str(src), max_files_per_trigger=1)
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+
+    epochs: list[tuple[int, list]] = []
+    run_foreach_batch(
+        agg,
+        lambda df, eid: epochs.append((eid, df.collect())),
+        output_mode="update",
+    )
+    assert len([e for e, rows in epochs if rows]) > 1, "replay collapsed to one batch"
+    latest: dict = {}
+    total_emitted = 0
+    for eid, rows in epochs:
+        for r in rows:
+            total_emitted += 1
+            latest[(r.window_start, r.event_type)] = (r.n, r.value_sum)
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.value_sum)
+        for r in ops.tumbling_counts(load(spark, SF_DIR, "events")).collect()
+    }
+    assert latest == batch
+    # re-emission happened (some window updated across batches), but
+    # update mode did not re-emit the whole state every trigger the way
+    # complete mode does.
+    assert total_emitted > len(batch)
+    assert total_emitted < len(batch) * len(epochs)
+
+
+def test_session_window_drops_late_data(spark, tmp_path):
+    """Session windows under a TIGHT watermark: events older than the
+    advanced watermark must not create or reopen sessions."""
+    ev = load(spark, SF_DIR, "events")
+    recent = ev.filter(F.col("ts") >= F.lit("2024-01-20"))
+    old = ev.filter(F.col("ts") < F.lit("2024-01-05"))
+    assert old.count() > 0
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_chunk(recent, str(src / "a_recent.parquet"))
+
+    sess = ops.session_aggregate(
+        stream_source(spark, str(src)), watermark="10 minutes"
+    )
+    import uuid
+
+    name = f"latesess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_before = spark.table(name).count()
+        _write_chunk(old, str(src / "b_old.parquet"))
+        q.processAllAvailable()
+        after = spark.table(name)
+        n_after = after.count()
+    finally:
+        q.stop()
+    assert after.filter(F.col("session_start") < F.lit("2024-01-05")).count() == 0
+    assert n_after == n_before
+
+
+def test_stream_stream_join_drops_late_side(spark, tmp_path):
+    """Stream-stream join under a TIGHT watermark: view-side state is
+    evicted once the watermark passes ts + the join bound, so views
+    arriving 15+ days late must not produce new join rows."""
+    ev = load(spark, SF_DIR, "events")
+    recent = ev.filter(F.col("ts") >= F.lit("2024-01-20"))
+    old_views = ev.filter(
+        (F.col("ts") < F.lit("2024-01-05")) & (F.col("event_type") == "view")
+    )
+    assert old_views.count() > 0
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_chunk(recent, str(src / "a_recent.parquet"))
+
+    joined = ops.purchases_joined_views(
+        stream_source(spark, str(src)), watermark="10 minutes"
+    )
+    import uuid
+
+    name = f"latejoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_before = spark.table(name).count()
+        _write_chunk(old_views, str(src / "b_oldviews.parquet"))
+        q.processAllAvailable()
+        n_after = spark.table(name).count()
+    finally:
+        q.stop()
+    assert n_after == n_before
+
+
 def test_file_sink_exactly_once_resume(spark, tmp_path):
     """Restarting the sink with the same checkpoint must not duplicate
     committed files; new chunks are appended exactly once."""
