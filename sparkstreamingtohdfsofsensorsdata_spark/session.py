@@ -110,6 +110,11 @@ def build_session(
         # memory-sink tables, state stores) still thrashes at 8g
         .config("spark.driver.memory", "32g")
         # --- optimizer / runtime re-planning ---
+        # CBO consumes ANALYZE TABLE stats (bucketed catalog tables —
+        # see operators/bucketing.py); path-based parquet reads are
+        # unaffected. AQE re-plans at runtime on real shuffle sizes.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

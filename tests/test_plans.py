@@ -70,6 +70,20 @@ def test_semi_join_no_duplication(spark):
     assert "LeftSemi" in text
 
 
+def test_bucketed_join_is_exchange_free(spark):
+    # bucketBy on the join key pins co-partitioning into storage: the
+    # fact-fact SMJ must read buckets pairwise with NO Exchange on
+    # either side — the shuffle-free join that matters most at 100 TB.
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.bucketing import (
+        bucketed_join,
+    )
+
+    text = inspect.plan_str(bucketed_join(spark, SF))
+    assert "SortMergeJoin" in text
+    assert "Exchange" not in text
+    assert "Bucketed: true" in text
+
+
 def test_embed_neardup_fully_distributed(spark):
     # Two-sided blocked GEMM: the pair space is covered by executor-side
     # applyInPandas groups — no driver-side materialization of the
