@@ -23,12 +23,14 @@ from sparkstreamingtohdfsofsensorsdata_spark.registry import load_all
 from sparkstreamingtohdfsofsensorsdata_spark.session import build_session
 
 
-def _warmup(spark) -> None:
-    """Start the JVM pipelines and the Python UDF workers before timing.
+def _warmup(spark, sf_dir: str) -> None:
+    """Start the JVM pipelines, the Python UDF workers, and the parquet
+    reader before timing.
 
     The first Python-UDF query in a session pays ~15s of worker spin-up
-    on local[32]; that is a session cost, not an operator cost, so pay
-    it here once instead of inside whichever query runs first.
+    on local[32], and the first parquet scan pays footer/codec class
+    loading; both are session costs, not operator costs, so pay them
+    here once instead of inside whichever query runs first.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -37,6 +39,9 @@ def _warmup(spark) -> None:
         return s
 
     spark.range(1000).repartition(32).select(_identity("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).write.format(
         "noop"
     ).mode("overwrite").save()
 
@@ -58,7 +63,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = build_session(app_name="bench")
 
-    _warmup(spark)
+    _warmup(spark, sf_dir)
     specs = load_all()
     timings: dict[str, float] = {}
     for name, spec in specs.items():

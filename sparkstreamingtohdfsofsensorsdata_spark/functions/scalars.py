@@ -189,3 +189,39 @@ def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") / 1000).cast("long").alias("price_k"),
         F.col("o_orderkey").cast("string").alias("key_str"),
     )
+
+
+@query(
+    "q_fn_regexp",
+    oracle=r"""
+        SELECT c_custkey,
+               CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT)
+                                                                AS parsed_id,
+               regexp_replace(c_name, '0+', '_', 'g')           AS squeezed,
+               CASE WHEN regexp_matches(c_name, '[13579]$')
+                    THEN 1 ELSE 0 END                           AS odd_tail,
+               regexp_extract(c_name, '(\d{2})$', 1)            AS last_two
+        FROM customer
+        WHERE regexp_matches(c_name, '\d\d$') AND c_custkey % 7 = 0
+    """,
+    description="Regexp family: extract (group), replace (global), rlike filter/flag",
+    tags=("function", "string", "regexp"),
+)
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Java regex on the Spark side, RE2-ish on DuckDB — patterns kept
+    to the common subset. Note DuckDB regexp_replace is first-match by
+    default; the 'g' flag matches Spark's replace-all semantics."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_name").rlike(r"\d\d$") & (F.col("c_custkey") % 7 == 0)
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1)
+        .cast("long")
+        .alias("parsed_id"),
+        F.regexp_replace("c_name", "0+", "_").alias("squeezed"),
+        F.when(F.col("c_name").rlike("[13579]$"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("odd_tail"),
+        F.regexp_extract("c_name", r"(\d{2})$", 1).alias("last_two"),
+    )

@@ -92,3 +92,93 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(64) + F.expr("doc_id div 7") % 512).alias("meta_height"),
     )
     return modal.mapInPandas(_extract_features, FEATURE_SCHEMA)
+
+
+FRAME_FPS = 24
+FRAME_STRIDE = 24  # sample one frame per second
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ts", T.DoubleType()),
+        T.StructField("feat", T.LongType()),
+    ]
+)
+
+
+def decode_video_frame(payload: bytes, frame_idx: int) -> "object":
+    """Real codec hook — requires ffmpeg/pyav, not present here."""
+    raise NotImplementedError("install pyav/ffmpeg to decode video frames")
+
+
+def _sample_frames(batches):
+    """Frame sampling: each (payload, duration) row fans out to one row
+    per sampled frame. The fan-out happens INSIDE the Arrow batch with
+    numpy repeat/tile — no per-row Python, no driver involvement. The
+    per-frame 'feature' is a deterministic stand-in for the codec call
+    (decode_video_frame) so the full plumbing is oracle-checkable."""
+    import numpy as np
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        n_frames = (pdf["duration_s"].to_numpy() * FRAME_FPS) // FRAME_STRIDE
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(), n_frames)
+        n_bytes = np.repeat(
+            pdf["payload"].str.len().to_numpy().astype("int64"), n_frames
+        )
+        frame_idx = (
+            np.concatenate([np.arange(n) for n in n_frames]).astype("int64")
+            * FRAME_STRIDE
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "frame_idx": frame_idx,
+                "frame_ts": np.round(frame_idx / float(FRAME_FPS), 6),
+                "feat": (n_bytes * 31 + frame_idx) % 997,
+            }
+        )
+
+
+@query(
+    "q_llm_multimodal_frames",
+    oracle=f"""
+        WITH vids AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   1 + doc_id % 30            AS duration_s
+            FROM documents
+            WHERE doc_id % 5 = 0
+        )
+        SELECT doc_id,
+               unnest(range(0, duration_s * {FRAME_FPS}, {FRAME_STRIDE}))
+                                                          AS frame_idx,
+               round(unnest(range(0, duration_s * {FRAME_FPS}, {FRAME_STRIDE}))
+                     / {float(FRAME_FPS)}, 6)             AS frame_ts,
+               (n_bytes * 31
+                + unnest(range(0, duration_s * {FRAME_FPS}, {FRAME_STRIDE})))
+                 % 997                                    AS feat
+        FROM vids
+    """,
+    description="Multimodal frame sampling: video-shaped payload fans out to per-frame rows inside Arrow batches (mapInPandas)",
+    tags=("llm", "multimodal", "video"),
+)
+def q_llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column plumbing: opaque payload + duration metadata ->
+    mapInPandas fan-out to one row per sampled frame (1/s at 24 fps).
+
+    At 100 TB the shape holds: partition sizing follows payload bytes
+    (spark.sql.files.maxPartitionBytes), the fan-out multiplies rows
+    executor-side AFTER the scan (never shuffled pre-explosion), and
+    downstream per-frame work (real decode via decode_video_frame,
+    embedding, dedup) chains onto the same Arrow stream."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    vids = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.lit(1) + F.col("doc_id") % 30).alias("duration_s"),
+    )
+    return vids.mapInPandas(_sample_frames, FRAME_SCHEMA)

@@ -306,3 +306,97 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_shingle").alias("src_min_shingle"),
         F.max("max_shingle").alias("src_max_shingle"),
     )
+
+
+@query(
+    "q_llm_corpus_prep",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source, text,
+                   md5(lower(trim(text))) AS h,
+                   len(list_distinct(string_split(text, ' ')))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)  AS ttr,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> list_contains({list(STOPWORDS)!r}, t)))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)  AS stop_ratio,
+                   CASE WHEN length(text) BETWEEN 100 AND 20000
+                        THEN 1 ELSE 0 END                              AS len_ok
+            FROM documents
+        ),
+        quality AS (
+            SELECT * FROM scored
+            WHERE len_ok = 1 AND stop_ratio < 0.5 AND ttr > 0.05
+        ),
+        uniq AS (
+            SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM quality
+        )
+        SELECT sc.source,
+               sc.n_raw,
+               CAST(coalesce(q.n_quality, 0) AS BIGINT)     AS n_quality,
+               CAST(coalesce(u.n_unique, 0) AS BIGINT)      AS n_unique,
+               CAST(coalesce(u.tokens_total, 0) AS BIGINT)  AS tokens_total
+        FROM (SELECT source, count(*) AS n_raw FROM scored GROUP BY source) sc
+        LEFT JOIN (SELECT source, count(*) AS n_quality
+                   FROM quality GROUP BY source) q USING (source)
+        LEFT JOIN (SELECT source, count(*) AS n_unique,
+                          sum(CAST(ceil(length(text) / 4.0) AS BIGINT))
+                              AS tokens_total
+                   FROM uniq WHERE rn = 1 GROUP BY source) u USING (source)
+    """,
+    description="Corpus-prep funnel: quality gates -> exact dedup (first doc per hash) -> per-source kept-docs + token budget",
+    tags=("llm", "text", "pipeline", "dedup"),
+)
+def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep funnel as ONE lazy plan: score
+    every document (JVM expressions only), gate on quality, keep the
+    first document per content hash (global dedup — a duplicate in a
+    second source is dropped there), and report the per-source funnel
+    with the surviving token budget.
+
+    Scale shape: one scan feeds everything; the dedup window shuffles
+    on the content hash (uniformly distributed by construction — no
+    skew); the three per-source aggregates are map-side combined and
+    joined broadcast (source cardinality is tiny). No Python in the
+    plan anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+        (F.size(F.array_distinct(toks)) / F.size(toks).cast("double")).alias("ttr"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+            / F.size(toks).cast("double")
+        ).alias("stop_ratio"),
+        F.length("text").between(100, 20000).cast("int").alias("len_ok"),
+    )
+    quality = scored.filter(
+        (F.col("len_ok") == 1) & (F.col("stop_ratio") < 0.5) & (F.col("ttr") > 0.05)
+    )
+    uniq = quality.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    ).filter(F.col("rn") == 1)
+
+    raw_agg = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    q_agg = quality.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    u_agg = uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.ceil(F.length("text") / 4.0)).alias("tokens_total"),
+    )
+    return (
+        raw_agg.join(F.broadcast(q_agg), "source", "left")
+        .join(F.broadcast(u_agg), "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("tokens_total", F.lit(0)).alias("tokens_total"),
+        )
+    )

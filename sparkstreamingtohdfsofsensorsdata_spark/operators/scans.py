@@ -110,3 +110,89 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("value_sum"),
         )
     )
+
+
+@query(
+    "q_scan_orc",
+    oracle="""
+        SELECT l_returnflag,
+               count(*)                                       AS n,
+               round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    description="ORC format round-trip: columnar write + read-back aggregation",
+    tags=("scan", "sink", "orc"),
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format next to parquet: ORC write + scan, same
+    pushdown/pruning machinery (Spark ships the ORC reader built in).
+    The aggregate equals the source-table aggregate iff the round-trip
+    is lossless."""
+    from ..session import scratch_dir
+
+    out = scratch_dir("orc_sink_")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return (
+        spark.read.orc(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_scan_csv_file",
+    oracle="""
+        SELECT event_type,
+               count(*)         AS n,
+               min(event_id)    AS min_id,
+               max(event_id)    AS max_id
+        FROM events
+        GROUP BY event_type
+    """,
+    description="CSV file round-trip: header write + explicit-schema read-back aggregation",
+    tags=("scan", "sink", "csv"),
+)
+def q_scan_csv_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real delimited-file ingest (the reference's sensor-record form):
+    write a CSV extract, read it back with a DECLARED schema (never
+    inferSchema at scale — it double-scans), aggregate. Integer columns
+    round-trip exactly; float columns would need care with text
+    formatting, which is exactly why parquet is the at-rest format."""
+    from pyspark.sql import types as T
+
+    from ..session import scratch_dir
+
+    out = scratch_dir("csv_sink_")
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .csv(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
