@@ -1,4 +1,4 @@
 """LLM-data-pipeline operators (SURVEY.md §2.10): dedup, similarity
 search, text analysis, multimodal columns."""
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import chunking, contamination, dedup, multimodal, similarity, text  # noqa: F401

@@ -1,0 +1,140 @@
+"""Document chunking + sequence packing for LLM training pipelines
+(SURVEY.md §2.10 adjunct).
+
+Chunking splits each document into overlapping token windows sized for
+a model context; packing assigns chunks to fixed-budget training
+sequences. Both are pure JVM column expressions:
+
+- Chunking is a per-document fan-out: `sequence()` generates the chunk
+  start offsets, `posexplode` multiplies rows executor-side AFTER the
+  scan, `slice` + `array_join` materialize each chunk. No Python, no
+  shuffle before the explosion, output row count ~ total_tokens/stride.
+- Packing is the streaming-greedy approximation of bin packing: a
+  running token total per (source) stream, `floor(cumsum/budget)` as
+  the bin id. One window shuffle on the pack key. The exact bin-packing
+  problem is NP-hard and irrelevant at corpus scale — every production
+  packer uses a greedy pass like this.
+
+At 100 TB: chunking is embarrassingly parallel (row-local); packing
+shuffles once on the pack-stream key (source here; date+source in a
+real pipeline) and the window runs in one pass per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+PACK_BUDGET = 1024
+
+
+@query(
+    "q_llm_chunk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, source, t,
+                   unnest(range(1, greatest(len(t) - {CHUNK_TOKENS // 4}, 1) + 1,
+                                {CHUNK_STRIDE}))           AS start
+            FROM toks
+        )
+        SELECT doc_id, source,
+               CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT)       AS chunk_id,
+               start                                              AS tok_start,
+               len(t[start : start + {CHUNK_TOKENS - 1}])         AS n_tokens,
+               md5(array_to_string(t[start : start + {CHUNK_TOKENS - 1}], ' '))
+                                                                  AS chunk_hash
+        FROM starts
+    """,
+    description="Context-window chunking: overlapping 64-token windows via sequence+posexplode+slice",
+    tags=("llm", "chunk"),
+)
+def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token chunks, stride 48. Start offsets run to
+    n_tokens - 16 so a trailing fragment shorter than the overlap is
+    absorbed into the previous chunk instead of emitted as a sliver
+    (standard tokenizer-sharding behavior). The chunk text itself is
+    reduced to an md5 so the oracle compares content without hauling
+    full strings through the result."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(t) - F.lit(CHUNK_TOKENS // 4), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    exploded = docs.select(
+        "doc_id", "source", t.alias("t"), F.explode(starts).alias("start")
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        "source",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.col("start").alias("tok_start"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+@query(
+    "q_llm_pack",
+    oracle=f"""
+        WITH chunks AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+            WHERE length(text) >= 100
+        ),
+        packed AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER w - n_tokens)
+                              / {PACK_BUDGET}) AS BIGINT) AS bin_id
+            FROM chunks
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT source, bin_id,
+               count(*)                          AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT)     AS bin_tokens,
+               min(doc_id)                       AS first_doc,
+               max(doc_id)                       AS last_doc
+        FROM packed
+        GROUP BY source, bin_id
+    """,
+    description="Sequence packing: greedy running-total assignment of docs into 1024-token training bins",
+    tags=("llm", "pack"),
+)
+def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy packing: within each source stream (ordered by doc_id),
+    bin id = floor(tokens-before-this-doc / budget). Bins overflow by
+    at most one document — the standard concat-then-split packing used
+    for pretraining batches, not first-fit-decreasing (which needs a
+    global sort by size and packs no tighter in practice)."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 100)
+    chunks = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = chunks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

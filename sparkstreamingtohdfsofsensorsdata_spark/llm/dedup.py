@@ -356,6 +356,15 @@ def q_llm_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented OOM fix. Hot buckets (boilerplate-heavy corpora) are the
     usual skew risk — AQE skew-join or upstream bucket caps handle it.
     """
+    return _simhash_banded_pairs(spark, sf_dir).orderBy(
+        F.col("hamming").asc(), "id_a", "id_b"
+    )
+
+
+def _simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (id_a < id_b, hamming) pairs within SIMHASH_HAMMING_MAX via
+    the band-bucket join — shared by the banded query and the cluster
+    (connected-components) query."""
     # read by the band explode and two candidate rejoins; GC-scoped
     # cache (same rationale as the minhash signature table)
     s = _simhash_df(load(spark, sf_dir, "documents")).localCheckpoint(eager=False)
@@ -388,11 +397,9 @@ def q_llm_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(s.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))),
         "id_b",
     )
-    return (
-        cand.select("id_a", "id_b", F.expr("bit_count(sa ^ sb)").alias("hamming"))
-        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
-        .orderBy(F.col("hamming").asc(), "id_a", "id_b")
-    )
+    return cand.select(
+        "id_a", "id_b", F.expr("bit_count(sa ^ sb)").alias("hamming")
+    ).filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
 
 
 NEARDUP_BLOCKS = 8
@@ -503,4 +510,114 @@ def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.orderBy(F.col("dot").desc(), "id_a", "id_b")
         .limit(k)
         .select("id_a", "id_b", F.round("dot", 6).alias("cosine"))
+    )
+
+
+CC_MAX_ITERS = 20
+
+
+@query(
+    "q_llm_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE s AS (
+            {SIMHASH_ORACLE_CTE.format(where="")}
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bv FROM s" for b in range(SIMHASH_BANDS))}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        cc AS (
+            SELECT node AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM cc
+    """,
+    description="Near-dup clusters: connected components (iterative min-label propagation) over banded-SimHash pair edges",
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate graph — the step a
+    real dedup pipeline runs AFTER pair generation, because near-dup is
+    not transitive (A~B, B~C, A!~C) and "drop one of each pair" both
+    over- and under-deletes. Cluster id = min doc_id reachable through
+    banded-SimHash edges; keep-one-per-cluster is then a trivial filter.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min of its own label and its neighbors' labels — one
+    shuffle join + one groupBy per round — and converges in
+    graph-diameter rounds (dup clusters are near-cliques, so 2-3 in
+    practice; hard cap {CC_MAX_ITERS}). This is the simple member of
+    the large-star/small-star family (Kiveris et al., "Connected
+    Components in MapReduce"), which cuts rounds to O(log n) at
+    planetary scale with the same join-agg building blocks.
+
+    Driver involvement per round: ONE scalar (count of changed labels)
+    for the convergence test, plus `localCheckpoint` to truncate the
+    growing lineage — the standard iterative-DataFrame pattern (on a
+    cluster, `checkpoint()` to durable storage instead). The DuckDB
+    oracle computes the same components with a recursive CTE, so the
+    iterative result is value-checked, not just shape-checked.
+    """
+    from pyspark.sql import Window
+
+    pairs = _simhash_banded_pairs(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    ).distinct()
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select("dst", "label")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )

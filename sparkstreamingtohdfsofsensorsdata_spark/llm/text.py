@@ -400,3 +400,81 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tokens_total", F.lit(0)).alias("tokens_total"),
         )
     )
+
+
+# PII patterns kept to the Java-regex / RE2 common subset so the DuckDB
+# oracle applies the exact same automaton.
+EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+IDTAG_RE = r"ID-[0-9]+"
+
+
+@query(
+    "q_llm_pii_redact",
+    oracle=f"""
+        WITH pii AS (
+            SELECT doc_id, source,
+                   concat(substring(text, 1, 80),
+                          ' contact user', CAST(doc_id AS VARCHAR),
+                          '@example.com or +1-555-',
+                          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                          ' ref ID-', CAST(doc_id AS VARCHAR)) AS pii_text
+            FROM documents
+            WHERE doc_id % 13 = 0
+        )
+        SELECT doc_id, source,
+               len(regexp_extract_all(pii_text, '{EMAIL_RE}'))  AS n_emails,
+               len(regexp_extract_all(pii_text, '{PHONE_RE}'))  AS n_phones,
+               len(regexp_extract_all(pii_text, '{IDTAG_RE}'))  AS n_ids,
+               regexp_replace(regexp_replace(regexp_replace(pii_text,
+                   '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g'),
+                   '{IDTAG_RE}', '<ID>', 'g')                   AS redacted
+        FROM pii
+    """,
+    description="PII scrubbing: count + redact emails/phones/id-tags via chained regexp_replace (JVM-only)",
+    tags=("llm", "text", "pii"),
+)
+def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction is a per-row pure function — chained `regexp_replace`
+    rides whole-stage codegen, scales linearly, and never shuffles. The
+    fixture text contains no real PII, so deterministic synthetic PII
+    (derived from doc_id) is appended first; the oracle builds the same
+    string and must produce the identical redaction.
+
+    At 100 TB this is the shape you want: no UDF, no dictionary
+    broadcast, patterns compiled once per task. Real pipelines extend
+    the pattern list (SSNs, credit cards, street addresses) without
+    changing the plan."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    did = F.col("doc_id").cast("string")
+    pii = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" contact user"),
+            did,
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ref ID-"),
+            did,
+        ).alias("pii_text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("pii_text", EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        IDTAG_RE,
+        "<ID>",
+    )
+    return pii.select(
+        "doc_id",
+        "source",
+        F.regexp_count("pii_text", F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("pii_text", F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count("pii_text", F.lit(IDTAG_RE)).alias("n_ids"),
+        redacted.alias("redacted"),
+    )

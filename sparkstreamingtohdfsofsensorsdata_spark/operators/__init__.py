@@ -1,4 +1,14 @@
 """Relational operators (SURVEY.md §2.1-2.7). Importing this package
 registers every query in the central registry."""
 
-from . import aggregates, bucketing, joins, projections, scans, setops, sorts, windows  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    bucketing,
+    joins,
+    projections,
+    sampling,
+    scans,
+    setops,
+    sorts,
+    windows,
+)

@@ -314,3 +314,64 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", F.col("ts")).alias("purchase_ts"),
         "asof_view_id",
     )
+
+
+N_SALT = 8
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+        SELECT n.n_name,
+               count(*)                                 AS n_events,
+               round(CAST(sum(e.value) AS DOUBLE), 2)   AS value_sum
+        FROM events e
+        JOIN nation n
+          ON n.n_nationkey = CASE WHEN e.event_id % 4 <> 0
+                                  THEN 0 ELSE e.user_id % 25 END
+        GROUP BY n.n_name
+    """,
+    description="Skew-salted shuffle join: hot key spread over 8 salt buckets, dim exploded to match",
+    tags=("join", "skew", "salt"),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting for skewed shuffle joins: 75% of fact rows share one hot
+    key (a degenerate sensor/user in the reference's telemetry), which
+    would land on ONE reducer in a plain shuffle join. The fix layered
+    here:
+
+    - fact side gains `salt = event_id % 8` (pure, uniform),
+    - dim side is exploded x8 so every (key, salt) pair exists,
+    - the join key becomes (key, salt) -> the hot key now spreads over
+      8 reducers; aggregation after the join is unaffected.
+
+    The first fix for a SMALL dim is broadcast (no shuffle, no skew) —
+    the `shuffle_hash` hint below simulates the case where the dim
+    exceeds broadcast budget, which is when salting earns its keep.
+    AQE's skew-join split handles moderate skew on sort-merge joins
+    automatically; explicit salting is the deterministic form that also
+    works for aggregations and streaming state."""
+    ev = load(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 4 != 0, F.lit(0))
+        .otherwise(F.col("user_id") % 25)
+        .cast("int")
+        .alias("skew_key"),
+        (F.col("event_id") % N_SALT).cast("int").alias("salt"),
+    )
+    dim = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))))
+    )
+    joined = fact.join(
+        dim.hint("shuffle_hash"),
+        (fact.skew_key == dim.n_nationkey) & (fact.salt == dim.salt),
+        "inner",
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )

@@ -1,0 +1,90 @@
+"""Deterministic sampling operators (SURVEY.md §2.2 adjunct).
+
+``df.sample(seed=...)`` is NOT reproducible across cluster layouts: the
+seed is combined with the partition index, so a repartition — or just a
+different file-split plan on a bigger cluster — yields a different
+sample. The scale-correct reproducible sample is a pure function of the
+ROW (hash of a stable key), which survives any re-partitioning, lets an
+independent consumer re-derive the exact same subset, and pushes down
+to the scan as an ordinary filter.
+
+The hash here is a lexicographic threshold on the md5 hex prefix — the
+same trick the dedup/minhash family uses — so the DuckDB oracle
+reproduces the sample bit-for-bit with no RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*)                                       AS n_sampled,
+               CAST(sum(o_orderkey) AS BIGINT)                AS key_sum,
+               round(CAST(sum(o_totalprice) AS DOUBLE), 2)    AS price_sum
+        FROM orders
+        WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+        GROUP BY o_orderpriority
+    """,
+    description="Deterministic ~10% Bernoulli sample via md5-prefix threshold, aggregated per priority",
+    tags=("sample", "filter"),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10.2% sample (md5 prefix < 0x1a = 26/256). The predicate is a
+    per-row pure function, so the sample is identical on 1 core or
+    1000 executors, before or after any shuffle — unlike seeded
+    ``df.sample``. The filter sits directly on the scan."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+        SELECT event_type,
+               count(*)                                    AS n_sampled,
+               CAST(sum(event_id) AS BIGINT)               AS id_sum,
+               round(CAST(sum(value) AS DOUBLE), 2)        AS value_sum
+        FROM events
+        WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+              CASE event_type
+                   WHEN 'click' THEN '0d'
+                   WHEN 'view'  THEN '1a'
+                   ELSE '80'
+              END
+        GROUP BY event_type
+    """,
+    description="Stratified deterministic sample: per-event-type rates (5%/10%/50%) via md5 threshold",
+    tags=("sample", "filter"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates — downsample the abundant classes (clicks,
+    views) and keep half of everything rare — as ONE scan + filter, the
+    distributed form of ``sampleBy``. Same hash-threshold trick, so
+    rates are exact-in-expectation and the subset is reproducible."""
+    thresh = (
+        F.when(F.col("event_type") == "click", F.lit("0d"))
+        .when(F.col("event_type") == "view", F.lit("1a"))
+        .otherwise(F.lit("80"))
+    )
+    ev = load(spark, sf_dir, "events").filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < thresh
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("event_id").alias("id_sum"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )

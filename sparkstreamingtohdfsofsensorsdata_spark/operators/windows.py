@@ -180,3 +180,49 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_win_value_family",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               first_value(o_orderkey)  OVER w AS top_key,
+               first_value(o_totalprice) OVER w AS top_price,
+               last_value(o_orderkey)   OVER w AS bottom_key,
+               nth_value(o_orderkey, 2) OVER w AS runnerup_key,
+               round(o_totalprice
+                     / first_value(o_totalprice) OVER w, 6) AS frac_of_top
+        FROM orders
+        WHERE o_totalprice > 400000
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """,
+    description="Value family: first_value/last_value/nth_value over a full frame",
+    tags=("window", "value"),
+)
+def q_win_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value need an explicit UNBOUNDED..UNBOUNDED frame:
+    the default frame stops at CURRENT ROW, which silently turns
+    last_value into "current value" — a classic window footgun on every
+    engine. Deterministic because the order key is unique (tiebreak on
+    o_orderkey)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.first("o_orderkey").over(w).alias("top_key"),
+        F.first("o_totalprice").over(w).alias("top_price"),
+        F.last("o_orderkey").over(w).alias("bottom_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("runnerup_key"),
+        F.round(
+            F.col("o_totalprice") / F.first("o_totalprice").over(w), 6
+        ).alias("frac_of_top"),
+    )

@@ -106,3 +106,27 @@ def test_ivf_quantizer_is_label_free(spark):
     df = q(spark, "q_llm_sim_topk_ivf")
     schemas = inspect.read_schema_columns(df)
     assert schemas and all("label" not in cols for cols in schemas)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # The salted form must (a) not silently collapse to broadcast — the
+    # whole point is the dim is "too big" to broadcast — and (b) join on
+    # the composite (key, salt) so the hot key hashes to 8 reducers.
+    text = inspect.plan_str(q(spark, "q_join_skew_salted"))
+    assert "BroadcastHashJoin" not in text
+    assert "salt" in text
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    # The benchmark shingle set must be the broadcast side: the corpus
+    # (100 TB at scale) never shuffles for the membership probe.
+    text = inspect.plan_str(q(spark, "q_llm_contamination"))
+    assert "BroadcastHashJoin" in text and "LeftSemi" in text
+
+
+def test_sample_filter_is_scan_local(spark):
+    # The hash-threshold sample is a plain deterministic filter: no
+    # shuffle may precede it, and the scan only reads needed columns.
+    df = q(spark, "q_sample_hash")
+    (cols,) = inspect.read_schema_columns(df)
+    assert set(cols) <= {"o_orderkey", "o_orderpriority", "o_totalprice"}
