@@ -154,3 +154,149 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalyst decorrelates this into groupBy(o_custkey).avg + equi-join
     — the rewrite that turns a per-row subquery into one shuffle."""
     return _sql(spark, sf_dir, _CORR)
+
+
+_Q6 = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*)                                    AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+      AND l_shipdate <  DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query(
+    "q_tpch_q6",
+    oracle=_Q6,
+    description="TPC-H Q6 (revenue forecast): pure scan-filter-agg, every predicate pushed to parquet",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No join at all — the whole query is a pushdown test: date range,
+    numeric BETWEEN and < must reach the parquet scan, and the agg is a
+    single partial+final pair with no groupBy shuffle."""
+    return _sql(spark, sf_dir, _Q6)
+
+
+_Q7 = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query(
+    "q_tpch_q7",
+    oracle=_Q7,
+    description="TPC-H Q7 (volume shipping, adapted): nation self-join pair filter + per-year agg",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joins nation TWICE (supplier's and customer's) with a disjunctive
+    pair predicate — the join-reorder + broadcast-both-dims case. The
+    nation filter cannot be pushed below the join of both sides, so
+    Catalyst must keep it as a post-join filter on the pair."""
+    return _sql(spark, sf_dir, _Q7)
+
+
+_Q14 = """
+    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1995-09-01'
+      AND l_shipdate <  DATE '1995-10-01'
+"""
+
+
+@query(
+    "q_tpch_q14",
+    oracle=_Q14,
+    description="TPC-H Q14 (promo effect): conditional agg ratio over a part join",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation ratio: one join (part side broadcast at
+    this SF), CASE folded into the partial agg — only two running sums
+    cross the exchange, never the matched rows."""
+    return _sql(spark, sf_dir, _Q14)
+
+
+_Q18 = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 210
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+@query(
+    "q_tpch_q18",
+    oracle=_Q18,
+    description="TPC-H Q18 (large-volume customers, adapted): IN over a grouped HAVING subquery + top-100",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IN-subquery rewrites to a left-semi join against the
+    pre-aggregated order list; the semi side aggregates BEFORE joining,
+    so the fact table is filtered by ~0.5% of keys instead of being
+    joined full-width — the shape that survives a 100x scale-up."""
+    return _sql(spark, sf_dir, _Q18)
+
+
+_Q19 = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*)                                          AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@query(
+    "q_tpch_q19",
+    oracle=_Q19,
+    description="TPC-H Q19 (discounted revenue, adapted): disjunctive mixed-table predicate over a join",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction mixing columns from BOTH join sides: Catalyst must
+    still derive the per-side implied filters (brand IN (...) on part,
+    quantity <= 40 on lineitem) and push them below the join — the
+    classic predicate-inference test."""
+    return _sql(spark, sf_dir, _Q19)

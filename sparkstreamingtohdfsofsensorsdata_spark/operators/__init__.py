@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     aggregates,
     bucketing,
     joins,
+    merge,
     projections,
     sampling,
     scans,

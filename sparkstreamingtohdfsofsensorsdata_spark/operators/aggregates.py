@@ -339,3 +339,36 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "o_orderpriority", "gid", "revenue", "n")
     )
+
+
+@query(
+    "q_agg_hll_union",
+    oracle=None,  # sketch estimates are engine-specific -> rows-only check
+    description="Mergeable HLL sketches: per-segment customer sketches unioned to a global estimate",
+    tags=("agg", "approx", "sketch"),
+)
+def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches the 100 TB cardinality answer is
+    MERGEABILITY: per-partition/per-day/per-segment sketches are tiny
+    fixed-size binaries that union losslessly, so "distinct users this
+    quarter" is a re-aggregation of stored daily sketches — no rescan
+    of the raw data. Here: one Datasketches-HLL sketch of the customer
+    set per market segment, then a single union row estimating the
+    global cardinality from the five sketches alone. The local test
+    asserts both tiers land within the configured error."""
+    cust = load(spark, sf_dir, "customer")
+    per_seg = cust.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(12)).alias("sk"),
+        F.count_distinct("c_custkey").alias("exact"),
+    )
+    seg_rows = per_seg.select(
+        F.col("c_mktsegment").alias("level"),
+        F.hll_sketch_estimate("sk").alias("estimate"),
+        "exact",
+    )
+    global_row = per_seg.agg(
+        F.lit("_global").alias("level"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimate"),
+        F.sum("exact").alias("exact"),  # segments partition the customers
+    )
+    return seg_rows.unionByName(global_row)

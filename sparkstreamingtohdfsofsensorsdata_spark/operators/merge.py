@@ -1,0 +1,128 @@
+"""MERGE / upsert as a join rewrite (SURVEY.md §2.7 adjunct).
+
+Spark without a transactional table format has no in-place MERGE — and
+doesn't need one for pipeline semantics: MERGE INTO compiles to exactly
+the join below (source FULL OUTER target on the key, per-branch CASE),
+which is how Delta/Iceberg execute it under the hood. This operator
+demonstrates the rewrite as a pure batch plan; swapping the final
+`return` for a `writeTo(...).overwritePartitions()` against an Iceberg
+catalog is the only change a lakehouse deployment needs.
+
+The variant shown is SCD-2 (slowly-changing dimension, history kept):
+changed keys close their old version and append a new one; unchanged
+keys pass through; brand-new keys insert as current. One shuffle on the
+merge key; the change-detection aggregate is map-side combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+EFFECTIVE = "2001-09-01"  # batch effective date (the "update arrived" date)
+
+
+@query(
+    "q_merge_scd2",
+    oracle=f"""
+        WITH changes AS (
+            SELECT o_custkey AS c_custkey,
+                   count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= DATE '2001-01-01'
+            GROUP BY o_custkey
+        ),
+        merged AS (
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+                   CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS old_cents,
+                   CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                     + 100 * ch.n_orders                          AS new_cents,
+                   ch.c_custkey IS NOT NULL                       AS changed
+            FROM customer c
+            LEFT JOIN changes ch USING (c_custkey)
+        )
+        SELECT c_custkey, c_name, c_mktsegment,
+               old_cents                       AS acctbal_cents,
+               DATE '1995-01-01'               AS valid_from,
+               DATE '{EFFECTIVE}'              AS valid_to,
+               FALSE                           AS is_current
+        FROM merged WHERE changed
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment,
+               new_cents                       AS acctbal_cents,
+               DATE '{EFFECTIVE}'              AS valid_from,
+               NULL                            AS valid_to,
+               TRUE                            AS is_current
+        FROM merged WHERE changed
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment,
+               old_cents                       AS acctbal_cents,
+               DATE '1995-01-01'               AS valid_from,
+               NULL                            AS valid_to,
+               TRUE                            AS is_current
+        FROM merged WHERE NOT changed
+    """,
+    description="MERGE/upsert as SCD-2: change batch closes old versions and appends current ones (join rewrite of MERGE INTO)",
+    tags=("merge", "upsert", "scd2"),
+)
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 upsert of a change batch (2001 order activity re-rates the
+    account balance) into the customer dimension. Changed keys emit two
+    rows — the closed history row and the new current row; unchanged
+    keys emit their row untouched. The whole merge is one left join on
+    the key plus row fan-out, no driver involvement, no second scan of
+    the target."""
+    cust = load(spark, sf_dir, "customer")
+    changes = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("date"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    # Money in integer cents (half-up via floor(x*100 + 0.5)): float
+    # rounding is the classic engine-divergence trap — Spark round() is
+    # half-up on the double's decimal repr, DuckDB's is not always —
+    # and a dimension merge must be bit-stable across engines.
+    old_cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    merged = cust.join(changes, "c_custkey", "left").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        old_cents.alias("old_bal"),
+        (old_cents + 100 * F.col("n_orders")).alias("new_bal"),
+        F.col("n_orders").isNotNull().alias("changed"),
+    )
+    eff = F.lit(EFFECTIVE).cast("date")
+    start = F.lit("1995-01-01").cast("date")
+    null_date = F.lit(None).cast("date")
+    closed = merged.filter("changed").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("old_bal").alias("acctbal_cents"),
+        start.alias("valid_from"),
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = merged.filter("changed").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("new_bal").alias("acctbal_cents"),
+        eff.alias("valid_from"),
+        null_date.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    untouched = merged.filter(~F.col("changed")).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("old_bal").alias("acctbal_cents"),
+        start.alias("valid_from"),
+        null_date.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(opened).unionByName(untouched)

@@ -181,3 +181,23 @@ def _parse_json_events(raw: DataFrame) -> DataFrame:
         "r.value",
         "r.props",
     )
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream view of the documents table (file replay) — the corpus
+    arriving as a feed (crawl batches, upload queue) instead of at
+    rest. Same glob trick as events_stream."""
+    return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
+        table_path(sf_dir, "documents") + "*"
+    )

@@ -181,3 +181,58 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_file_sink(stream, out, ckpt, partition_cols=("event_date",))
     back = spark.read.parquet(out)
     return back.groupBy("event_date").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_stream_corpus_ingest",
+    oracle="""
+        WITH quality AS (
+            SELECT source,
+                   md5(lower(trim(text)))                    AS h,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT)  AS toks
+            FROM documents
+            WHERE length(text) BETWEEN 100 AND 20000
+        )
+        SELECT source,
+               count(*)                       AS n_unique,
+               CAST(sum(toks) AS BIGINT)      AS tokens_total
+        FROM (SELECT DISTINCT source, h, toks FROM quality)
+        GROUP BY source
+    """,
+    description="Streaming corpus ingest: quality gate + stateful exact-dedup on arrival, per-source funnel",
+    tags=("streaming", "llm", "dedup"),
+)
+def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep funnel run ON ARRIVAL instead of at rest: the
+    document feed is quality-gated (stateless JVM expressions) and
+    exact-deduped against ALL history (stateful dropDuplicates on
+    (source, content-hash)) as it streams in — the shape a crawl
+    pipeline runs so downstream training jobs only ever see clean,
+    unique documents.
+
+    The dedup key set is (source, hash), so the admitted set — and
+    therefore the funnel below — is order-independent: no matter which
+    arrival wins, the surviving (source, hash, token-count) triple is
+    identical. State is one hash per unique (source, doc); with a real
+    unbounded feed you bound it with dropDuplicatesWithinWatermark (the
+    q_stream_dedup pattern) once re-crawl windows make exact history
+    unnecessary. The per-source funnel is aggregated batch-side from
+    the admitted stream (memory sink), keeping the streaming plan to
+    one stateful operator."""
+    from ..sources.factory import documents_stream
+
+    docs = documents_stream(spark, sf_dir)
+    admitted = (
+        docs.filter(F.length("text").between(100, 20000))
+        .select(
+            "source",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+            F.ceil(F.length("text") / 4.0).alias("toks"),
+        )
+        .dropDuplicates(["source", "h"])
+    )
+    out = run_to_memory(admitted, output_mode="append")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("toks").alias("tokens_total"),
+    )

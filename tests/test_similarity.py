@@ -62,3 +62,14 @@ def test_simhash_banding_complete_within_hamming_3(spark):
     }
     assert exact, "fixture has no near-pairs; test is vacuous"
     assert banded == exact
+
+
+def test_hll_union_error_bound(spark):
+    # lgK=12 gives ~1.6% relative standard error; assert a loose 5%
+    # bound per segment and for the union-of-sketches global estimate.
+    from sparkstreamingtohdfsofsensorsdata_spark import registry
+
+    rows = registry.load_all()["q_agg_hll_union"].fn(spark, SF).collect()
+    assert {r.level for r in rows} > {"_global"}
+    for r in rows:
+        assert abs(r.estimate - r.exact) / max(r.exact, 1) < 0.05, r
