@@ -130,3 +130,27 @@ def test_sample_filter_is_scan_local(spark):
     df = q(spark, "q_sample_hash")
     (cols,) = inspect.read_schema_columns(df)
     assert set(cols) <= {"o_orderkey", "o_orderpriority", "o_totalprice"}
+
+
+def test_q19_infers_per_side_filters(spark):
+    # The disjunction mixes part and lineitem columns; Catalyst must
+    # still derive and push the implied per-side filters (quantity
+    # brackets onto the lineitem scan, brand/size onto the part scan).
+    text = inspect.plan_str(q(spark, "q_tpch_q19"))
+    li_scans = [
+        ln for ln in text.splitlines()
+        if "DataFilters" in ln and "l_quantity" in ln
+    ]
+    part_scans = [
+        ln for ln in text.splitlines()
+        if "DataFilters" in ln and "p_brand" in ln
+    ]
+    assert li_scans and part_scans
+
+
+def test_q18_semi_aggregates_before_join(spark):
+    # The IN subquery must become a semi join whose build side is the
+    # PRE-AGGREGATED order list (HAVING runs before the join).
+    text = inspect.plan_str(q(spark, "q_tpch_q18"))
+    assert "LeftSemi" in text
+    assert "partial_" in text
