@@ -225,3 +225,78 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("odd_tail"),
         F.regexp_extract("c_name", r"(\d{2})$", 1).alias("last_two"),
     )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255                        AS low_byte,
+               o_orderkey | 4096                       AS with_flag,
+               xor(o_orderkey, 21845)                  AS xored,
+               o_orderkey << 2                         AS shl2,
+               o_orderkey >> 3                         AS shr3,
+               bit_count(o_orderkey)                   AS popcount
+        FROM orders
+        WHERE o_orderkey % 11 = 0
+    """,
+    description="Bitwise family: and/or/xor, shifts, popcount",
+    tags=("function", "bitwise"),
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit manipulation on 64-bit keys — the substrate for bloom/LSH
+    style hashing (the simhash family builds on exactly these). DuckDB
+    spells xor as a function, Spark as `^`; everything else is the
+    shared operator set."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@query(
+    "q_fn_struct",
+    oracle="""
+        SELECT o_orderkey,
+               struct_pack(status := o_orderstatus,
+                           priority := o_orderpriority).status    AS s_status,
+               struct_pack(total := round(CAST(o_totalprice AS DOUBLE), 2),
+                           yr := CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+                          ).total                                  AS s_total,
+               struct_pack(total := round(CAST(o_totalprice AS DOUBLE), 2),
+                           yr := CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+                          ).yr                                     AS s_year
+        FROM orders
+        WHERE o_totalprice > 450000
+    """,
+    description="Struct pack/unpack: nested record construction + field access",
+    tags=("function", "struct"),
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested records are first-class columns: `struct(...)` packs,
+    `.field` projects — and Catalyst prunes unaccessed fields out of
+    the struct entirely (nestedSchemaPruning), so packing costs nothing
+    you don't read. Output is flattened scalars so the oracle compares
+    values, not engine-specific struct rendering."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    meta = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    fin = F.struct(
+        F.round("o_totalprice", 2).alias("total"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
+    return o.select(
+        "o_orderkey",
+        meta.getField("status").alias("s_status"),
+        fin.getField("total").alias("s_total"),
+        fin.getField("yr").alias("s_year"),
+    )

@@ -478,3 +478,152 @@ def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("pii_text", F.lit(IDTAG_RE)).alias("n_ids"),
         redacted.alias("redacted"),
     )
+
+
+URL_HOST_RE = r"https?://([a-z0-9.-]+)/"
+
+
+@query(
+    "q_llm_domain_stats",
+    oracle=f"""
+        WITH crawled AS (
+            SELECT doc_id, text,
+                   'https://' || source || '.example.com/docs/'
+                               || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        )
+        SELECT regexp_extract(url, '{URL_HOST_RE}', 1)        AS domain,
+               count(*)                                        AS n_docs,
+               CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT))
+                    AS BIGINT)                                 AS tokens_total,
+               round(avg(length(text)), 4)                     AS avg_chars,
+               min(doc_id)                                     AS first_doc
+        FROM crawled
+        GROUP BY 1
+    """,
+    description="Per-domain crawl curation stats: host extraction from URL + per-domain doc/token aggregates",
+    tags=("llm", "text", "crawl"),
+)
+def q_llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl curation starts with per-domain statistics (doc counts,
+    token budgets, quality drift) to set domain sampling weights. The
+    fixture has no URL column, so a deterministic URL is synthesized
+    from (source, doc_id); the host extraction is a shared-subset
+    regexp (Spark `parse_url` would also work but has no DuckDB
+    mirror). Pure JVM expressions, one aggregation shuffle keyed by
+    domain — domain skew (one giant host) is the known risk, handled
+    the same way as any hot groupBy key (AQE or pre-salting)."""
+    docs = load(spark, sf_dir, "documents")
+    crawled = docs.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return (
+        crawled.select(
+            F.regexp_extract("url", URL_HOST_RE, 1).alias("domain"),
+            "doc_id",
+            "text",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.ceil(F.length("text") / 4.0)).alias("tokens_total"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+BOILER_NGRAM = 6
+BOILER_MIN_DF = 2  # fixture-calibrated; real corpora use a DF fraction (e.g. 0.1%)
+
+
+@query(
+    "q_llm_boilerplate",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - {BOILER_NGRAM - 1}, 1) + 1),
+                       i -> md5(array_to_string(
+                                string_split(text, ' ')[i : i + {BOILER_NGRAM - 1}],
+                                ' ')))))                  AS h
+            FROM documents
+        ),
+        hot AS (
+            SELECT h FROM sh GROUP BY h
+            HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DF}
+        ),
+        per_doc AS (
+            SELECT s.doc_id, s.source,
+                   count(*)                                        AS n_shingles,
+                   count(*) FILTER (WHERE hot.h IS NOT NULL)       AS n_boiler
+            FROM sh s LEFT JOIN hot ON s.h = hot.h
+            GROUP BY s.doc_id, s.source
+        )
+        SELECT source,
+               count(*)                                            AS n_docs,
+               CAST(sum(CASE WHEN n_boiler > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)                                     AS n_affected,
+               round(avg(n_boiler / CAST(n_shingles AS DOUBLE)), 6) AS avg_boiler_frac
+        FROM per_doc
+        GROUP BY source
+    """,
+    description="Boilerplate detection: corpus-frequent 6-grams flagged, per-source affected-doc share",
+    tags=("llm", "text", "quality"),
+)
+def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detection: a token 6-gram occurring in many
+    documents (cookie banners, license headers, nav text) is
+    boilerplate; each document reports what fraction of its shingles
+    are boilerplate, rolled up per source.
+
+    Two passes over the shingle stream, both scale-shaped: (1) shingle
+    document-frequency is a groupBy on the hash with the HAVING filter
+    applied BEFORE anything joins back — the surviving hot set is small
+    by construction (high-DF shingles are rare), so (2) the per-doc
+    scoring join broadcasts it. A production pass would then strip the
+    flagged spans; the detection plumbing is identical."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.col("text"), " ").alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "array_distinct(transform("
+                f"  sequence(1, greatest(size(toks) - {BOILER_NGRAM - 1}, 1)),"
+                f"  i -> md5(array_join(slice(toks, i, {BOILER_NGRAM}), ' '))))"
+            )
+        ).alias("h"),
+    )
+    hot = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+        .select("h", F.lit(True).alias("is_hot"))
+    )
+    per_doc = (
+        sh.join(F.broadcast(hot), "h", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("is_hot").alias("n_boiler"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_boiler") > 0).cast("long")).alias("n_affected"),
+        F.round(
+            F.avg(F.col("n_boiler") / F.col("n_shingles").cast("double")), 6
+        ).alias("avg_boiler_frac"),
+    )
