@@ -73,3 +73,29 @@ def test_hll_union_error_bound(spark):
     assert {r.level for r in rows} > {"_global"}
     for r in rows:
         assert abs(r.estimate - r.exact) / max(r.exact, 1) < 0.05, r
+
+
+def test_cc_clusters_are_consistent(spark):
+    # Structural invariants, independent of the oracle: both endpoints
+    # of every near-dup edge land in the same cluster, the cluster id
+    # is the minimum member, and cluster_size matches the member count.
+    from collections import Counter
+
+    from sparkstreamingtohdfsofsensorsdata_spark import registry
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import (
+        _simhash_banded_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry.load_all()["q_llm_dedup_clusters"].fn(spark, sf).collect()
+    cluster = {r.doc_id: r.cluster_id for r in rows}
+    sizes = Counter(r.cluster_id for r in rows)
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+    members = {}
+    for doc, cl in cluster.items():
+        members.setdefault(cl, []).append(doc)
+    for cl, docs in members.items():
+        assert cl == min(docs)
+    for p in _simhash_banded_pairs(spark, sf).collect():
+        assert cluster[p.id_a] == cluster[p.id_b], p
