@@ -596,23 +596,24 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # Change detection rides the same row (`chg`), so each round is
+        # exactly two jobs: the checkpoint materialization and a cheap
+        # count over the checkpointed result — no extra old-vs-new join.
+        stepped = (
             labels.join(nbr, labels["node"] == nbr["dst"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                ).alias("new_label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("chg").count()
+        labels = stepped.select(F.col("node"), F.col("new_label").alias("label"))
         if changed == 0:
             break
     w = Window.partitionBy("label")
