@@ -196,3 +196,121 @@ def q_scan_csv_file(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_id"),
         )
     )
+
+
+SORTED_BLOCK_BYTES = 256 * 1024  # small row groups stand in for the
+# thousands a 100 TB table has naturally
+
+
+@query(
+    "q_sink_sorted",
+    oracle="""
+        SELECT user_id,
+               count(*)                                 AS n,
+               round(CAST(sum(value) AS DOUBLE), 2)     AS value_sum
+        FROM events
+        WHERE user_id BETWEEN 3 AND 4
+        GROUP BY user_id
+    """,
+    description="Sort-on-write data skipping: ts/user-sorted parquet + selective read-back (row-group pruning measured in tests)",
+    tags=("scan", "sink", "layout"),
+)
+def q_sink_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout IS an index at parquet scale: sorting on the filter
+    column before writing makes every row group's min/max stats tight,
+    so a selective predicate skips whole row groups instead of scanning
+    and discarding. test_plans measures it: the sorted scan outputs
+    ~the matching rows; an unsorted copy outputs the whole table.
+
+    At 100 TB this is the difference between a point query touching a
+    few hundred MB and touching everything — same files, same query,
+    only the write-time ORDER BY differs (Z-order generalizes this to
+    multiple columns). The small block size stands in for the thousands
+    of row groups a real table has."""
+    from ..session import scratch_dir
+
+    out = scratch_dir("sorted_sink_")
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .orderBy("user_id", "event_id")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("parquet.block.size", SORTED_BLOCK_BYTES)
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id").between(3, 4))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+@query(
+    "q_scan_json_corrupt",
+    oracle="""
+        SELECT source                 AS bucket,
+               count(*)               AS n,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM documents
+        WHERE doc_id % 7 <> 0
+        GROUP BY source
+        UNION ALL
+        SELECT '_corrupt'             AS bucket,
+               count(*)               AS n,
+               CAST(NULL AS BIGINT)   AS id_sum
+        FROM documents
+        WHERE doc_id % 7 = 0
+    """,
+    description="Corrupt-record JSON ingest: PERMISSIVE parse quarantines malformed lines instead of failing the job",
+    tags=("scan", "json", "robustness"),
+)
+def q_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real feeds contain garbage; a 100 TB ingest cannot die on line
+    3 billion. PERMISSIVE mode parses what it can and routes broken
+    lines to `_corrupt_record` (nulls elsewhere), so the pipeline
+    quarantines + counts them instead of failing (FAILFAST) or
+    silently dropping them (DROPMALFORMED). Corruption is injected
+    deterministically (every 7th line truncated mid-token) so the
+    oracle derives both buckets arithmetically without parsing JSON."""
+    from pyspark.sql import types as T
+
+    from ..session import scratch_dir
+
+    out = scratch_dir("json_corrupt_")
+    docs = load(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(" OOPS")),
+        )
+        .otherwise(
+            F.to_json(F.struct("doc_id", "source", "n_chars"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return parsed.groupBy(
+        F.coalesce("source", F.lit("_corrupt")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+    )

@@ -93,3 +93,25 @@ def report(df: DataFrame) -> dict[str, object]:
             line.strip() for line in text.splitlines() if "ReadSchema:" in line
         ],
     }
+
+
+def scan_output_rows(df: DataFrame) -> list[int]:
+    """numOutputRows of each scan node AFTER execution — the measurable
+    effect of row-group/page skipping (min-max stats), which the plan
+    string alone cannot show. Call on a DataFrame you have collected."""
+    root = df._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        out = []
+        name = node.nodeName()
+        if "Scan" in name:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    out.append(int(kv._2().value()))
+        for i in range(node.children().size()):
+            out += walk(node.children().apply(i))
+        return out
+
+    return walk(root)

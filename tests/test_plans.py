@@ -154,3 +154,38 @@ def test_q18_semi_aggregates_before_join(spark):
     text = inspect.plan_str(q(spark, "q_tpch_q18"))
     assert "LeftSemi" in text
     assert "partial_" in text
+
+
+def test_sorted_layout_skips_row_groups(spark):
+    # Same data, same filter, only the write-time ORDER BY differs: the
+    # sorted layout's row-group min/max stats must let the scan skip
+    # most of the table, the unsorted layout scans ~everything.
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.scans import (
+        SORTED_BLOCK_BYTES,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.session import scratch_dir
+    from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+    sf_mid = "/root/testdata/sf0.01"  # enough rows for many row groups
+    ev = load(spark, sf_mid, "events").select("event_id", "user_id", "value")
+    total = ev.count()
+    base = scratch_dir("layout_cmp_")
+    for layout, frame in (
+        ("sorted", ev.orderBy("user_id", "event_id")),
+        ("unsorted", ev.orderBy("event_id")),
+    ):
+        (
+            frame.coalesce(2)
+            .write.mode("overwrite")
+            .option("parquet.block.size", SORTED_BLOCK_BYTES // 16)
+            .parquet(f"{base}/{layout}")
+        )
+    rows = {}
+    for layout in ("sorted", "unsorted"):
+        df = (
+            spark.read.parquet(f"{base}/{layout}")
+            .filter(F.col("user_id").between(3, 4))
+        )
+        df.collect()
+        (rows[layout],) = inspect.scan_output_rows(df)
+    assert rows["sorted"] < rows["unsorted"] / 2, (rows, total)
