@@ -79,3 +79,60 @@ def alert_fsm(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def user_stats_tws(events):
+    """Per-user lifetime stats via transformWithStateInPandas — the
+    Spark 4 successor to applyInPandasWithState (alert_fsm above keeps
+    the classic API; both stateful surfaces stay covered).
+
+    The processor owns a typed ValueState ("n LONG, mx DOUBLE"); each
+    micro-batch it folds the new rows into the state and emits the
+    updated totals for the keys it saw — so with the full-fixture
+    replay the final emission per user equals the batch aggregate,
+    giving this streaming query a full DuckDB oracle.
+
+    At 100 TB the state store shards by key exactly like the classic
+    API; what transformWithState adds for real pipelines is typed
+    multi-state per key, per-state TTL, and timers decoupled from
+    output mode.
+
+    NOT REGISTERED as a driver query: the TWS state protocol needs the
+    `protobuf` package, absent from this offline environment (verified:
+    the pre-init worker dies on `google.protobuf` import). The plan
+    construction below is real; gate on protobuf at deploy time, same
+    as the Kafka connector in sources/factory.py."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", "n LONG, mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timer_values):
+            batch = pd.concat(list(rows), ignore_index=True)
+            prev = self._state.get() if self._state.exists() else (0, float("-inf"))
+            n = int(prev[0]) + len(batch)
+            mx = max(float(prev[1]), float(batch["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n],
+                    "max_value": [round(mx, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        UserStats(),
+        "user_id LONG, n_events LONG, max_value DOUBLE",
+        "Update",
+        "None",
+    )

@@ -364,3 +364,21 @@ def test_file_sink_exactly_once_resume(spark, tmp_path):
     assert back.select("event_id").distinct().count() == ev.count()
     # partitioned layout on disk
     assert any(p.startswith("event_date=") for p in os.listdir(out))
+
+
+def test_tws_plan_constructs(spark):
+    # transformWithStateInPandas needs protobuf at RUNTIME (absent
+    # offline — see stateful.user_stats_tws docstring), but the plan
+    # wiring must build: streaming flag set, output schema as declared.
+    from sparkstreamingtohdfsofsensorsdata_spark.sources.factory import (
+        events_stream,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.streaming.stateful import (
+        user_stats_tws,
+    )
+
+    df = user_stats_tws(events_stream(spark, "/root/testdata/sf0.001"))
+    assert df.isStreaming
+    assert df.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint,max_value:double>"
+    )
