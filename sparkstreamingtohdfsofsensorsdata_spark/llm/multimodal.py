@@ -182,3 +182,88 @@ def q_llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1) + F.col("doc_id") % 30).alias("duration_s"),
     )
     return vids.mapInPandas(_sample_frames, FRAME_SCHEMA)
+
+
+AUDIO_SR = 16000  # Hz
+AUDIO_WIN = 4000  # 0.25 s analysis windows
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.LongType()),
+        T.StructField("win_start_s", T.DoubleType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def decode_audio(payload: bytes) -> "object":
+    """Real codec hook — requires soundfile/ffmpeg, not present here."""
+    raise NotImplementedError("install soundfile/ffmpeg to decode audio payloads")
+
+
+def _audio_windows(batches):
+    """Audio analysis-window fan-out: one row per 0.25 s window of each
+    clip, energy as the deterministic stand-in for the decoded-frame
+    computation (decode_audio). numpy repeat inside Arrow batches —
+    the video-frame pattern at a different timebase."""
+    import numpy as np
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        n_samples = pdf["n_samples"].to_numpy()
+        n_wins = -(-n_samples // AUDIO_WIN)  # ceil-div
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(), n_wins)
+        n_bytes = np.repeat(
+            pdf["payload"].str.len().to_numpy().astype("int64"), n_wins
+        )
+        win_idx = np.concatenate([np.arange(n) for n in n_wins]).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "win_idx": win_idx,
+                "win_start_s": np.round(win_idx * AUDIO_WIN / float(AUDIO_SR), 6),
+                "energy": (n_bytes * 131 + win_idx * 17) % 10007,
+            }
+        )
+
+
+@query(
+    "q_llm_multimodal_audio",
+    oracle=f"""
+        WITH clips AS (
+            SELECT doc_id,
+                   octet_length(encode(text))            AS n_bytes,
+                   ({AUDIO_SR} // 2) * (1 + doc_id % 8)  AS n_samples
+            FROM documents
+            WHERE doc_id % 6 = 0
+        )
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(n_samples / {AUDIO_WIN}.0) AS BIGINT)))
+                                                         AS win_idx,
+               round(unnest(range(0, CAST(ceil(n_samples / {AUDIO_WIN}.0) AS BIGINT)))
+                     * {AUDIO_WIN} / {float(AUDIO_SR)}, 6) AS win_start_s,
+               (n_bytes * 131
+                + unnest(range(0, CAST(ceil(n_samples / {AUDIO_WIN}.0) AS BIGINT)))
+                  * 17) % 10007                           AS energy
+        FROM clips
+    """,
+    description="Multimodal audio: clip payload + sample-count metadata fans out to per-window feature rows (mapInPandas)",
+    tags=("llm", "multimodal", "audio"),
+)
+def q_llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing, third modality next to images and video:
+    opaque payload + sample-count metadata -> mapInPandas fan-out to
+    one row per 0.25 s analysis window (energy/VAD/spectrogram slot).
+    Same scale shape as the frame sampler: partition sizing follows
+    payload bytes, the fan-out is row-local after the scan, and real
+    decode chains in via decode_audio."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    clips = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        ((AUDIO_SR // 2) * (F.lit(1) + F.col("doc_id") % 8)).alias("n_samples"),
+    )
+    return clips.mapInPandas(_audio_windows, AUDIO_SCHEMA)

@@ -331,3 +331,68 @@ def q_llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count("ivf_neighbor") / float(TOP_K)).alias("recall_at_k"))
         .orderBy("qid")
     )
+
+
+@query(
+    "q_llm_embed_quantize",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT vec_id, e,
+                   127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id,
+                   CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_e6,
+                   list_transform(e, x -> CAST(floor(x * scale + 0.5)
+                                               AS BIGINT)) AS qv
+            FROM scaled
+        )
+        SELECT vec_id, scale_e6,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               list_min(qv)                 AS q_min,
+               list_max(qv)                 AS q_max
+        FROM q
+    """,
+    description="Embedding int8 quantization: per-vector symmetric scale, 4x storage cut, integer-exact oracle",
+    tags=("llm", "embedding", "quantize"),
+)
+def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4x storage
+    and bandwidth cut for ANN indexes (scale = 127/max|x|, round half
+    up; no clamp needed because the max maps to exactly +/-127). Pure
+    JVM HOFs, row-local, no shuffle at all.
+
+    Determinism contract: float32 widens to double identically on both
+    engines, and every output is an INTEGER (scale recorded as
+    floor(scale*1e6 + 0.5)) because `round()` on arbitrary doubles is
+    the one operation Spark and DuckDB disagree on (see q_merge_scd2).
+    """
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("e"),
+    )
+    scaled = v.select(
+        "vec_id",
+        "e",
+        F.expr("127.0 / array_max(transform(e, x -> abs(x)))").alias("scale"),
+    )
+    q = scaled.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e6 + 0.5).cast("long").alias("scale_e6"),
+        F.expr(
+            "transform(e, x -> cast(floor(x * scale + 0.5d) AS bigint))"
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        "scale_e6",
+        F.expr("aggregate(qv, 0L, (acc, x) -> acc + x)").alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )
