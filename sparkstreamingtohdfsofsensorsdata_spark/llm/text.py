@@ -13,7 +13,7 @@ shows the robust variant for real corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -626,4 +626,190 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.avg(F.col("n_boiler") / F.col("n_shingles").cast("double")), 6
         ).alias("avg_boiler_frac"),
+    )
+
+
+VOCAB_SIZE = 256
+
+
+@query(
+    "q_llm_repetition",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        uni AS (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM d)
+            GROUP BY doc_id, tok
+        ),
+        unia AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+                   max(c) AS top_tok_c
+            FROM uni GROUP BY doc_id
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM d
+        ),
+        bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        bga AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   max(c) AS top_bg_c,
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                       AS dup_bg_c
+            FROM bgc GROUP BY doc_id
+        )
+        SELECT u.doc_id, n_tok,
+               round(top_tok_c / CAST(n_tok AS DOUBLE), 6)     AS top_token_frac,
+               n_bigrams,
+               round(top_bg_c / CAST(n_bigrams AS DOUBLE), 6)  AS top_bigram_frac,
+               round(dup_bg_c / CAST(n_bigrams AS DOUBLE), 6)  AS dup_bigram_frac,
+               CASE WHEN top_tok_c / CAST(n_tok AS DOUBLE) < 0.2
+                     AND dup_bg_c / CAST(n_bigrams AS DOUBLE) < 0.5
+                    THEN 1 ELSE 0 END                          AS keep
+        FROM unia u JOIN bga b USING (doc_id)
+    """,
+    description="Repetition signals (Gopher-style): top-token / top-bigram / duplicate-bigram fractions -> keep gate",
+    tags=("llm", "text", "quality"),
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals, the Gopher/MassiveText family:
+    fraction of mass in the most common token, in the most common
+    bigram, and in bigrams occurring more than once, gated into a keep
+    flag. Machine-generated and boilerplate text scores high on all
+    three; the thresholds (0.2 / 0.5) are the published ballpark.
+
+    Shape: explode n-grams -> per-(doc, gram) count -> per-doc
+    aggregate. Both groupBys partial-aggregate map-side, and the keys
+    are (doc_id, gram) — high cardinality, no skew — so the shuffles
+    stay balanced at corpus scale. No Python anywhere.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    base = docs.select("doc_id", _tokens().alias("t"))
+
+    uni = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tok"), F.max("c").alias("top_tok_c"))
+    )
+    bg = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bg_c"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_bg_c"
+            ),
+        )
+    )
+    top_tok_frac = F.col("top_tok_c") / F.col("n_tok").cast("double")
+    dup_bg_frac = F.col("dup_bg_c") / F.col("n_bigrams").cast("double")
+    return uni.join(bg, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        F.round(top_tok_frac, 6).alias("top_token_frac"),
+        "n_bigrams",
+        F.round(F.col("top_bg_c") / F.col("n_bigrams").cast("double"), 6).alias(
+            "top_bigram_frac"
+        ),
+        F.round(dup_bg_frac, 6).alias("dup_bigram_frac"),
+        F.when((top_tok_frac < 0.2) & (dup_bg_frac < 0.5), 1)
+        .otherwise(0)
+        .alias("keep"),
+    )
+
+
+@query(
+    "q_llm_tokenize_vocab",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tok AS (
+            SELECT doc_id,
+                   unnest(range(1, len(t) + 1)) AS pos,
+                   unnest(t)                    AS tok
+            FROM d
+        ),
+        vc AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        vocab AS (
+            SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS tok_id
+            FROM vc
+            QUALIFY tok_id <= {VOCAB_SIZE}
+        ),
+        j AS (
+            SELECT t.doc_id, t.pos, v.tok_id
+            FROM tok t LEFT JOIN vocab v USING (tok)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT)  AS n_tok,
+               CAST(sum(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                         AS n_oov,
+               round(avg(CASE WHEN tok_id IS NULL THEN 1.0 ELSE 0.0 END), 6)
+                                         AS oov_rate,
+               CAST(sum(coalesce(tok_id, 0) * pos) AS BIGINT)
+                                         AS id_checksum
+        FROM j GROUP BY doc_id
+    """,
+    description="Vocabulary tokenization: corpus top-256 vocab, broadcast id lookup, per-doc OOV rate + position-weighted checksum",
+    tags=("llm", "text", "tokenize"),
+)
+def q_llm_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-constrained tokenization: map every token to an id
+    from a deterministic top-N corpus vocabulary (count desc, token
+    asc), left-joined so out-of-vocabulary tokens surface as an OOV
+    rate; a position-weighted id checksum makes the parity check
+    order-sensitive, not just multiset-equal.
+
+    In production the vocab is a trained tokenizer's table — a static
+    small relation. Here it is derived from the corpus itself with a
+    top-k (TakeOrdered, no full sort) + row_number over just
+    VOCAB_SIZE rows, then **broadcast** into the token join: the corpus
+    side never shuffles for the lookup, which is the only join strategy
+    that survives a 100 TB tokenize pass.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(VOCAB_SIZE)
+        .select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("tok")))
+            .alias("tok_id"),
+        )
+    )
+    oov = F.when(F.col("tok_id").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(oov).alias("n_oov"),
+            F.round(F.avg(oov.cast("double")), 6).alias("oov_rate"),
+            F.sum(F.coalesce("tok_id", F.lit(0)) * F.col("pos")).alias(
+                "id_checksum"
+            ),
+        )
     )

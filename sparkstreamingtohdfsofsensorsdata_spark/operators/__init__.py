@@ -11,5 +11,6 @@ from . import (  # noqa: F401
     scans,
     setops,
     sorts,
+    timeseries,
     windows,
 )

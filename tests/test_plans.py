@@ -189,3 +189,21 @@ def test_sorted_layout_skips_row_groups(spark):
         df.collect()
         (rows[layout],) = inspect.scan_output_rows(df)
     assert rows["sorted"] < rows["unsorted"] / 2, (rows, total)
+
+
+def test_tokenize_vocab_lookup_broadcasts(spark):
+    # The vocab (256 rows; a tokenizer table in production) must be the
+    # broadcast side of the id lookup — the exploded corpus token
+    # stream never shuffles for the join.
+    text = inspect.plan_str(q(spark, "q_llm_tokenize_vocab"))
+    assert "BroadcastHashJoin" in text
+
+
+def test_gapfill_grid_is_lazy_and_broadcast(spark):
+    # The hourly grid derives from a 1-row bounds aggregate inside the
+    # plan (no driver-side collect), and joins the hourly aggregate via
+    # broadcast — the big-table side shuffles only for its own groupBy.
+    df = q(spark, "q_ts_gapfill")
+    text = inspect.plan_str(df)
+    assert "BroadcastHashJoin" in text
+    assert "Generate explode" in text or "Generate" in text
