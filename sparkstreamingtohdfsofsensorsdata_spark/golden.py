@@ -300,3 +300,97 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity <= 40 on lineitem) and push them below the join — the
     classic predicate-inference test."""
     return _sql(spark, sf_dir, _Q19)
+
+
+_Q13 = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+"""
+
+
+@query(
+    "q_tpch_q13",
+    oracle=_Q13,
+    description="TPC-H Q13 (customer distribution, adapted): outer join with join-condition filter + double aggregation",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution. The load-bearing semantics:
+    the priority filter lives in the JOIN condition, not WHERE — a
+    WHERE would silently turn the outer join inner and drop the
+    zero-order customers that are the query's whole point. Two
+    aggregations: per-customer count (user_id-cardinality shuffle),
+    then the tiny histogram over counts."""
+    return _sql(spark, sf_dir, _Q13)
+
+
+_Q16 = """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 40
+"""
+
+
+@query(
+    "q_tpch_q16",
+    oracle=_Q16,
+    description="TPC-H Q16 (supplier count by part attrs, adapted): NOT-IN anti join + count distinct",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-part variety per attribute bucket, with lineitem
+    standing in for the absent partsupp bridge (SURVEY.md §1.2) and a
+    negative-balance supplier exclusion for Q16's complaint filter.
+    NOT IN over a not-null key becomes a null-aware anti join on the
+    broadcast-sized supplier list; count(DISTINCT) expands to the
+    two-phase distinct aggregate."""
+    return _sql(spark, sf_dir, _Q16)
+
+
+_Q22 = """
+    WITH ab AS (
+        SELECT floor(avg(c_acctbal)) AS t FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, ab
+    WHERE c_acctbal > t
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_mktsegment
+"""
+
+
+@query(
+    "q_tpch_q22",
+    oracle=_Q22,
+    description="TPC-H Q22 (global sales opportunity, adapted): scalar-subquery threshold + NOT EXISTS anti join",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no urgent orders (every
+    fixture customer has SOME order, so Q22's 'never ordered' becomes
+    'no urgent order' — same anti-join plan). The average threshold is
+    floor()ed to a whole dollar: c_acctbal carries 2 decimals, so the
+    comparison can't land on the float boundary where Spark's and
+    DuckDB's last-ulp avg() difference could flip a row."""
+    return _sql(spark, sf_dir, _Q22)

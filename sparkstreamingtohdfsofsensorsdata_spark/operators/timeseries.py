@@ -136,3 +136,188 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value", "event_id"), 2).alias("close"),
         F.count("*").alias("n_events"),
     )
+
+
+SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 h inactivity closes a session
+
+
+@query(
+    "q_ts_sessionize",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, value, us,
+                   CASE WHEN lag(us) OVER w IS NULL
+                          OR us - lag(us) OVER w > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        sessioned AS (
+            SELECT user_id, value, us,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(session_id AS BIGINT)       AS session_id,
+               CAST(count(*) AS BIGINT)         AS n_events,
+               min(us)                          AS start_us,
+               CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+               round(sum(value), 2)             AS sum_value
+        FROM sessioned GROUP BY user_id, session_id
+    """,
+    description="Batch sessionization: 4h-gap cut via lag + running sum, per-session rollup",
+    tags=("timeseries", "window", "session"),
+)
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch (the classic event-analytics
+    shape; the streaming twin is ``q_stream_session``): a lag() gap
+    flag, a running sum turning flags into session ids, then a
+    per-session rollup. Both windows share one spec, so Spark pays a
+    single exchange+sort on user_id; the rollup groupBy reuses the
+    same key prefix. Time math stays in integer microseconds
+    (``unix_micros``) — `events.ts` is us-aligned, so both engines
+    agree bit-for-bit and no float time arithmetic is needed.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lag_us = F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            lag_us.isNull() | ((F.col("us") - lag_us) > SESSION_GAP_US), 1
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "q_ts_funnel",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, min(epoch_us(ts)) AS su
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        conv AS (
+            SELECT s.user_id, min(epoch_us(e.ts)) - su AS lag_us
+            FROM s JOIN events e ON e.user_id = s.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > su
+            GROUP BY s.user_id, su
+        )
+        SELECT s.user_id % 8 AS cohort,
+               CAST(count(*) AS BIGINT)       AS n_signup,
+               CAST(count(lag_us) AS BIGINT)  AS n_converted,
+               round(count(lag_us) / CAST(count(*) AS DOUBLE), 6) AS conv_rate,
+               CAST(coalesce(sum(lag_us), 0) AS BIGINT) AS total_lag_us
+        FROM s LEFT JOIN conv ON s.user_id = conv.user_id
+        GROUP BY s.user_id % 8
+    """,
+    description="Conversion funnel: first signup -> first later purchase, per-cohort rate + total lag",
+    tags=("timeseries", "funnel"),
+)
+def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step conversion funnel: each user's first signup, their
+    first purchase strictly after it, per-cohort conversion rate and
+    total signup→purchase lag. Lag totals stay integer microseconds
+    (BIGINT-exact on both engines — a double sum of large us values
+    would be summation-order sensitive); the only double is the final
+    small-ratio conversion rate.
+
+    Both stages key on user_id, so the signup aggregate, the purchase
+    join, and the conversion aggregate co-partition under one shuffle
+    key — at 100 TB the funnel is two user_id exchanges, no broadcast
+    needed and no skew (user keys are high-cardinality).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("su"))
+    )
+    conv = (
+        s.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", "us"
+            ),
+            "user_id",
+        )
+        .filter(F.col("us") > F.col("su"))
+        .groupBy("user_id", "su")
+        .agg((F.min("us") - F.col("su")).alias("lag_us"))
+        .select("user_id", "lag_us")
+    )
+    return (
+        s.join(conv, "user_id", "left")
+        .groupBy((F.col("user_id") % 8).alias("cohort"))
+        .agg(
+            F.count("*").alias("n_signup"),
+            F.count("lag_us").alias("n_converted"),
+            F.round(F.count("lag_us") / F.count("*").cast("double"), 6).alias(
+                "conv_rate"
+            ),
+            F.coalesce(F.sum("lag_us"), F.lit(0)).cast("long").alias(
+                "total_lag_us"
+            ),
+        )
+    )
+
+
+@query(
+    "q_ts_retention",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events WHERE event_type = 'purchase'
+        ),
+        coh AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id)
+        SELECT cohort_day,
+               CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM act JOIN coh USING (user_id)
+        GROUP BY cohort_day, day_offset
+    """,
+    description="Cohort retention: first-purchase-day cohorts x day offset -> active-user matrix",
+    tags=("timeseries", "retention"),
+)
+def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first purchase day,
+    counted on every later active day. distinct → min → self-join →
+    count, all keyed on user_id: the activity dedup, the cohort
+    aggregate, and the join co-partition on one key, and the final
+    matrix aggregation is over the tiny (cohort, offset) key space.
+    Purchase-only activity keeps the matrix sparse enough to be a real
+    retention curve rather than all-ones.
+    """
+    act = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .distinct()
+    )
+    coh = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )

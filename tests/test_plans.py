@@ -207,3 +207,25 @@ def test_gapfill_grid_is_lazy_and_broadcast(spark):
     text = inspect.plan_str(df)
     assert "BroadcastHashJoin" in text
     assert "Generate explode" in text or "Generate" in text
+
+
+def test_q13_keeps_outer_join(spark):
+    # The priority filter sits in the join CONDITION; the plan must
+    # keep LeftOuter (a WHERE-placed filter would collapse it to inner
+    # and silently drop zero-order customers).
+    text = inspect.plan_str(q(spark, "q_tpch_q13"))
+    assert "LeftOuter" in text
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    # The excluded-supplier list is tiny: NOT IN must become a
+    # broadcast anti join, never a shuffle against lineitem.
+    text = inspect.plan_str(q(spark, "q_tpch_q16"))
+    assert "LeftAnti" in text and "Broadcast" in text
+
+
+def test_sessionize_single_window_exchange(spark):
+    # lag() and the running session-id sum share one window spec —
+    # the plan must pay exactly one exchange on user_id for both.
+    text = inspect.plan_str(q(spark, "q_ts_sessionize"))
+    assert text.count("hashpartitioning(user_id") <= 2  # window + rollup
