@@ -206,3 +206,62 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     return orders.groupBy("o_orderpriority").applyInPandas(zscore, ZSCORE_SCHEMA)
+
+
+ARROW_SCHEMA = T.StructType(
+    [
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("name_upper", T.StringType()),
+        T.StructField("price_bucket", T.LongType()),
+    ]
+)
+
+
+def _arrow_transform(batches):
+    """pyarrow.RecordBatch -> RecordBatch transform: columnar compute
+    without ever materializing pandas objects — the zero-copy tier
+    below mapInPandas for kernels that stay in Arrow memory."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("p_partkey"),
+                pc.utf8_upper(batch.column("p_name")),
+                pc.cast(
+                    pc.floor(pc.divide(batch.column("p_retailprice"), 500.0)),
+                    pa.int64(),
+                ),
+            ],
+            names=["p_partkey", "name_upper", "price_bucket"],
+        )
+
+
+@query(
+    "q_udf_map_in_arrow",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name)                                     AS name_upper,
+               CAST(floor(p_retailprice / 500.0) AS BIGINT)      AS price_bucket
+        FROM part
+        WHERE p_partkey % 7 = 0
+    """,
+    description="mapInArrow: RecordBatch-level columnar transform (no pandas materialization)",
+    tags=("udf", "arrow"),
+)
+def q_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` completes the Python extension ladder below
+    ``mapInPandas``: the worker hands raw ``pyarrow.RecordBatch``es to
+    the function, skipping the Arrow->pandas conversion entirely —
+    the right tier for columnar kernels (dictionary ops, takes,
+    compute-function chains) where a pandas round-trip would only add
+    copies. Same Arrow wire path and batch sizing as the pandas
+    tiers, so partition sizing guidance carries over unchanged.
+    """
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 7 == 0)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+    return p.mapInArrow(_arrow_transform, ARROW_SCHEMA)

@@ -396,3 +396,105 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     )
+
+
+QUANT_CAND = 30  # stage-1 candidate pool per query (3x final k)
+
+
+@query(
+    "q_llm_sim_topk_quant",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        z AS (
+            SELECT vec_id, e,
+                   127.0 / list_max(list_transform(e, x -> abs(x))) AS s,
+                   list_transform(
+                       e, x -> CAST(floor(x * (127.0 / list_max(
+                           list_transform(e, y -> abs(y)))) + 0.5) AS BIGINT)
+                   ) AS qv
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id AS qid, e AS qe, s AS qs, qv AS qqv
+            FROM z WHERE vec_id % {QUERY_STRIDE} = 0
+        ),
+        cand AS (
+            SELECT qid, vec_id, qe, e,
+                   row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY list_dot_product(
+                                    CAST(qqv AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])) / (qs * s) DESC,
+                                vec_id) AS rk_a
+            FROM q JOIN z ON z.vec_id <> q.qid
+        )
+        SELECT qid, vec_id AS neighbor, rk,
+               round(list_dot_product(qe, e), 6) AS cosine
+        FROM (
+            SELECT qid, vec_id, qe, e,
+                   row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY list_dot_product(qe, e) DESC, vec_id) AS rk
+            FROM cand WHERE rk_a <= {QUANT_CAND}
+        )
+        WHERE rk <= {TOP_K}
+    """,
+    description="Two-stage retrieval: int8-quantized prefilter -> exact cosine re-rank of the candidate pool",
+    tags=("llm", "similarity", "topk", "quantize"),
+)
+def q_llm_sim_topk_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the production ANN serving shape: score
+    every pair with the int8-quantized vectors (4x less bandwidth;
+    SIMD integer dot on real hardware), keep a per-query candidate
+    pool, then re-rank only the pool with exact float cosine.
+
+    Engine-exact by construction: the integer dot is exact on both
+    engines (products bounded by 127^2 * dim << 2^53), and the
+    per-vector dequant scales are single-expression doubles, so the
+    stage-1 ranking — ties broken by vec_id — picks identical
+    candidate sets everywhere; stage 2 is the same raw-dot ordering
+    `q_llm_sim_topk` already relies on. The corpus side never
+    shuffles: queries broadcast, both rankings window over the
+    (query-bounded) scored side.
+    """
+    z = _as_double(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "e",
+        F.expr("127.0 / array_max(transform(e, x -> abs(x)))").alias("s"),
+    )
+    z = z.withColumn(
+        "qv", F.expr("transform(e, x -> cast(floor(x * s + 0.5d) AS bigint))")
+    )
+    q = z.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("s").alias("qs"),
+        F.col("qv").alias("qqv"),
+    )
+    pairs = F.broadcast(q).join(z, F.col("vec_id") != F.col("qid"))
+    int_dot = F.expr(
+        "aggregate(zip_with(qqv, qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    )
+    approx = (int_dot / (F.col("qs") * F.col("s"))).alias("approx")
+    w1 = Window.partitionBy("qid").orderBy(F.desc("approx"), F.asc("vec_id"))
+    cand = (
+        pairs.select("qid", "vec_id", "qe", "e", approx)
+        .withColumn("rk_a", F.row_number().over(w1))
+        .filter(F.col("rk_a") <= QUANT_CAND)
+    )
+    exact = _dot_expr("qe", "e")
+    w2 = Window.partitionBy("qid").orderBy(F.desc("exact"), F.asc("vec_id"))
+    return (
+        cand.select("qid", "vec_id", "qe", "e", exact.alias("exact"))
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor"),
+            "rk",
+            F.round("exact", 6).alias("cosine"),
+        )
+    )

@@ -372,3 +372,94 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact").alias("exact"),  # segments partition the customers
     )
     return seg_rows.unionByName(global_row)
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT)                                AS n,
+               round(corr(l_extendedprice, l_quantity), 6)             AS price_qty_corr,
+               round(covar_samp(l_extendedprice, l_quantity), 2)       AS cov_samp,
+               round(covar_pop(l_extendedprice, l_quantity), 2)        AS cov_pop,
+               round(regr_slope(l_extendedprice, l_quantity), 5)       AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 2)   AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6)          AS r2
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    description="Bivariate statistics family: corr / covariance / linear-regression aggregates",
+    tags=("aggregate", "stats"),
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics: correlation, sample/population covariance,
+    and the regr_* linear-fit family — all single-pass algebraic
+    aggregates over co-moments, so they partial-aggregate map-side
+    like sum/count and shuffle one co-moment tuple per group.
+
+    Rounding is magnitude-aware: corr/r2 are O(1) (6 dp), covariance
+    and intercept carry price magnitudes where engine summation-order
+    differences reach ~1e-8 absolute (2 dp), slope sits between
+    (5 dp) — each grid keeps the fp disagreement far below the
+    rounding step.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr(x, y), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp(x, y), 2).alias("cov_samp"),
+        F.round(F.covar_pop(x, y), 2).alias("cov_pop"),
+        F.round(F.regr_slope(x, y), 5).alias("slope"),
+        F.round(F.regr_intercept(x, y), 2).alias("intercept"),
+        F.round(F.regr_r2(x, y), 6).alias("r2"),
+    )
+
+
+HIST_BINS = 16
+
+
+@query(
+    "q_agg_histogram",
+    oracle=f"""
+        WITH b AS (
+            SELECT min(value) AS v0, max(value) AS v1 FROM events
+        )
+        SELECT least(CAST(floor((value - v0) / (v1 - v0) * {HIST_BINS})
+                          AS BIGINT), {HIST_BINS - 1})  AS bin,
+               CAST(count(*) AS BIGINT)                 AS n,
+               round(min(value), 2)                     AS lo,
+               round(max(value), 2)                     AS hi
+        FROM events, b
+        GROUP BY 1
+    """,
+    description="Equi-width numeric histogram with lazy data-driven bounds (no driver action)",
+    tags=("aggregate", "histogram"),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram whose bounds come from the data: the 1-row
+    min/max aggregate is crossJoined (broadcast) into the binning
+    expression, so the whole thing is one lazy plan — no driver-side
+    collect of the bounds, the q_ts_gapfill pattern applied to numeric
+    binning. Bin assignment is pure per-row arithmetic on identical
+    doubles, hence engine-deterministic; the final groupBy has at most
+    HIST_BINS keys.
+    """
+    ev = load(spark, sf_dir, "events").select("value")
+    bounds = ev.agg(F.min("value").alias("v0"), F.max("value").alias("v1"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("v0"))
+                / (F.col("v1") - F.col("v0"))
+                * HIST_BINS
+            ).cast("long"),
+            F.lit(HIST_BINS - 1).cast("long"),
+        ).alias("bin"),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
