@@ -314,3 +314,103 @@ def q_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+ZORDER_BITS = 8  # per-dimension resolution after rank normalization
+
+# Interleave the low ZORDER_BITS bits of normalized dims ua8/vb8:
+# bit i of ua8 -> z bit 2i, bit i of vb8 -> z bit 2i+1.
+ZORDER_EXPR = (
+    f"aggregate(sequence(0, {ZORDER_BITS - 1}), 0L, (acc, i) -> acc"
+    " + shiftleft(CAST(shiftright(ua8, i) & 1 AS BIGINT), 2 * i)"
+    " + shiftleft(CAST(shiftright(vb8, i) & 1 AS BIGINT), 2 * i + 1))"
+)
+
+
+@query(
+    "q_sink_zorder",
+    oracle="""
+        SELECT 'by_user'                              AS probe,
+               CAST(count(*) AS BIGINT)               AS n,
+               round(CAST(sum(value) AS DOUBLE), 2)   AS value_sum
+        FROM events WHERE user_id BETWEEN 3 AND 4
+        UNION ALL
+        SELECT 'by_value'                             AS probe,
+               CAST(count(*) AS BIGINT)               AS n,
+               round(CAST(sum(value) AS DOUBLE), 2)   AS value_sum
+        FROM events WHERE value >= 150
+    """,
+    description="Z-order layout: normalized bit-interleaved sort key gives row-group skipping on BOTH filter dimensions",
+    tags=("scan", "sink", "layout"),
+)
+def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping: a single-column sort
+    (q_sink_sorted) only tightens row-group stats for ONE dimension;
+    interleaving the bits of two dimensions into a Z-value and sorting
+    on that makes each row group a rectangle in (user_id, value)
+    space, so selective filters on EITHER column prune row groups.
+    This is the lakehouse OPTIMIZE ZORDER BY primitive from plain
+    expressions, and it keeps the real recipe's two steps: each
+    dimension is first rank-normalized onto [0, 2^8) via its min/max
+    (a 1-row lazy aggregate, crossJoin-broadcast like q_agg_histogram
+    — skewed raw scales would otherwise let one dimension's high bits
+    dominate the curve), then the interleave is an 8-step HOF fold of
+    shift/mask ops, entirely JVM-side.
+
+    Correctness oracle checks content preservation through the layout
+    round-trip (both probes); the both-dimension pruning win is
+    measured against a single-sorted layout in test_plans.
+    """
+    from ..session import scratch_dir
+
+    out = scratch_dir("zorder_sink_")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    bounds = ev.agg(
+        F.min("user_id").alias("u0"),
+        F.max("user_id").alias("u1"),
+        F.min("value").alias("v0"),
+        F.max("value").alias("v1"),
+    )
+    lim = (1 << ZORDER_BITS) - 1
+    norm = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.least(
+            F.floor(
+                (F.col("user_id") - F.col("u0"))
+                / (F.col("u1") - F.col("u0") + 1)
+                * (1 << ZORDER_BITS)
+            ).cast("int"),
+            F.lit(lim),
+        ).alias("ua8"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("v0"))
+                / (F.col("v1") - F.col("v0"))
+                * (1 << ZORDER_BITS)
+            ).cast("int"),
+            F.lit(lim),
+        ).alias("vb8"),
+    )
+    (
+        norm.withColumn("z", F.expr(ZORDER_EXPR))
+        .orderBy("z", "event_id")
+        .drop("z", "ua8", "vb8")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("parquet.block.size", SORTED_BLOCK_BYTES)
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    by_user = (
+        back.filter(F.col("user_id").between(3, 4))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(F.lit("by_user").alias("probe"), "n", "value_sum")
+    )
+    by_value = (
+        back.filter(F.col("value") >= 150)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(F.lit("by_value").alias("probe"), "n", "value_sum")
+    )
+    return by_user.unionAll(by_value)

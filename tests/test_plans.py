@@ -229,3 +229,66 @@ def test_sessionize_single_window_exchange(spark):
     # the plan must pay exactly one exchange on user_id for both.
     text = inspect.plan_str(q(spark, "q_ts_sessionize"))
     assert text.count("hashpartitioning(user_id") <= 2  # window + rollup
+
+
+def test_zorder_layout_skips_both_dimensions(spark):
+    # A user-sorted layout prunes user probes only (value probes scan
+    # everything); the z-ordered layout must prune BOTH probe
+    # dimensions — each less sharply than a dedicated sort, which is
+    # exactly the z-order trade.
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.scans import (
+        SORTED_BLOCK_BYTES,
+        ZORDER_BITS,
+        ZORDER_EXPR,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.session import scratch_dir
+
+    sf_mid = "/root/testdata/sf0.01"
+    ev = load(spark, sf_mid, "events").select("event_id", "user_id", "value")
+    total = ev.count()
+    bounds = ev.agg(
+        F.min("user_id").alias("u0"), F.max("user_id").alias("u1"),
+        F.min("value").alias("v0"), F.max("value").alias("v1"),
+    )
+    lim = (1 << ZORDER_BITS) - 1
+    norm = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id", "user_id", "value",
+        F.least(F.floor((F.col("user_id") - F.col("u0"))
+                        / (F.col("u1") - F.col("u0") + 1)
+                        * (1 << ZORDER_BITS)).cast("int"),
+                F.lit(lim)).alias("ua8"),
+        F.least(F.floor((F.col("value") - F.col("v0"))
+                        / (F.col("v1") - F.col("v0"))
+                        * (1 << ZORDER_BITS)).cast("int"),
+                F.lit(lim)).alias("vb8"),
+    )
+    base = scratch_dir("zorder_cmp_")
+    (
+        norm.withColumn("z", F.expr(ZORDER_EXPR))
+        .orderBy("z", "event_id").drop("z", "ua8", "vb8")
+        .coalesce(2).write.mode("overwrite")
+        .option("parquet.block.size", SORTED_BLOCK_BYTES // 16)
+        .parquet(f"{base}/zorder")
+    )
+    (
+        ev.orderBy("user_id", "event_id")
+        .coalesce(2).write.mode("overwrite")
+        .option("parquet.block.size", SORTED_BLOCK_BYTES // 16)
+        .parquet(f"{base}/usersort")
+    )
+
+    def scanned(layout, probe):
+        df = spark.read.parquet(f"{base}/{layout}")
+        df = df.filter(
+            F.col("user_id").between(3, 4) if probe == "user"
+            else (F.col("value") >= 150)
+        )
+        df.collect()
+        (rows,) = inspect.scan_output_rows(df)
+        return rows
+
+    # off-dimension probe on the single-sorted layout scans everything
+    assert scanned("usersort", "value") > total * 0.9
+    # the z-ordered layout prunes both dimensions
+    assert scanned("zorder", "user") < total * 0.6
+    assert scanned("zorder", "value") < total * 0.3
