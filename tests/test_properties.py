@@ -88,3 +88,105 @@ def test_groupby_sum_equals_global_sum(spark, a):
     regrouped = grouped.agg(F.sum("s").alias("t")).collect()[0]["t"]
     total = df.agg(F.sum("v").alias("t")).collect()[0]["t"]
     assert regrouped == total
+
+
+# ---- Fixture-level structural invariants for the analytics operators.
+# The oracle tests pin exact values; these pin cross-query consistency
+# laws that would survive any fixture change.
+
+SF = "/root/testdata/sf0.001"
+
+
+def _spec(name):
+    from sparkstreamingtohdfsofsensorsdata_spark import registry
+
+    return registry.load_all()[name]
+
+
+def test_sessionize_partitions_events(spark):
+    # Sessions partition each user's events: per-user session counts
+    # sum to the user's event count, and session ids are 1..n_sessions.
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+    sess = _spec("q_ts_sessionize").fn(spark, SF)
+    by_user = sess.groupBy("user_id").agg(
+        F.sum("n_events").alias("tot"),
+        F.count("*").alias("n_sess"),
+        F.min("session_id").alias("lo"),
+        F.max("session_id").alias("hi"),
+    )
+    ev_counts = (
+        load(spark, SF, "events").groupBy("user_id").agg(F.count("*").alias("n"))
+    )
+    bad = (
+        by_user.join(ev_counts, "user_id")
+        .filter(
+            (F.col("tot") != F.col("n"))
+            | (F.col("lo") != 1)
+            | (F.col("hi") != F.col("n_sess"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_histogram_covers_all_rows(spark):
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.aggregates import (
+        HIST_BINS,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+    hist = _spec("q_agg_histogram").fn(spark, SF).collect()
+    total = load(spark, SF, "events").count()
+    assert sum(r["n"] for r in hist) == total
+    assert all(0 <= r["bin"] < HIST_BINS for r in hist)
+    # bins are value-disjoint: each bin's max stays below the next lo
+    ordered = sorted(hist, key=lambda r: r["bin"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_funnel_conversions_bounded_by_signups(spark):
+    rows = _spec("q_ts_funnel").fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_converted"] <= r["n_signup"]
+        assert (r["n_converted"] == 0) == (r["total_lag_us"] == 0)
+
+
+def test_retention_day_zero_equals_cohort_size(spark):
+    # Every cohort member is active on their own first day, so the
+    # offset-0 cell is the cohort size and no later cell exceeds it.
+    from pyspark.sql import functions as F
+
+    ret = _spec("q_ts_retention").fn(spark, SF)
+    base = ret.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
+    bad = (
+        ret.join(base, "cohort_day")
+        .filter(F.col("n_active") > F.col("cohort_size"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_quantized_rerank_recall_floor(spark):
+    # The int8 prefilter keeps 3x the final k: against the exact
+    # brute-force top-k it must preserve nearly all true neighbors
+    # (quantization noise is bounded by the 127-level grid).
+    exact = {
+        (r["qid"], r["neighbor"])
+        for r in _spec("q_llm_sim_topk").fn(spark, SF).collect()
+    }
+    quant = {
+        (r["qid"], r["neighbor"])
+        for r in _spec("q_llm_sim_topk_quant").fn(spark, SF).collect()
+    }
+    assert exact, "exact top-k returned nothing"
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"quantized rerank recall {recall:.3f}"
