@@ -813,3 +813,136 @@ def q_llm_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+BPE_MERGES = 5
+BPE_SEP = "~"  # absent from the fixture charset (asserted by the oracle shape)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Chained-CTE DuckDB mirror of the BPE trainer: each round counts
+    adjacent symbol pairs, picks the top pair (count desc, pair asc),
+    and applies the merge via sentinel-wrapped string replace."""
+    parts = [
+        f"""WITH w0 AS (
+            SELECT '{BPE_SEP}' || array_to_string(
+                       list_transform(range(1, length(w) + 1), i -> w[i]),
+                       '{BPE_SEP}{BPE_SEP}') || '{BPE_SEP}' AS s,
+                   CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents WHERE doc_id % 5 = 0)
+            WHERE length(w) BETWEEN 3 AND 10
+            GROUP BY 1
+        )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f""",
+        p{r} AS (
+            SELECT sym[i] AS a, sym[i + 1] AS b,
+                   CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT sym, freq, unnest(range(1, len(sym))) AS i
+                FROM (
+                    SELECT string_split(substring(s, 2, length(s) - 2),
+                                        '{BPE_SEP}{BPE_SEP}') AS sym, freq
+                    FROM w{r - 1}
+                ) WHERE len(sym) >= 2
+            )
+            GROUP BY 1, 2
+        ),
+        t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+        w{r} AS (
+            SELECT replace(s, '{BPE_SEP}' || a || '{BPE_SEP}{BPE_SEP}' || b || '{BPE_SEP}',
+                           '{BPE_SEP}' || a || b || '{BPE_SEP}') AS s, freq
+            FROM w{r - 1}, t{r}
+        )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a, b, a || b AS merged, cnt FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+@query(
+    "q_llm_bpe_train",
+    oracle=_bpe_oracle(BPE_MERGES),
+    description="BPE tokenizer training: N pair-merge rounds over the word-frequency table as one lazy plan",
+    tags=("llm", "text", "tokenize", "bpe"),
+)
+def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training — the real algorithm, not
+    a sketch: start from the per-word character sequences weighted by
+    corpus frequency, and per round (a) count adjacent symbol pairs,
+    (b) pick the most frequent pair (count desc, pair asc tiebreak),
+    (c) merge its occurrences. Returns the learned merge table, the
+    artifact a tokenizer ships.
+
+    The whole N-round loop is ONE lazy Catalyst plan: each round's
+    top pair is a 1-row aggregate crossJoin-broadcast into the next
+    round's symbol strings (the q_agg_histogram bounds pattern,
+    chained N deep). The merge step is a sentinel-wrapped string
+    replace — `~a~~b~` → `~ab~` — which both engines apply
+    left-to-right non-overlapping, exactly BPE's merge semantics.
+    Pair counting runs over the DISTINCT-word table (vocab-sized, not
+    corpus-sized): at 100 TB the corpus contributes one word-count
+    aggregation, and the merge loop itself touches only the vocab.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    w = docs.select(F.explode(_tokens()).alias("w")).filter(
+        F.length("w").between(3, 10)
+    )
+    words = w.groupBy("w").agg(F.count("*").alias("freq")).select(
+        F.concat(
+            F.lit(BPE_SEP),
+            F.expr(
+                "array_join(transform(sequence(1, length(w)), "
+                f"i -> substring(w, i, 1)), '{BPE_SEP}{BPE_SEP}')"
+            ),
+            F.lit(BPE_SEP),
+        ).alias("s"),
+        "freq",
+    )
+    merges = []
+    for r in range(1, BPE_MERGES + 1):
+        sy = words.select(
+            F.expr(
+                f"split(substring(s, 2, length(s) - 2), '{BPE_SEP}{BPE_SEP}')"
+            ).alias("sym"),
+            "freq",
+        ).filter(F.expr("size(sym) >= 2"))
+        pr = sy.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sym) - 1), i -> "
+                    "struct(element_at(sym, i) AS a, element_at(sym, i + 1) AS b))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pr.select("p.a", "p.b", "freq")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+        )
+        merges.append(
+            top.select(
+                F.lit(r).alias("merge_rank"),
+                "a",
+                "b",
+                F.concat("a", "b").alias("merged"),
+                "cnt",
+            )
+        )
+        words = words.crossJoin(F.broadcast(top)).select(
+            F.expr(
+                f"replace(s, '{BPE_SEP}' || a || '{BPE_SEP}{BPE_SEP}' || b || '{BPE_SEP}', "
+                f"'{BPE_SEP}' || a || b || '{BPE_SEP}')"
+            ).alias("s"),
+            "freq",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
