@@ -108,3 +108,135 @@ def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
         F.coalesce("first_hit", F.lit(-1)).alias("first_hit"),
     )
+
+
+# train/val/test boundaries on the md5-hex prefix: < 'cc' (~80%) train,
+# < 'e6' (~10%) val, rest test.
+SPLIT_CASE = (
+    "CASE WHEN substring(md5({key}), 1, 2) < 'cc' THEN 'train' "
+    "WHEN substring(md5({key}), 1, 2) < 'e6' THEN 'val' "
+    "ELSE 'test' END"
+)
+
+# The fixture has no exact duplicates (500/500 distinct texts), so the
+# leakage audit clones every 10th document under a shifted id — the
+# same inject-what-you-audit approach as the PII query.
+DUP_ID_SHIFT = 1_000_000
+
+
+@query(
+    "q_llm_split_leakage",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {DUP_ID_SHIFT}, text
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        d AS (
+            SELECT doc_id, md5(text) AS h,
+                   {SPLIT_CASE.format(key="CAST(doc_id AS VARCHAR)")} AS split_by_id,
+                   {SPLIT_CASE.format(key="md5(text)")}               AS split_by_content
+            FROM corpus
+        ),
+        leaks AS (
+            SELECT h,
+                   count(*) AS group_sz,
+                   count(DISTINCT split_by_id)      AS id_splits,
+                   count(DISTINCT split_by_content) AS content_splits
+            FROM d GROUP BY h HAVING count(*) > 1
+        )
+        SELECT method, n_train, n_val, n_test, n_dup_groups, n_leaked_groups
+        FROM (
+            SELECT 'by_id' AS method,
+                   CAST(count(*) FILTER (split_by_id = 'train') AS BIGINT) AS n_train,
+                   CAST(count(*) FILTER (split_by_id = 'val')   AS BIGINT) AS n_val,
+                   CAST(count(*) FILTER (split_by_id = 'test')  AS BIGINT) AS n_test,
+                   (SELECT CAST(count(*) AS BIGINT) FROM leaks) AS n_dup_groups,
+                   (SELECT CAST(count(*) FILTER (id_splits > 1) AS BIGINT)
+                    FROM leaks)                                 AS n_leaked_groups
+            FROM d
+            UNION ALL
+            SELECT 'by_content',
+                   CAST(count(*) FILTER (split_by_content = 'train') AS BIGINT),
+                   CAST(count(*) FILTER (split_by_content = 'val')   AS BIGINT),
+                   CAST(count(*) FILTER (split_by_content = 'test')  AS BIGINT),
+                   (SELECT CAST(count(*) AS BIGINT) FROM leaks),
+                   (SELECT CAST(count(*) FILTER (content_splits > 1) AS BIGINT)
+                    FROM leaks)
+            FROM d
+        )
+    """,
+    description="Train/val/test split with leakage audit: id-keyed split leaks duplicate groups, content-keyed split cannot",
+    tags=("llm", "split", "dedup"),
+)
+def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus splitting plus the audit that catches the
+    classic mistake: hashing the DOCUMENT ID spreads exact duplicates
+    across train and test (evaluation leakage), while hashing the
+    CONTENT pins every duplicate group to one split by construction.
+    Both assignments use the md5-prefix-range trick from
+    q_sample_hash, so splits are reproducible on any cluster layout
+    and the scan-side predicate pushes down.
+
+    Shape: one pass computes both assignments per row; the audit
+    aggregates duplicate content-hash groups (the exact-dedup shuffle)
+    and counts groups straddling split boundaries under each method —
+    on the duplicate-injected corpus, by_id leaks (> 0 groups),
+    by_content provably cannot (gated in tests, not just asserted
+    here).
+    """
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + DUP_ID_SHIFT).alias("doc_id"), "text"
+        )
+    )
+    d = corpus.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.expr(SPLIT_CASE.format(key="CAST(doc_id AS STRING)")).alias(
+            "split_by_id"
+        ),
+        F.expr(SPLIT_CASE.format(key="md5(text)")).alias("split_by_content"),
+    )
+    leaks = (
+        d.groupBy("h")
+        .agg(
+            F.count("*").alias("group_sz"),
+            F.countDistinct("split_by_id").alias("id_splits"),
+            F.countDistinct("split_by_content").alias("content_splits"),
+        )
+        .filter(F.col("group_sz") > 1)
+        .agg(
+            F.count("*").alias("n_dup_groups"),
+            F.coalesce(
+                F.sum((F.col("id_splits") > 1).cast("long")), F.lit(0)
+            ).alias("id_leaks"),
+            F.coalesce(
+                F.sum((F.col("content_splits") > 1).cast("long")), F.lit(0)
+            ).alias("content_leaks"),
+        )
+    )
+
+    def counts(col: str, method: str, leak_col: str):
+        return (
+            d.agg(
+                F.sum((F.col(col) == "train").cast("long")).alias("n_train"),
+                F.sum((F.col(col) == "val").cast("long")).alias("n_val"),
+                F.sum((F.col(col) == "test").cast("long")).alias("n_test"),
+            )
+            .crossJoin(F.broadcast(leaks))
+            .select(
+                F.lit(method).alias("method"),
+                "n_train",
+                "n_val",
+                "n_test",
+                "n_dup_groups",
+                F.col(leak_col).alias("n_leaked_groups"),
+            )
+        )
+
+    return counts("split_by_id", "by_id", "id_leaks").unionAll(
+        counts("split_by_content", "by_content", "content_leaks")
+    )

@@ -190,3 +190,10 @@ def test_quantized_rerank_recall_floor(spark):
     assert exact, "exact top-k returned nothing"
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, f"quantized rerank recall {recall:.3f}"
+
+
+def test_split_leakage_content_keyed_is_leak_free(spark):
+    rows = {r["method"]: r for r in _spec("q_llm_split_leakage").fn(spark, SF).collect()}
+    assert rows["by_id"]["n_dup_groups"] > 0  # injected duplicates exist
+    assert rows["by_id"]["n_leaked_groups"] > 0  # id-keyed split leaks
+    assert rows["by_content"]["n_leaked_groups"] == 0  # content-keyed cannot
