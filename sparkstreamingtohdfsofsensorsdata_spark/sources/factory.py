@@ -6,9 +6,12 @@ The file-replay source is the offline-testable stand-in for Kafka: a
 directory of parquet chunk files consumed ``maxFilesPerTrigger`` at a
 time gives a deterministic micro-batch sequence (SURVEY.md §5.3).
 
-``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark rejects; both
-batch and streaming readers take it as a raw long (legacy conf) and
-rebuild a microsecond TimestampType column — lossless on this data.
+``events.ts`` is TIMESTAMP(NANOS) parquet. Spark >= 4.1 reads it
+natively as TIMESTAMP_NTZ truncated to us (older releases needed the
+legacy nanosAsLong conf and delivered raw ns longs). Both batch and
+streaming readers normalize whatever arrives onto a plain microsecond
+TimestampType column — see ``tables._normalize_ts`` and the canary
+test guarding the 2024 value range on every path.
 """
 
 from __future__ import annotations
@@ -21,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..tables import load, table_path
+from ..tables import _normalize_ts, load, table_path
+
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -36,14 +40,18 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-# The pristine fixture file: ts is TIMESTAMP(NANOS), read as ns longs.
-EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
+# The pristine fixture file: ts is TIMESTAMP(NANOS); Spark 4.1+ reads
+# it as TIMESTAMP_NTZ truncated to us (the only supported mapping — the
+# legacy raw-ns-long conf is ignored by this runtime).
+EVENTS_RAW_SCHEMA = _events_schema(T.TimestampNTZType())
 # Files we re-write ourselves (replay chunks): ts is a normal us timestamp.
 EVENTS_TS_SCHEMA = _events_schema(T.TimestampType())
 
 
 def _finish_events(df: DataFrame) -> DataFrame:
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Normalize ``ts`` to TimestampType — same branch as the batch
+    loader, so stream and batch views of events are type-identical."""
+    return _normalize_ts(df)
 
 
 def batch_source(spark: SparkSession, sf_dir: str, table: str = "events") -> DataFrame:
@@ -61,11 +69,9 @@ def stream_source(
     chunk directory). Chunk the input + ``max_files_per_trigger=1`` to
     exercise true multi-micro-batch execution.
 
-    ``raw_ns=True`` reads the pristine fixture file (TIMESTAMP(NANOS) ->
-    ns longs -> rebuilt us timestamps); the default expects files this
-    engine wrote itself (normal us timestamps)."""
-    if raw_ns:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ``raw_ns=True`` reads the pristine fixture file (TIMESTAMP(NANOS)
+    -> NTZ us -> normalized to TimestampType); the default expects
+    files this engine wrote itself (normal us timestamps)."""
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA if raw_ns else EVENTS_TS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -11,8 +11,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.functions import expr, timestamp_micros
-from pyspark.sql.types import LongType
+from pyspark.sql.functions import col, expr, timestamp_micros
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -42,21 +42,40 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     callers express projections/filters declaratively on the returned
     DataFrame (verify with ``.explain()`` -> ``PushedFilters``).
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it as a
-    raw long via the legacy conf and rebuild a TimestampType column;
-    the fixture's values are us-aligned so ns->us floor division is
-    lossless and agrees exactly with the DuckDB oracle.
+    ``events.ts`` is stored as TIMESTAMP(NANOS) parquet. How Spark
+    surfaces that has changed across releases — older readers reject it
+    unless the legacy ``nanosAsLong`` conf maps it to raw ns longs;
+    Spark >= 4.1 reads it natively as TIMESTAMP_NTZ truncated to us
+    (and ignores the legacy conf). ``_normalize_ts`` branches on the
+    type the reader actually produced and lands every path on a plain
+    ``TimestampType`` (us instants) so downstream code — ``window()``,
+    watermarks, ``unix_micros`` — sees ONE timestamp type regardless of
+    the runtime. With the session TZ pinned UTC (registry/session) the
+    NTZ->LTZ cast is value-exact and agrees with the DuckDB oracle.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        return df
+        return _normalize_ts(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Land ``ts`` on TimestampType whatever the reader delivered.
+
+    Guarded by tests/test_canary.py: every read path must yield
+    2024-range instants — a silent 1970 collapse under a runtime bump
+    is the failure mode this exists to prevent.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # legacy nanosAsLong path: raw ns since epoch, us-aligned fixture
+        return df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        # Spark 4.1+ native ns read: NTZ us — exact LTZ cast under UTC
+        return df.withColumn("ts", col("ts").cast(TimestampType()))
+    return df
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:

@@ -1,0 +1,86 @@
+"""Timestamp canary (VERDICT r2 item 2): every read path of
+``events.ts`` must deliver 2024-range microsecond instants as a plain
+TimestampType column.
+
+Why this exists: the fixture stores ``ts`` as TIMESTAMP(NANOS) parquet,
+and how Spark surfaces that has changed across releases (raw ns longs
+under the legacy conf vs native TIMESTAMP_NTZ truncation under 4.1+).
+Between rounds 1 and 2 a runtime bump silently collapsed every
+streaming event onto ~1970-01-20 — watermarks, windows, and joins all
+kept "working" on garbage time. These tests make that failure mode a
+loud red X instead.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
+
+from sparkstreamingtohdfsofsensorsdata_spark.session import scratch_dir
+from sparkstreamingtohdfsofsensorsdata_spark.sources.factory import (
+    events_stream,
+    make_replay_dir,
+    stream_source,
+)
+from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _assert_2024_range(rows):
+    (row,) = rows
+    assert row["y_min"] == 2024 and row["y_max"] == 2024, (
+        f"events.ts collapsed out of the fixture's 2024 range: {row} — "
+        "a runtime bump likely changed how TIMESTAMP(NANOS) parquet is "
+        "read (see tables._normalize_ts)"
+    )
+
+
+def _year_bounds(df):
+    return df.agg(
+        F.year(F.min("ts")).alias("y_min"), F.year(F.max("ts")).alias("y_max")
+    )
+
+
+def _run_stream_bounds(spark, stream, name):
+    q = (
+        _year_bounds(stream.groupBy())
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).collect()
+
+
+def test_batch_load_ts_is_2024_us_timestamp(spark):
+    ev = load(spark, SF_DIR, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    _assert_2024_range(_year_bounds(ev).collect())
+    # us-instant sanity: epoch micros of 2024-01-01 is ~1.704e15
+    (mn,) = ev.agg(F.min(F.unix_micros("ts")).alias("m")).collect()
+    assert 1_700_000_000_000_000 < mn["m"] < 1_800_000_000_000_000
+
+
+def test_events_stream_ts_is_2024(spark):
+    stream = events_stream(spark, SF_DIR)
+    assert isinstance(stream.schema["ts"].dataType, TimestampType)
+    _assert_2024_range(_run_stream_bounds(spark, stream, "canary_raw_stream"))
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark):
+    out = scratch_dir("canary_replay_")
+    yield make_replay_dir(spark, SF_DIR, out, n_chunks=4)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_replay_chunk_stream_ts_is_2024(spark, replay_dir):
+    stream = stream_source(spark, replay_dir, max_files_per_trigger=1)
+    assert isinstance(stream.schema["ts"].dataType, TimestampType)
+    _assert_2024_range(_run_stream_bounds(spark, stream, "canary_replay_stream"))
