@@ -94,17 +94,24 @@ def main() -> None:
     spark.stop()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Persist the full map next to this script: harnesses that keep only
+    # a tail of stdout truncated the per-query timings in round 2
+    # (ADVICE.md) — the on-disk copy keeps every claim auditable.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json")
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    # ONE compact line on stdout (the driver contract); compact
+    # separators keep the line as small as a 131-key map can be.
+    print(json.dumps(payload, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

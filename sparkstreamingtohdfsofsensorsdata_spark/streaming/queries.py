@@ -211,14 +211,19 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique documents.
 
     The dedup key set is (source, hash), so the admitted set — and
-    therefore the funnel below — is order-independent: no matter which
+    therefore the funnel — is order-independent: no matter which
     arrival wins, the surviving (source, hash, token-count) triple is
     identical. State is one hash per unique (source, doc); with a real
     unbounded feed you bound it with dropDuplicatesWithinWatermark (the
     q_stream_dedup pattern) once re-crawl windows make exact history
-    unnecessary. The per-source funnel is aggregated batch-side from
-    the admitted stream (memory sink), keeping the streaming plan to
-    one stateful operator."""
+    unnecessary.
+
+    The per-source funnel aggregation runs INSIDE the streaming plan
+    (dedup -> groupBy, two chained stateful operators, complete mode),
+    so the driver-side memory sink only ever materializes one row per
+    source — never one row per document. At 100 TB the sink holds
+    |sources| rows while the heavy state (dedup hashes, running agg)
+    stays partitioned across executors' state stores."""
     from ..sources.factory import documents_stream
 
     docs = documents_stream(spark, sf_dir)
@@ -231,8 +236,8 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["source", "h"])
     )
-    out = run_to_memory(admitted, output_mode="append")
-    return out.groupBy("source").agg(
+    funnel = admitted.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_unique"),
         F.sum("toks").alias("tokens_total"),
     )
+    return run_to_memory(funnel, output_mode="complete")

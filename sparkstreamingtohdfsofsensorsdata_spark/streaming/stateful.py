@@ -98,10 +98,13 @@ def user_stats_tws(events):
     output mode.
 
     NOT REGISTERED as a driver query: the TWS state protocol needs the
-    `protobuf` package, absent from this offline environment (verified:
-    the pre-init worker dies on `google.protobuf` import). The plan
-    construction below is real; gate on protobuf at deploy time, same
-    as the Kafka connector in sources/factory.py."""
+    `protobuf` package, absent from this offline environment (verified
+    again round 3: `import google.protobuf` -> ModuleNotFoundError, and
+    package installs are forbidden here, so vendoring is not an option
+    either — protobuf's runtime is a compiled-descriptor machine, not a
+    stub-able shim). The plan construction below is real; gate on
+    protobuf at deploy time, same as the Kafka connector in
+    sources/factory.py."""
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (

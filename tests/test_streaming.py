@@ -382,3 +382,40 @@ def test_tws_plan_constructs(spark):
     assert df.schema.simpleString() == (
         "struct<user_id:bigint,n_events:bigint,max_value:double>"
     )
+
+
+def test_sliding_window_boundary_expansion(spark):
+    # The q_stream_sliding oracle hand-expands each event into EXACTLY
+    # two 30-min-slide buckets: floor(t/1800)*1800 and that minus 1800.
+    # Verify Spark's window(ts, 1h, 30m) agrees — including an instant
+    # exactly ON a slide boundary, which must land in starts {t, t-1800}
+    # (never t-3600: the window [t-3600, t) excludes t).
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 5, 12, 0, 0)  # exact 30-min mark
+    rows = [
+        ("on_boundary", base),
+        ("just_after", base + datetime.timedelta(microseconds=1)),
+        ("just_before", base - datetime.timedelta(microseconds=1)),
+        ("mid_bucket", base + datetime.timedelta(minutes=7)),
+    ]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp")
+    got = {
+        r["tag"]: sorted(r["starts"])
+        for r in df.groupBy("tag")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.window("ts", "1 hour", "30 minutes").start)
+            ).alias("starts")
+        )
+        .collect()
+    }
+    # batch window() emits one row per containing window via the same
+    # expansion streaming uses, so collect_list sees each window once
+    half = datetime.timedelta(minutes=30)
+    assert got["on_boundary"] == [base - half, base]
+    assert got["just_after"] == [base - half, base]
+    assert got["just_before"] == [base - 2 * half, base - half]
+    assert got["mid_bucket"] == [base - half, base]
