@@ -540,6 +540,105 @@ def q_llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_TARGET_FRACTION = 0.3  # expected overall sample share
+
+
+@query(
+    "q_llm_mix_sample",
+    oracle=f"""
+        WITH d AS (
+            SELECT source, doc_id,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
+            FROM documents
+        ),
+        c AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+        t AS (
+            SELECT CAST(sum(n_docs) AS DOUBLE)            AS n_total,
+                   sum(sqrt(CAST(n_docs AS DOUBLE)))      AS sum_sqrt
+            FROM c
+        ),
+        r AS (
+            SELECT source, n_docs,
+                   least(1.0, {MIX_TARGET_FRACTION} * n_total / sum_sqrt
+                              / sqrt(CAST(n_docs AS DOUBLE))) AS rate
+            FROM c CROSS JOIN t
+        ),
+        s AS (
+            SELECT d.source,
+                   count(*)                       AS n_sampled,
+                   CAST(sum(toks) AS BIGINT)      AS tokens_sampled
+            FROM d JOIN r USING (source)
+            WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                  / 65536.0 < rate
+            GROUP BY d.source
+        )
+        SELECT r.source,
+               CAST(r.n_docs AS BIGINT)                    AS n_docs,
+               round(r.rate, 6)                            AS rate,
+               CAST(coalesce(s.n_sampled, 0) AS BIGINT)    AS n_sampled,
+               CAST(coalesce(s.tokens_sampled, 0) AS BIGINT) AS tokens_sampled
+        FROM r LEFT JOIN s USING (source)
+    """,
+    description="Corpus mixture sampling: sqrt-weighted per-source rates, deterministic hash keep",
+    tags=("llm", "sample", "mixing"),
+)
+def q_llm_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing for training corpora: down-weight abundant sources
+    with square-root scaling (rate_s ∝ sqrt(n_s)/n_s, normalized so the
+    expected overall sample is ``MIX_TARGET_FRACTION`` of the corpus,
+    capped at 1). The rates are DATA-DRIVEN — a per-source count
+    aggregate plus a 1-row total, composed lazily via crossJoin exactly
+    like q_agg_histogram's bounds, never a driver-side collect — and
+    membership is the md5-threshold trick from q_sample_hash, so the
+    sampled set is reproducible on any cluster layout and bit-equal in
+    the DuckDB oracle.
+
+    Scale shape: the big table shuffles once (per-source count); the
+    20-row rate table broadcasts back onto the scan, and the keep
+    filter is a pure row function. At 100 TB this is one pass + one
+    tiny broadcast — the standard shape for corpus re-weighting."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.ceil(F.length("text") / 4.0).alias("toks"),
+    )
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").cast("double").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("sum_sqrt"),
+    )
+    r = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.lit(MIX_TARGET_FRACTION)
+            * F.col("n_total")
+            / F.col("sum_sqrt")
+            / F.sqrt(F.col("n_docs").cast("double")),
+        ).alias("rate"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("double") / F.lit(65536.0)
+    s = (
+        d.join(F.broadcast(r.select("source", "rate")), "source")
+        .filter(u < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("toks").alias("tokens_sampled"),
+        )
+    )
+    return r.join(s, "source", "left").select(
+        "source",
+        "n_docs",
+        F.round("rate", 6).alias("rate"),
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        F.coalesce("tokens_sampled", F.lit(0)).cast("long").alias("tokens_sampled"),
+    )
+
+
 BOILER_NGRAM = 6
 BOILER_MIN_DF = 2  # fixture-calibrated; real corpora use a DF fraction (e.g. 0.1%)
 

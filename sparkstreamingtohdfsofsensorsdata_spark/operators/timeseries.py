@@ -281,6 +281,57 @@ def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ts_session_window",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        tagged AS (
+            SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM ordered
+        )
+        SELECT CAST(min(ts) AS TIMESTAMP)  AS session_start,
+               user_id,
+               count(*)                    AS n_events,
+               round(sum(value), 6)        AS session_value
+        FROM tagged
+        GROUP BY user_id, sess_id
+    """,
+    description="Batch session_window aggregation (30m gap) — native gap-merge windows outside streaming",
+    tags=("timeseries", "session", "window"),
+)
+def q_ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in BATCH mode: Spark's gap-merge
+    window is not streaming-only, and in batch it replaces the
+    lag+running-sum sessionization (q_ts_sessionize) with a single
+    aggregation — one shuffle on user_id, merge happens inside the
+    aggregation operator, no window-function sort pass. Semantically
+    identical to the streaming twin (q_stream_session), so they share
+    the relational oracle; sub-second gap ties go the same way on both
+    engines because ``events.ts`` is us-unique in practice."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
     "q_ts_retention",
     oracle="""
         WITH act AS (

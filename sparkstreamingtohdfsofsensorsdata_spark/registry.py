@@ -92,10 +92,13 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_stream_sliding",
     "q_ts_sessionize",
     "q_ts_funnel",
-    # time-series, never checked
+    # time-series, never checked (q_ts_session_window is new in r3)
     "q_ts_gapfill",
     "q_ts_ohlc",
     "q_ts_retention",
+    "q_ts_session_window",
+    # new in r3: data-driven corpus mixture sampling
+    "q_llm_mix_sample",
     # golden TPC-H additions
     "q_tpch_q6",
     "q_tpch_q7",
