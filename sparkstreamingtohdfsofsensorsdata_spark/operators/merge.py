@@ -126,3 +126,29 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed.unionByName(opened).unionByName(untouched)
+
+
+def commit_scd2(spark: SparkSession, sf_dir: str, table: str = "customer_scd2") -> DataFrame:
+    """Commit the SCD-2 merge result to a catalog table via the V2
+    ``writeTo`` API — the deployment half the query-only key leaves
+    out. Against the built-in session catalog this is a
+    create-or-replace (atomic swap of the table definition + parquet
+    data); against a lakehouse catalog (Iceberg/Delta) the identical
+    call gives a transactional snapshot commit, and a true in-place
+    MERGE would replace the full rewrite with
+    ``overwritePartitions()`` on the changed partitions only.
+
+    Returns the table read BACK from the catalog, so callers (and the
+    round-trip test) verify the committed state, not the plan."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    result = q_merge_scd2(spark, sf_dir)
+    try:
+        result.writeTo(table).using("parquet").createOrReplace()
+    except AnalysisException:
+        # The built-in V1 session catalog rejects REPLACE TABLE AS
+        # SELECT (UNSUPPORTED_FEATURE.TABLE_OPERATION); its equivalent
+        # commit is the V1 overwrite-saveAsTable. A lakehouse catalog
+        # (Iceberg/Delta) takes the writeTo branch above.
+        result.write.mode("overwrite").format("parquet").saveAsTable(table)
+    return spark.table(table)

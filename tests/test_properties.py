@@ -197,3 +197,31 @@ def test_split_leakage_content_keyed_is_leak_free(spark):
     assert rows["by_id"]["n_dup_groups"] > 0  # injected duplicates exist
     assert rows["by_id"]["n_leaked_groups"] > 0  # id-keyed split leaks
     assert rows["by_content"]["n_leaked_groups"] == 0  # content-keyed cannot
+
+
+def test_scd2_writeto_commit_roundtrip(spark):
+    # The V2 writeTo commit path: the committed catalog table must hold
+    # exactly the merge result (rows + SCD-2 invariants), read back
+    # from the catalog rather than from the uncommitted plan.
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.merge import (
+        commit_scd2,
+        q_merge_scd2,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    expected = q_merge_scd2(spark, sf)
+    back = commit_scd2(spark, sf, table="customer_scd2_test")
+    try:
+        assert back.count() == expected.count()
+        # exactly one current row per key
+        from pyspark.sql import functions as F
+
+        per_key = back.groupBy("c_custkey").agg(
+            F.sum(F.col("is_current").cast("int")).alias("n_cur")
+        )
+        assert per_key.filter(F.col("n_cur") != 1).count() == 0
+        # history rows are closed, current rows are open-ended
+        assert back.filter(F.col("is_current") & F.col("valid_to").isNotNull()).count() == 0
+        assert back.filter(~F.col("is_current") & F.col("valid_to").isNull()).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS customer_scd2_test")
