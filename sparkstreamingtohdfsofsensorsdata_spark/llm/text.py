@@ -552,32 +552,28 @@ MIX_TARGET_FRACTION = 0.3  # expected overall sample share
             FROM documents
         ),
         c AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
-        t AS (
-            SELECT CAST(sum(n_docs) AS DOUBLE)            AS n_total,
-                   sum(sqrt(CAST(n_docs AS DOUBLE)))      AS sum_sqrt
-            FROM c
-        ),
         r AS (
             SELECT source, n_docs,
-                   least(1.0, {MIX_TARGET_FRACTION} * n_total / sum_sqrt
+                   least(1.0, {MIX_TARGET_FRACTION}
+                              * CAST(sum(n_docs) OVER () AS DOUBLE)
+                              / sum(sqrt(CAST(n_docs AS DOUBLE))) OVER ()
                               / sqrt(CAST(n_docs AS DOUBLE))) AS rate
-            FROM c CROSS JOIN t
+            FROM c
         ),
-        s AS (
-            SELECT d.source,
-                   count(*)                       AS n_sampled,
-                   CAST(sum(toks) AS BIGINT)      AS tokens_sampled
+        tagged AS (
+            SELECT d.source, toks, rate,
+                   CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                             / 65536.0 < rate
+                        THEN 1 ELSE 0 END AS keep
             FROM d JOIN r USING (source)
-            WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
-                  / 65536.0 < rate
-            GROUP BY d.source
         )
-        SELECT r.source,
-               CAST(r.n_docs AS BIGINT)                    AS n_docs,
-               round(r.rate, 6)                            AS rate,
-               CAST(coalesce(s.n_sampled, 0) AS BIGINT)    AS n_sampled,
-               CAST(coalesce(s.tokens_sampled, 0) AS BIGINT) AS tokens_sampled
-        FROM r LEFT JOIN s USING (source)
+        SELECT source,
+               CAST(count(*) AS BIGINT)            AS n_docs,
+               round(max(rate), 6)                 AS rate,
+               CAST(sum(keep) AS BIGINT)           AS n_sampled,
+               CAST(sum(keep * toks) AS BIGINT)    AS tokens_sampled
+        FROM tagged
+        GROUP BY source
     """,
     description="Corpus mixture sampling: sqrt-weighted per-source rates, deterministic hash keep",
     tags=("llm", "sample", "mixing"),
@@ -593,49 +589,47 @@ def q_llm_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled set is reproducible on any cluster layout and bit-equal in
     the DuckDB oracle.
 
-    Scale shape: the big table shuffles once (per-source count); the
-    20-row rate table broadcasts back onto the scan, and the keep
-    filter is a pure row function. At 100 TB this is one pass + one
-    tiny broadcast — the standard shape for corpus re-weighting."""
+    Scale shape: one narrow counting pass (source column only, pruned
+    at the scan) builds the 20-row rate table; one full pass joins the
+    broadcast rates on and aggregates keep flags — the rate subtree is
+    referenced ONCE, so nothing is recomputed, and the only wide
+    shuffle is the final per-source aggregation after map-side
+    combine. At 100 TB: two scans (one column-pruned), one broadcast,
+    one shuffle of |sources| rows."""
     d = load(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
         F.ceil(F.length("text") / 4.0).alias("toks"),
     )
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    t = c.agg(
-        F.sum("n_docs").cast("double").alias("n_total"),
-        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("sum_sqrt"),
-    )
-    r = c.crossJoin(F.broadcast(t)).select(
+    # Totals as a global window over the already-tiny per-source counts:
+    # referencing a separate 1-row aggregate would re-execute the count
+    # subtree (Catalyst does not share common subplans) — the window
+    # keeps the narrow scan single-pass at any corpus size, at the cost
+    # of one |sources|-row single-partition exchange.
+    wall = Window.partitionBy()
+    r = c.select(
         "source",
         "n_docs",
         F.least(
             F.lit(1.0),
             F.lit(MIX_TARGET_FRACTION)
-            * F.col("n_total")
-            / F.col("sum_sqrt")
+            * F.sum("n_docs").over(wall).cast("double")
+            / F.sum(F.sqrt(F.col("n_docs").cast("double"))).over(wall)
             / F.sqrt(F.col("n_docs").cast("double")),
         ).alias("rate"),
     )
     u = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("double") / F.lit(65536.0)
-    s = (
-        d.join(F.broadcast(r.select("source", "rate")), "source")
-        .filter(u < F.col("rate"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            F.sum("toks").alias("tokens_sampled"),
-        )
+    tagged = d.join(F.broadcast(r.select("source", "rate")), "source").withColumn(
+        "keep", (u < F.col("rate")).cast("long")
     )
-    return r.join(s, "source", "left").select(
-        "source",
-        "n_docs",
-        F.round("rate", 6).alias("rate"),
-        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
-        F.coalesce("tokens_sampled", F.lit(0)).cast("long").alias("tokens_sampled"),
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.max("rate"), 6).alias("rate"),
+        F.sum("keep").alias("n_sampled"),
+        F.sum(F.col("keep") * F.col("toks")).alias("tokens_sampled"),
     )
 
 

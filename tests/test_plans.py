@@ -292,3 +292,33 @@ def test_zorder_layout_skips_both_dimensions(spark):
     # the z-ordered layout prunes both dimensions
     assert scanned("zorder", "user") < total * 0.6
     assert scanned("zorder", "value") < total * 0.3
+
+
+def test_mix_sample_single_narrow_scan_plus_broadcast(spark):
+    # Mixture sampling must be two scans exactly — one full (doc_id,
+    # text, source) pass for tagging, one source-only pruned pass for
+    # the rate table — with the 20-row rates BROADCAST onto the big
+    # side. A third scan would mean the rate subtree is computed twice
+    # (the Catalyst no-common-subplan trap this query is shaped to
+    # avoid); a shuffled rate join would shuffle the corpus.
+    df = q(spark, "q_llm_mix_sample")
+    scans = inspect.read_schema_columns(df)
+    assert len(scans) == 2, scans
+    assert sorted(map(tuple, scans)) == [
+        ("doc_id", "text", "source"),
+        ("source",),
+    ] or sorted(map(tuple, scans), key=len) == [
+        ("source",),
+        ("doc_id", "text", "source"),
+    ], scans
+    assert inspect.has_broadcast_join(df)
+    assert inspect.has_partial_aggregation(df)
+
+
+def test_session_window_single_exchange(spark):
+    # Batch session_window: gap-merge happens inside the aggregation
+    # (MergingSessions), so the whole query pays ONE exchange on
+    # user_id — no window-function sort pass, no second shuffle.
+    text = inspect.plan_str(q(spark, "q_ts_session_window"))
+    assert "MergingSessions" in text
+    assert text.count("Exchange hashpartitioning") == 1
