@@ -145,6 +145,39 @@ def kafka_source(
     return _parse_json_events(raw)
 
 
+def rate_source(
+    spark: SparkSession, rows_per_second: int = 1000, num_partitions: int | None = None
+) -> DataFrame:
+    """Built-in rate source shaped to the canonical events schema — a
+    self-contained load generator for soak/perf testing the streaming
+    operators without Kafka or files. Deterministic per (timestamp,
+    value) pair, so downstream windowed aggregates are reproducible
+    for a fixed trigger sequence. The only streaming source here that
+    is fully exercisable offline besides the file replay."""
+    reader = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+    )
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", str(num_partitions))
+    raw = reader.load()  # schema: timestamp TIMESTAMP, value LONG
+    event_types = F.array(
+        *[F.lit(t) for t in ("click", "purchase", "error", "signup", "view")]
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 1000).alias("user_id"),
+        F.element_at(event_types, (F.col("value") % 5 + 1).cast("int")).alias(
+            "event_type"
+        ),
+        (F.pmod(F.hash("value"), F.lit(10000)) / 100.0).alias("value"),
+        F.to_json(F.struct((F.col("value") % 100).cast("int").alias("k"))).alias(
+            "props"
+        ),
+    )
+
+
 def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
     """Socket text source (SURVEY §2.1), one JSON event per line — same
     downstream schema as the Kafka and file-replay sources.

@@ -84,3 +84,43 @@ def test_replay_chunk_stream_ts_is_2024(spark, replay_dir):
     stream = stream_source(spark, replay_dir, max_files_per_trigger=1)
     assert isinstance(stream.schema["ts"].dataType, TimestampType)
     _assert_2024_range(_run_stream_bounds(spark, stream, "canary_replay_stream"))
+
+
+def test_rate_source_produces_canonical_events(spark):
+    # The rate source must emit the same schema as every other events
+    # source (the whole point of the factory), and actually produce
+    # rows offline — it is the one non-file streaming source that can
+    # be exercised without external infrastructure.
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtohdfsofsensorsdata_spark.sources.factory import (
+        EVENTS_TS_SCHEMA,
+        rate_source,
+    )
+
+    stream = rate_source(spark, rows_per_second=500, num_partitions=2)
+    assert [f.name for f in stream.schema.fields] == [
+        f.name for f in EVENTS_TS_SCHEMA.fields
+    ]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("canary_rate")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table("canary_rate").count() > 0:
+                break
+            time.sleep(0.5)
+        out = spark.table("canary_rate")
+        assert out.count() > 0
+        types = {r[0] for r in out.select("event_type").distinct().collect()}
+        assert types <= {"click", "purchase", "error", "signup", "view"}
+        assert out.filter(F.col("props").rlike('^\\{"k":\\d+\\}$')).count() == out.count()
+    finally:
+        q.stop()
