@@ -298,37 +298,53 @@ def test_session_window_drops_late_data(spark, tmp_path):
 def test_stream_stream_join_drops_late_side(spark, tmp_path):
     """Stream-stream join under a TIGHT watermark: view-side state is
     evicted once the watermark passes ts + the join bound, so views
-    arriving 15+ days late must not produce new join rows."""
+    arriving 15+ days late must not produce new join rows.
+
+    The body retries once on *pyspark* errors only: four state stores
+    per partition make this the suite's most runtime-sensitive query,
+    and it has flaked (~1 in 4 full-suite runs) on engine-side errors
+    under load. Assertion failures — the semantic check — never retry.
+    """
     ev = load(spark, SF_DIR, "events")
     recent = ev.filter(F.col("ts") >= F.lit("2024-01-20"))
     old_views = ev.filter(
         (F.col("ts") < F.lit("2024-01-05")) & (F.col("event_type") == "view")
     )
     assert old_views.count() > 0
-    src = tmp_path / "src"
-    src.mkdir()
-    _write_chunk(recent, str(src / "a_recent.parquet"))
 
-    joined = ops.purchases_joined_views(
-        stream_source(spark, str(src)), watermark="10 minutes"
-    )
     import uuid
 
-    name = f"latejoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    from pyspark.errors.exceptions.base import PySparkException
+    from pyspark.errors.exceptions.captured import CapturedException
+
+    def attempt(src) -> tuple[int, int]:
+        src.mkdir()
+        _write_chunk(recent, str(src / "a_recent.parquet"))
+        joined = ops.purchases_joined_views(
+            stream_source(spark, str(src)), watermark="10 minutes"
+        )
+        name = f"latejoin_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_before = spark.table(name).count()
+            _write_chunk(old_views, str(src / "b_oldviews.parquet"))
+            q.processAllAvailable()
+            n_after = spark.table(name).count()
+        finally:
+            q.stop()
+        return n_before, n_after
+
     try:
-        q.processAllAvailable()
-        n_before = spark.table(name).count()
-        _write_chunk(old_views, str(src / "b_oldviews.parquet"))
-        q.processAllAvailable()
-        n_after = spark.table(name).count()
-    finally:
-        q.stop()
+        n_before, n_after = attempt(tmp_path / "src")
+    except (PySparkException, CapturedException) as exc:
+        print(f"stream-stream late-side attempt 1 infra error, retrying: {exc}")
+        n_before, n_after = attempt(tmp_path / "src_retry")
     assert n_after == n_before
 
 
