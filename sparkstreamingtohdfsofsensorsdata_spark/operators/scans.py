@@ -112,6 +112,65 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_fragmented_events(spark: SparkSession, sf_dir: str, out: str, n_frags: int = 16) -> None:
+    """Simulate a streaming sink's small-file problem: every micro-batch
+    task writes its own file into each day partition."""
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    ev.repartition(n_frags).write.mode("overwrite").partitionBy("event_date").parquet(out)
+
+
+def compact_partitions(spark: SparkSession, frag_dir: str, out: str) -> None:
+    """The OPTIMIZE/compaction maintenance op: rewrite a partitioned
+    dataset so each partition holds one right-sized file. Hash
+    repartition on the partition column sends each day to exactly one
+    task, so each day directory compacts to a single file; at real
+    scale add ``maxRecordsPerFile`` so huge days split into N
+    target-size files instead of one giant one."""
+    back = spark.read.parquet(frag_dir)
+    (
+        back.repartition("event_date")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 50_000_000)
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+
+
+@query(
+    "q_sink_compact",
+    oracle="""
+        SELECT event_type,
+               count(*)             AS n,
+               round(sum(value), 6) AS value_sum,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        FROM events
+        GROUP BY event_type
+    """,
+    description="Small-file compaction (OPTIMIZE): fragmented partitioned sink rewritten to one file per partition, lossless",
+    tags=("scan", "sink", "compaction"),
+)
+def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files maintenance for streaming sinks: a micro-batched
+    writer leaves task-count x day-count files (here 16 per day);
+    compaction rewrites each day to a single right-sized file. Readers
+    of the compacted layout pay one file open per day instead of 16 —
+    at 100 TB the difference between a listing-bound and a scan-bound
+    query. The round-trip aggregate proves losslessness against the
+    source-of-truth oracle; tests/test_plans gates the file counts."""
+    from ..session import scratch_dir
+
+    base = scratch_dir("compact_")
+    frag, packed = f"{base}/frag", f"{base}/packed"
+    write_fragmented_events(spark, sf_dir, frag)
+    compact_partitions(spark, frag, packed)
+    back = spark.read.parquet(packed)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+        F.countDistinct("event_date").alias("n_days"),
+    )
+
+
 @query(
     "q_scan_orc",
     oracle="""

@@ -97,8 +97,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_ts_ohlc",
     "q_ts_retention",
     "q_ts_session_window",
-    # new in r3: data-driven corpus mixture sampling
+    # new in r3: data-driven corpus mixture sampling + compaction
     "q_llm_mix_sample",
+    "q_sink_compact",
     # golden TPC-H additions
     "q_tpch_q6",
     "q_tpch_q7",

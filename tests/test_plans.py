@@ -322,3 +322,35 @@ def test_session_window_single_exchange(spark):
     text = inspect.plan_str(q(spark, "q_ts_session_window"))
     assert "MergingSessions" in text
     assert text.count("Exchange hashpartitioning") == 1
+
+
+def test_compaction_one_file_per_partition(spark):
+    # The fragmented layout must actually be fragmented (16 writer
+    # tasks x day) and the compacted layout must hold exactly ONE data
+    # file per day directory — otherwise the op isn't doing anything.
+    import glob
+    import os
+
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.scans import (
+        compact_partitions,
+        write_fragmented_events,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.session import scratch_dir
+
+    base = scratch_dir("compact_gate_")
+    frag, packed = f"{base}/frag", f"{base}/packed"
+    write_fragmented_events(spark, SF, frag)
+    compact_partitions(spark, frag, packed)
+
+    def files_per_day(root):
+        return {
+            d: len(glob.glob(os.path.join(root, d, "*.parquet")))
+            for d in os.listdir(root)
+            if d.startswith("event_date=")
+        }
+
+    frag_counts = files_per_day(frag)
+    packed_counts = files_per_day(packed)
+    assert frag_counts and max(frag_counts.values()) > 1
+    assert packed_counts.keys() == frag_counts.keys()
+    assert set(packed_counts.values()) == {1}, packed_counts
