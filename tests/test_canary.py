@@ -111,9 +111,10 @@ def test_rate_source_produces_canonical_events(spark):
     try:
         import time
 
+        # Plain polling, NOT processAllAvailable: a rate source
+        # generates forever, so "all available" can chase its tail.
         deadline = time.time() + 60
         while time.time() < deadline:
-            q.processAllAvailable()
             if spark.table("canary_rate").count() > 0:
                 break
             time.sleep(0.5)
