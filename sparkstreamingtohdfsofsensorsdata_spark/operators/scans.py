@@ -63,6 +63,67 @@ def q_scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_text_lines",
+    oracle="""
+        SELECT event_type,
+               count(*)                       AS n,
+               round(sum(value), 6)           AS value_sum,
+               CAST(sum(user_id) AS BIGINT)   AS user_sum,
+               CAST(max(epoch_us(date_trunc('second', ts)) // 1000000 * 1000000
+                    ) AS BIGINT)              AS max_sec_us
+        FROM events
+        GROUP BY event_type
+    """,
+    description="Raw delimited text-line ingest: write pipe-delimited sensor lines, split-parse back (the reference's parse map)",
+    tags=("scan", "text", "ingest"),
+)
+def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core ingest shape: sensor records as raw
+    delimited TEXT lines, parsed with an explicit split + per-field
+    cast (never inferSchema). Events are serialized to pipe-delimited
+    lines (deterministic field formatting), written with the text
+    sink, read back as one string column, and parsed into the typed
+    schema — the aggregate proves the parse round-trips every field
+    (doubles via Java shortest-repr round-trip; timestamps truncated
+    to whole seconds, the §1.3 rule).
+
+    Scale shape: text write/read is line-splittable, so parsing
+    parallelizes per input split like any scan; the parse is pure
+    row-local JVM work (split + casts), no Python."""
+    from ..session import scratch_dir
+
+    out = scratch_dir("text_lines_")
+    ev = load(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.date_format(F.date_trunc("second", "ts"), "yyyy-MM-dd HH:mm:ss"),
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.col("value").cast("string"),
+            "props",
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    p = F.split(F.col("value"), "\\|")
+    parsed = spark.read.text(out).select(
+        p.getItem(0).cast("long").alias("event_id"),
+        F.to_timestamp(p.getItem(1)).alias("ts"),
+        p.getItem(2).cast("long").alias("user_id"),
+        p.getItem(3).alias("event_type"),
+        p.getItem(4).cast("double").alias("value"),
+        p.getItem(5).alias("props"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+        F.sum("user_id").alias("user_sum"),
+        F.max(F.unix_micros("ts")).alias("max_sec_us"),
+    )
+
+
+@query(
     "q_sink_partitioned",
     oracle="""
         SELECT event_type,

@@ -100,6 +100,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # new in r3: data-driven corpus mixture sampling + compaction
     "q_llm_mix_sample",
     "q_sink_compact",
+    "q_scan_text_lines",
     # golden TPC-H additions
     "q_tpch_q6",
     "q_tpch_q7",
