@@ -577,6 +577,19 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    labels = _cc_labels(spark, sf_dir)
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation over the banded-SimHash edge set (see
+    q_llm_dedup_clusters docstring): returns (node, label) for every
+    node that appears in at least one near-dup pair."""
     pairs = _simhash_banded_pairs(spark, sf_dir).select("id_a", "id_b")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -616,9 +629,79 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.select(F.col("node"), F.col("new_label").alias("label"))
         if changed == 0:
             break
-    w = Window.partitionBy("label")
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    return labels
+
+
+@query(
+    "q_llm_dedup_keep",
+    oracle=f"""
+        WITH RECURSIVE s AS (
+            {SIMHASH_ORACLE_CTE.format(where="")}
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bv FROM s" for b in range(SIMHASH_BANDS))}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        dropped AS (
+            SELECT node AS doc_id FROM reach
+            GROUP BY node HAVING min(lbl) <> node
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT)  AS n_docs,
+               CAST(count(*) - count(x.doc_id) AS BIGINT) AS n_kept,
+               CAST(count(x.doc_id) AS BIGINT)            AS n_dropped,
+               CAST(sum(CASE WHEN x.doc_id IS NULL
+                             THEN CAST(ceil(length(d.text) / 4.0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT)       AS tokens_kept
+        FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
+        GROUP BY d.source
+    """,
+    description="Dedup keep-one: canonical doc per near-dup cluster survives, per-source funnel of the kept corpus",
+    tags=("llm", "dedup", "graph"),
+)
+def q_llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's last step: materialize the KEPT corpus.
+    Cluster id = min reachable doc_id, so the canonical survivor of a
+    cluster is exactly the node whose label equals itself; every other
+    clustered node drops. Non-clustered docs (no near-dup edge) pass
+    through untouched — pair emission alone would over-delete them.
+
+    Scale shape: the drop set (cluster members minus canonicals) is a
+    small fraction of the corpus by construction, so it broadcasts
+    into a left join against the full documents scan; the CC labels
+    are the q_llm_dedup_clusters iteration reused as a library
+    function. One full scan + one broadcast + one per-source
+    aggregation."""
+    labels = _cc_labels(spark, sf_dir)
+    dropped = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id"), F.lit(True).alias("is_dup")
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.ceil(F.length("text") / 4.0).alias("toks")
+    )
+    flagged = docs.join(F.broadcast(dropped), "doc_id", "left").withColumn(
+        "kept", F.col("is_dup").isNull()
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+        F.sum(F.when(F.col("kept"), F.col("toks")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
     )

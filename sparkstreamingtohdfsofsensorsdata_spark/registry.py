@@ -101,6 +101,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_mix_sample",
     "q_sink_compact",
     "q_scan_text_lines",
+    "q_llm_dedup_keep",
     # golden TPC-H additions
     "q_tpch_q6",
     "q_tpch_q7",
