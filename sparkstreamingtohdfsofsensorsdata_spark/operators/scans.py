@@ -233,6 +233,53 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_dpp",
+    oracle="""
+        SELECT event_type,
+               count(*)             AS n,
+               round(sum(value), 6) AS value_sum
+        FROM events
+        WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        GROUP BY event_type
+    """,
+    description="Dynamic partition pruning: dim-side predicate prunes fact partitions at runtime (plan-gated)",
+    tags=("join", "partitioning", "dpp"),
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, the star-schema scale feature: the
+    fact side is date-partitioned, the date dimension carries a
+    weekend flag the fact side cannot know statically, and Catalyst
+    injects the dim's surviving keys as a runtime PartitionFilter
+    (``dynamicpruningexpression`` + SubqueryAdaptiveBroadcast) — so a
+    100 TB fact scan opens only the partitions the filtered dimension
+    admits, with zero literal dates in the query. Weekend numbering:
+    Spark ``dayofweek`` is 1=Sunday..7=Saturday, DuckDB's is
+    0=Sunday..6=Saturday — the oracle mirrors (1,7) as (0,6).
+    tests/test_plans gates the dynamic filter's presence."""
+    from ..session import scratch_dir
+
+    out = scratch_dir("dpp_sink_")
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    ev.sortWithinPartitions("event_date").write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    date_dim = (
+        ev.select("event_date")
+        .distinct()
+        .withColumn("is_peak", F.dayofweek("event_date").isin(1, 7))
+    )
+    return (
+        fact.join(date_dim.filter(F.col("is_peak")), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+
+
+@query(
     "q_scan_orc",
     oracle="""
         SELECT l_returnflag,

@@ -102,6 +102,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_sink_compact",
     "q_scan_text_lines",
     "q_llm_dedup_keep",
+    "q_join_dpp",
     # golden TPC-H additions
     "q_tpch_q6",
     "q_tpch_q7",

@@ -354,3 +354,11 @@ def test_compaction_one_file_per_partition(spark):
     assert frag_counts and max(frag_counts.values()) > 1
     assert packed_counts.keys() == frag_counts.keys()
     assert set(packed_counts.values()) == {1}, packed_counts
+
+
+def test_dpp_injects_dynamic_partition_filter(spark):
+    # The fact scan must carry a dynamicpruningexpression in its
+    # PartitionFilters — proof the dim predicate prunes fact partitions
+    # at runtime rather than after a full scan.
+    text = inspect.plan_str(q(spark, "q_join_dpp"))
+    assert "dynamicpruning" in text, "no dynamic partition pruning in plan"
