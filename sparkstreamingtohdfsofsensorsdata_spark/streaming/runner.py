@@ -23,7 +23,18 @@ from pyspark.sql import functions as F
 from ..session import scratch_dir
 
 
-def _prepare_streaming_session(result: DataFrame) -> None:
+# State partitions for the run-to-completion replay queries. The number
+# of shuffle partitions at stream START fixes the per-operator state
+# store count for the checkpoint's lifetime — it is a DEPLOYMENT knob,
+# not an optimizer decision (AQE never re-plans stateful streaming). On
+# a real cluster size it ~2-3x executor count so state shards across
+# the fleet; on this single node, 32 HDFS-backed stores per stateful
+# operator is pure setup/commit overhead (measured: tumbling 7.0s ->
+# 0.8s, stream-stream join 5.3s -> 2.1s going 32 -> 8).
+STREAM_STATE_PARTITIONS = 8
+
+
+def _prepare_streaming_session(result: DataFrame) -> str:
     """Per-query confs that must hold regardless of who built the session.
 
     Checkpoint file checksums (Spark 4.1's ChecksumCheckpointFileManager)
@@ -31,10 +42,20 @@ def _prepare_streaming_session(result: DataFrame) -> None:
     sequential streaming queries in one session its state-store writes
     block indefinitely (observed: a 16s stream-stream join never
     completing). Checkpoint durability does not depend on them — disable.
-    """
-    result.sparkSession.conf.set(
-        "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"
-    )
+
+    Also caps shuffle partitions at ``STREAM_STATE_PARTITIONS`` for the
+    duration of the streaming query (state-store sizing, above).
+    Returns the previous shuffle-partition setting so the caller can
+    restore it for subsequent batch plans."""
+    conf = result.sparkSession.conf
+    conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    prev = conf.get("spark.sql.shuffle.partitions")
+    try:
+        cap = min(STREAM_STATE_PARTITIONS, int(prev))
+    except (TypeError, ValueError):
+        cap = STREAM_STATE_PARTITIONS
+    conf.set("spark.sql.shuffle.partitions", str(cap))
+    return prev
 
 
 def run_to_memory(
@@ -52,7 +73,7 @@ def run_to_memory(
     never for raw 100 TB passthrough — that's what the file sink is
     for.)
     """
-    _prepare_streaming_session(result)
+    prev_parts = _prepare_streaming_session(result)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     # Explicit tmpfs checkpoint: state-store commits are fsync-heavy and
     # this checkpoint is run-scoped (availableNow to completion), so RAM
@@ -80,6 +101,7 @@ def run_to_memory(
         if q.isActive:
             q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+        result.sparkSession.conf.set("spark.sql.shuffle.partitions", prev_parts)
     spark = result.sparkSession
     return spark.table(name)
 
@@ -98,7 +120,7 @@ def write_file_sink(
     a crashed batch never exposes partial output, and restarting with
     the same checkpoint resumes from committed offsets.
     """
-    _prepare_streaming_session(result)
+    prev_parts = _prepare_streaming_session(result)
     writer = (
         result.writeStream.outputMode(output_mode)
         .format("parquet")
@@ -115,6 +137,7 @@ def write_file_sink(
     finally:
         if q.isActive:
             q.stop()
+        result.sparkSession.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def run_foreach_batch(
@@ -125,7 +148,7 @@ def run_foreach_batch(
     """foreachBatch sink: hands each micro-batch to ``fn(df, epoch_id)``
     as a batch DataFrame — the idiomatic escape hatch for sinks without
     native streaming support (JDBC, MERGE targets)."""
-    _prepare_streaming_session(result)
+    prev_parts = _prepare_streaming_session(result)
     q = (
         result.writeStream.outputMode(output_mode)
         .foreachBatch(fn)
@@ -138,6 +161,7 @@ def run_foreach_batch(
     finally:
         if q.isActive:
             q.stop()
+        result.sparkSession.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def add_event_date(events: DataFrame) -> DataFrame:
