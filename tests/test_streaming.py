@@ -435,3 +435,44 @@ def test_sliding_window_boundary_expansion(spark):
     assert got["just_after"] == [base - half, base]
     assert got["just_before"] == [base - 2 * half, base - half]
     assert got["mid_bucket"] == [base - half, base]
+
+
+def test_observe_metrics_on_stream(spark, replay_dir):
+    # df.observe(): per-micro-batch pipeline observability (row counts,
+    # value sums) riding the query itself — no second pass over the
+    # data, works identically on batch plans. The production consumer
+    # is a StreamingQueryListener; here the final progress event is
+    # asserted directly.
+    from pyspark.sql import Observation
+
+    stream = (
+        stream_source(spark, replay_dir, max_files_per_trigger=3)
+        .observe(
+            "ingest_metrics",
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("value").alias("value_total"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    import uuid
+
+    name = f"obs_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300)
+        progresses = [p for p in q.recentProgress if p and p.get("observedMetrics")]
+        assert progresses, "no observed metrics in any progress event"
+        total_rows = sum(
+            p["observedMetrics"]["ingest_metrics"]["rows"] for p in progresses
+        )
+        ev = load(spark, SF_DIR, "events")
+        assert total_rows == ev.count()
+    finally:
+        q.stop()
