@@ -103,6 +103,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_scan_text_lines",
     "q_llm_dedup_keep",
     "q_join_dpp",
+    "q_stream_foreach_upsert",
     # golden TPC-H additions
     "q_tpch_q6",
     "q_tpch_q7",

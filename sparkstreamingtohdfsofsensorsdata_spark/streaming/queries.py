@@ -241,3 +241,90 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").alias("tokens_total"),
     )
     return run_to_memory(funnel, output_mode="complete")
+
+
+@query(
+    "q_stream_foreach_upsert",
+    oracle="""
+        SELECT user_id,
+               arg_max(value, event_id)        AS value,
+               CAST(max(event_id) AS BIGINT)   AS event_id
+        FROM events
+        GROUP BY user_id
+    """,
+    description="foreachBatch streaming upsert: per-epoch merge into a snapshot-pointer table (idempotent commit protocol)",
+    tags=("streaming", "sink", "merge"),
+)
+def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical production sink pattern Spark leaves to the user:
+    stream deltas MERGEd into a warehouse table via ``foreachBatch``,
+    made exactly-once with a snapshot-pointer commit protocol (the
+    minimal form of a lakehouse transaction log):
+
+    - each epoch writes a NEW immutable snapshot directory
+      ``v<epoch_id>`` holding current-state = merge(previous snapshot,
+      this batch's winners);
+    - a one-line pointer file is atomically replaced (os.replace) to
+      publish it — readers resolve the pointer, so they only ever see
+      a fully-committed snapshot;
+    - reprocessing an epoch after a crash rewrites the SAME ``v<N>``
+      directory and repoints — idempotent, because the epoch id names
+      the snapshot (this is exactly how foreachBatch docs recommend
+      achieving exactly-once on non-transactional stores).
+
+    The replay is chunked (maxFilesPerTrigger=1 over 4 chunks) so the
+    merge genuinely runs across multiple epochs with state carried
+    through the published snapshots, not inside one batch. Merge keys
+    are user_id; the winner per key is the highest event_id seen — an
+    SCD-1 "latest value" dimension. At 100 TB each epoch's merge is
+    one key-partitioned join of snapshot x batch (both parquet), and
+    the pointer swap is O(1) regardless of table size."""
+    import os
+
+    from ..sources.factory import make_replay_dir, stream_source
+
+    base = scratch_dir("upsert_")
+    replay = make_replay_dir(spark, sf_dir, os.path.join(base, "replay"), n_chunks=4)
+    pointer = os.path.join(base, "CURRENT")
+
+    def read_current(s: SparkSession) -> DataFrame | None:
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as fh:
+            path = fh.read().strip()
+        return s.read.parquet(path)
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        best = batch_df.groupBy("user_id").agg(
+            F.max_by("value", "event_id").alias("value"),
+            F.max("event_id").alias("event_id"),
+        )
+        cur = read_current(s)
+        if cur is not None:
+            merged = (
+                cur.unionByName(best)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by("value", "event_id").alias("value"),
+                    F.max("event_id").alias("event_id"),
+                )
+            )
+        else:
+            merged = best
+        snap = os.path.join(base, f"v{epoch_id}")
+        merged.write.mode("overwrite").parquet(snap)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(snap)
+        os.replace(tmp, pointer)
+
+    from .runner import run_foreach_batch
+
+    deltas = stream_source(spark, replay, max_files_per_trigger=1).select(
+        "user_id", "event_id", "value"
+    )
+    run_foreach_batch(deltas, upsert)
+    final = read_current(spark)
+    assert final is not None, "no snapshot was published"
+    return final.select("user_id", "value", "event_id")
