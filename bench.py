@@ -58,6 +58,33 @@ def _run_one(spec, spark, sf_dir: str) -> float:
     return elapsed
 
 
+_STDOUT_BUDGET = 1800  # bytes; observed harness tail window is 2000
+
+
+def _stdout_line(payload: dict) -> dict:
+    """Shrink ``payload`` until its compact-JSON form fits the harness's
+    stdout tail window, keeping the slowest queries (the ones regression
+    checks compare) and dropping from the cheap end first.
+    """
+    ranked = sorted(payload["queries"].items(), key=lambda kv: -kv[1])
+    keep = len(ranked)
+    while keep > 0:
+        line = {
+            "metric": payload["metric"],
+            "value": payload["value"],
+            "unit": payload["unit"],
+            "sf": payload["sf"],
+            "queries_total": len(ranked),
+            "queries_omitted": len(ranked) - keep,
+            "queries_full": "bench_last.json",
+            "queries": dict(sorted(ranked[:keep])),
+        }
+        if len(json.dumps(line, separators=(",", ":"))) <= _STDOUT_BUDGET:
+            return line
+        keep -= 1
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -108,9 +135,15 @@ def main() -> None:
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    # ONE compact line on stdout (the driver contract); compact
-    # separators keep the line as small as a 131-key map can be.
-    print(json.dumps(payload, separators=(",", ":")))
+    # ONE compact line on stdout (the driver contract). The observed
+    # harness stores only the LAST 2000 bytes of stdout, and the full
+    # 138-key map cannot fit (the key names alone total >2000 bytes), so
+    # rounds 1-3 recorded `parsed: null` with a head-truncated line. Emit
+    # instead a line guaranteed to fit: headline numbers plus as many of
+    # the slowest per-query timings as the byte budget allows (the tail
+    # of the cost distribution is what regression checks look at), with
+    # an explicit omission count and a pointer to the committed full map.
+    print(json.dumps(_stdout_line(payload), separators=(",", ":")))
     sys.stdout.flush()
 
 

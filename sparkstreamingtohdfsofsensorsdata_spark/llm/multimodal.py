@@ -62,7 +62,7 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": payload.str.len().astype("int64"),
-                "head_byte": payload.apply(lambda b: b[0]).astype("int32"),
+                "head_byte": payload.str[0].astype("int32"),
                 "width": pdf["meta_width"],
                 "height": pdf["meta_height"],
             }

@@ -89,31 +89,55 @@ def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: text write/read is line-splittable, so parsing
     parallelizes per input split like any scan; the parse is pure
-    row-local JVM work (split + casts), no Python."""
+    row-local JVM work (split + casts), no Python.
+
+    Format contract (round-3 ADVICE): every field is written through a
+    ``\\N`` null sentinel, so NULLs keep their slot instead of being
+    silently dropped by concat_ws (which would shift every later field
+    left); the parser re-asserts ``size(split) == 6`` per line and
+    raises on violation, so a stray delimiter inside a field fails
+    loudly instead of misaligning quietly."""
     from ..session import scratch_dir
 
     out = scratch_dir("text_lines_")
     ev = load(spark, sf_dir, "events")
+    NULL_SENTINEL = "\\N"  # classic Hive text-format null marker
+
+    def sentinel(col) -> F.Column:
+        return F.coalesce(col.cast("string"), F.lit(NULL_SENTINEL))
+
     lines = ev.select(
         F.concat_ws(
             "|",
-            F.col("event_id").cast("string"),
-            F.date_format(F.date_trunc("second", "ts"), "yyyy-MM-dd HH:mm:ss"),
-            F.col("user_id").cast("string"),
-            "event_type",
-            F.col("value").cast("string"),
-            "props",
+            sentinel(F.col("event_id")),
+            sentinel(
+                F.date_format(F.date_trunc("second", "ts"), "yyyy-MM-dd HH:mm:ss")
+            ),
+            sentinel(F.col("user_id")),
+            sentinel(F.col("event_type")),
+            sentinel(F.col("value")),
+            sentinel(F.col("props")),
         ).alias("value")
     )
     lines.write.mode("overwrite").text(out)
-    p = F.split(F.col("value"), "\\|")
+    p = F.split(F.col("value"), "\\|", -1)
+
+    def fld(i: int) -> F.Column:
+        return F.nullif(p.getItem(i), F.lit(NULL_SENTINEL))
+
+    # The guard rides the first parsed column (a pruned-away assert
+    # column would be optimized out): wrong field count => loud error
+    # carrying the offending line, never a silent left-shift.
+    guarded_id = F.when(F.size(p) == 6, fld(0)).otherwise(
+        F.raise_error(F.concat(F.lit("malformed text line: "), F.col("value")))
+    )
     parsed = spark.read.text(out).select(
-        p.getItem(0).cast("long").alias("event_id"),
-        F.to_timestamp(p.getItem(1)).alias("ts"),
-        p.getItem(2).cast("long").alias("user_id"),
-        p.getItem(3).alias("event_type"),
-        p.getItem(4).cast("double").alias("value"),
-        p.getItem(5).alias("props"),
+        guarded_id.cast("long").alias("event_id"),
+        F.to_timestamp(fld(1)).alias("ts"),
+        fld(2).cast("long").alias("user_id"),
+        fld(3).alias("event_type"),
+        fld(4).cast("double").alias("value"),
+        fld(5).alias("props"),
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

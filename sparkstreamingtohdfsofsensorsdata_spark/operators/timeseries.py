@@ -313,8 +313,11 @@ def q_ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — one shuffle on user_id, merge happens inside the
     aggregation operator, no window-function sort pass. Semantically
     identical to the streaming twin (q_stream_session), so they share
-    the relational oracle; sub-second gap ties go the same way on both
-    engines because ``events.ts`` is us-unique in practice."""
+    the relational oracle. Boundary semantics (pinned by
+    tests/test_streaming.py::test_session_window_exact_gap_merges):
+    Spark's merge is end-inclusive — an event at exactly last_ts + gap
+    merges, only gap + 1us splits — which is the oracle's strict
+    ``diff > 1800`` new-session condition, on any data."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")

@@ -90,7 +90,12 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # File count is a driver-side FileIndex lookup — unlike
+    # df.rdd.getNumPartitions() it never converts the logical plan to an
+    # RDD. It lower-bounds the split count (a file larger than
+    # maxPartitionBytes splits further), so the only miss is a narrow
+    # extra shuffle when few-but-huge files already split wide enough.
+    if len(df.inputFiles()) >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
 

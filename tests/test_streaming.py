@@ -400,6 +400,77 @@ def test_tws_plan_constructs(spark):
     )
 
 
+def test_tws_runtime_end_to_end(spark):
+    # Runtime twin of test_tws_plan_constructs: executes the processor
+    # (state reads/writes, per-key fold) instead of just building the
+    # plan. The TWS state protocol imports protobuf at runtime, absent
+    # from this offline sandbox — the skip arms the test automatically
+    # wherever protobuf exists (any real Spark 4 deployment).
+    pytest.importorskip(
+        "google.protobuf", reason="TWS state protocol requires protobuf"
+    )
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtohdfsofsensorsdata_spark.sources.factory import (
+        events_stream,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.streaming.runner import (
+        run_to_memory,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.streaming.stateful import (
+        user_stats_tws,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    out = run_to_memory(user_stats_tws(events_stream(spark, sf)), "update")
+    # Update mode emits one row per key per micro-batch; both stats are
+    # monotone folds, so max() recovers each key's final emission.
+    got = sorted(
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("max_value").alias("mx"))
+        .collect()
+    )
+    want = sorted(
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("value"), 6).alias("mx"),
+        )
+        .collect()
+    )
+    assert got == want
+
+
+def test_session_window_exact_gap_merges(spark):
+    # Oracle-boundary pin for q_ts_session_window / q_stream_session
+    # (round-3 ADVICE flagged the `diff > 1800` oracle as a suspected
+    # mismatch): Spark's session merge is END-INCLUSIVE — an event at
+    # exactly last_ts + gap still MERGES into the running session, and
+    # only gap + 1us splits. That is precisely the oracle's strict-`>`
+    # boundary, so the shared oracle is correct on any data, not just
+    # the us-unique fixture.
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 5, 12, 0, 0)
+    gap = datetime.timedelta(seconds=1800)
+    eps = datetime.timedelta(microseconds=1)
+    rows = [(1, base), (1, base + gap), (2, base), (2, base + gap + eps)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r.user_id: r.n
+        for r in df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == {1: 1, 2: 2}  # exactly-gap merges; gap+1us splits
+
+
 def test_sliding_window_boundary_expansion(spark):
     # The q_stream_sliding oracle hand-expands each event into EXACTLY
     # two 30-min-slide buckets: floor(t/1800)*1800 and that minus 1800.
