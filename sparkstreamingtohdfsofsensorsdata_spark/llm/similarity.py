@@ -189,48 +189,43 @@ IVF_SEED = 7
 IVF_LLOYD_ITERS = 2
 
 
-def _ranked_cells(cent_rows, vec_col: str):
-    """Column of centroid cells ranked best-first for ``vec_col``, fully
-    row-local: the nlist x dim centroids ride along as one array-of-
-    structs *literal* (they are collected to the driver every Lloyd
-    round anyway), the dot products are JVM HOFs, and the rank is an
-    ``array_sort`` over ``(-dot, cell)`` structs — ascending struct
-    order == descending dot with ties broken by smallest cell, the same
-    ordering the earlier window-based formulation used. Zero Exchange:
-    the corpus-wide argmax costs exactly one scan (round-3 VERDICT
-    flagged the previous crossJoin+Window form, which shuffled 16x the
-    corpus bytes to compute this row-local quantity).
+def _top_cells_udf(cent_rows, k: int):
+    """Pandas UDF returning the ``k`` best centroid cells (descending
+    dot, ties to the smallest cell) for each vector — the row-local
+    centroid scoring that replaces round-3's crossJoin+Window cell
+    assignment (an Exchange of 16x the corpus bytes for a per-row
+    argmax). The nlist x dim centroid matrix rides in the UDF closure
+    (it is collected to the driver every Lloyd round anyway), so each
+    Arrow batch is scored with ONE numpy GEMM: zero Exchange, and none
+    of the plan-compilation weight of inlining nlist*dim literals into
+    every subplan (measured: the literal-array HOF variant more than
+    doubled the whole query's wall time on codegen alone). Same
+    Arrow-batched-GEMM shape as q_llm_embed_neardup's blocked matmul.
+
+    ``kind="stable"`` argsort over -dot keeps equal-dot cells in
+    ascending-cell order — the tie-break the window formulation used.
     """
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cell"])).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in r["ce"]]).alias("ce"),
-            )
-            for r in sorted(cent_rows, key=lambda r: r["cell"])
-        ]
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array(
+        [list(r["ce"]) for r in sorted(cent_rows, key=lambda r: r["cell"])]
     )
-    scored = F.transform(
-        cents,
-        lambda c: F.struct(
-            (
-                -F.aggregate(
-                    F.zip_with(c["ce"], F.col(vec_col), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias("negdot"),
-            c["cell"].alias("cell"),
-        ),
-    )
-    return F.array_sort(scored)
+
+    @pandas_udf("array<int>")
+    def top_cells(e: pd.Series) -> pd.Series:
+        if not len(e):
+            return pd.Series([], dtype=object)
+        mat = np.vstack(e.to_numpy())  # (batch, dim)
+        order = np.argsort(-(mat @ cmat.T), axis=1, kind="stable")[:, :k]
+        return pd.Series(list(order.astype("int32")))
+
+    return top_cells
 
 
 def _assign_cells(vecs: DataFrame, cent_rows) -> DataFrame:
-    """Argmax-dot cell per vector, shuffle-free (see _ranked_cells)."""
-    return vecs.select(
-        "vec_id", "e", _ranked_cells(cent_rows, "e")[0]["cell"].alias("cell")
-    )
+    """Argmax-dot cell per vector, shuffle-free (see _top_cells_udf)."""
+    top1 = _top_cells_udf(cent_rows, 1)
+    return vecs.select("vec_id", "e", top1("e")[0].alias("cell"))
 
 
 def _recompute_centroids(assigned: DataFrame) -> DataFrame:
@@ -271,12 +266,14 @@ def q_llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
        the driver — the standard k-means broadcast round-trip (what
        MLlib's KMeans does); the corpus itself never leaves executors.
        No fixture column (label etc.) is consulted anywhere.
-    2. Assign: every vector scores the nlist x dim centroid *literal*
-       row-locally (HOF dots + array_sort — no join, no Exchange) and
-       keeps its argmax-dot cell = its inverted list.
-    3. Probe: each query ranks the same centroid literal and keeps its
-       IVF_NPROBE best cells; candidates are vectors in those lists
-       only, so scored pairs shrink from N*Q to ~Q*nprobe*N/nlist.
+    2. Assign: every vector scores the closure-held nlist x dim
+       centroid matrix row-locally (one numpy GEMM per Arrow batch —
+       no join, no Exchange) and keeps its argmax-dot cell = its
+       inverted list.
+    3. Probe: each query scores the same closure-held centroids and
+       keeps its IVF_NPROBE best cells; candidates are vectors in
+       those lists only, so scored pairs shrink from N*Q to
+       ~Q*nprobe*N/nlist.
     4. Exact re-rank within candidates: HOF dot + per-query window
        top-k, identical to the brute-force tier.
 
@@ -309,19 +306,15 @@ def q_llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = _assign_cells(v, cent_rows)
 
-    # Query-side probe list is row-local too: rank the centroid literal
-    # per query and explode the best nprobe cells.
+    # Query-side probe list is row-local too: score the closure-held
+    # centroids per query row and explode the best nprobe cells.
+    topn = _top_cells_udf(cent_rows, IVF_NPROBE)
     probes = (
         assigned.filter(F.col("vec_id") % QUERY_STRIDE == 0)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("e").alias("qe"),
-            F.explode(
-                F.transform(
-                    F.slice(_ranked_cells(cent_rows, "e"), 1, IVF_NPROBE),
-                    lambda s: s["cell"],
-                )
-            ).alias("probe_cell"),
+            F.explode(topn("e")).alias("probe_cell"),
         )
     )
 
