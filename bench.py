@@ -143,7 +143,12 @@ def main() -> None:
             for n, t in timings.items()
             if n in floor and floor[n] > 0 and t > 1.8 * floor[n]
         }
-        for name in sorted(suspects, key=lambda n: -timings[n])[:24]:
+        # Biggest absolute excess over the proven floor first: a 7s key
+        # 2s over floor outranks a 0.5s key 0.3s over, and the cheap
+        # tail of small noisy keys still fits before the deadline.
+        for name in sorted(
+            suspects, key=lambda n: -(timings[n] - floor.get(n, 0.0))
+        )[:32]:
             if time.perf_counter() > deadline:
                 break
             try:

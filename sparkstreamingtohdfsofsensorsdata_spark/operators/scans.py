@@ -62,6 +62,60 @@ def q_scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEXT_NULL_SENTINEL = "\\N"  # classic Hive text-format null marker
+TEXT_N_FIELDS = 6
+
+
+def serialize_event_lines(ev: DataFrame) -> DataFrame:
+    """Events -> pipe-delimited text lines (one `value` column). Every
+    field passes through the ``\\N`` null sentinel so NULLs keep their
+    slot — bare NULLs would be silently dropped by concat_ws, left-
+    shifting every later field (round-3 ADVICE)."""
+
+    def sentinel(col):
+        return F.coalesce(col.cast("string"), F.lit(TEXT_NULL_SENTINEL))
+
+    return ev.select(
+        F.concat_ws(
+            "|",
+            sentinel(F.col("event_id")),
+            sentinel(
+                F.date_format(F.date_trunc("second", "ts"), "yyyy-MM-dd HH:mm:ss")
+            ),
+            sentinel(F.col("user_id")),
+            sentinel(F.col("event_type")),
+            sentinel(F.col("value")),
+            sentinel(F.col("props")),
+        ).alias("value")
+    )
+
+
+def parse_event_lines(lines: DataFrame) -> DataFrame:
+    """Pipe-delimited text lines -> typed events columns. Re-asserts
+    exactly TEXT_N_FIELDS fields per line and raises (carrying the
+    offending line) on violation, so a stray delimiter inside a field
+    fails loudly instead of misaligning quietly; sentinel fields come
+    back as real NULLs."""
+    p = F.split(F.col("value"), "\\|", -1)
+
+    def fld(i: int):
+        return F.nullif(p.getItem(i), F.lit(TEXT_NULL_SENTINEL))
+
+    # The guard rides the first parsed column (a pruned-away assert
+    # column would be optimized out): wrong field count => loud error.
+    guarded_id = F.when(F.size(p) == TEXT_N_FIELDS, fld(0)).otherwise(
+        F.raise_error(F.concat(F.lit("malformed text line: "), F.col("value")))
+    )
+    return lines.select(
+        guarded_id.cast("long").alias("event_id"),
+        F.to_timestamp(fld(1)).alias("ts"),
+        fld(2).cast("long").alias("user_id"),
+        fld(3).alias("event_type"),
+        fld(4).cast("double").alias("value"),
+        fld(5).alias("props"),
+    )
+
+
 @query(
     "q_scan_text_lines",
     oracle="""
@@ -91,54 +145,17 @@ def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes per input split like any scan; the parse is pure
     row-local JVM work (split + casts), no Python.
 
-    Format contract (round-3 ADVICE): every field is written through a
-    ``\\N`` null sentinel, so NULLs keep their slot instead of being
-    silently dropped by concat_ws (which would shift every later field
-    left); the parser re-asserts ``size(split) == 6`` per line and
-    raises on violation, so a stray delimiter inside a field fails
-    loudly instead of misaligning quietly."""
+    Format contract (round-3 ADVICE): see serialize_event_lines /
+    parse_event_lines — ``\\N`` null sentinel keeps NULL slots, the
+    parser raises on any line without exactly 6 fields (both paths
+    unit-tested on crafted nulls/malformed lines in
+    tests/test_canary.py)."""
     from ..session import scratch_dir
 
     out = scratch_dir("text_lines_")
     ev = load(spark, sf_dir, "events")
-    NULL_SENTINEL = "\\N"  # classic Hive text-format null marker
-
-    def sentinel(col) -> F.Column:
-        return F.coalesce(col.cast("string"), F.lit(NULL_SENTINEL))
-
-    lines = ev.select(
-        F.concat_ws(
-            "|",
-            sentinel(F.col("event_id")),
-            sentinel(
-                F.date_format(F.date_trunc("second", "ts"), "yyyy-MM-dd HH:mm:ss")
-            ),
-            sentinel(F.col("user_id")),
-            sentinel(F.col("event_type")),
-            sentinel(F.col("value")),
-            sentinel(F.col("props")),
-        ).alias("value")
-    )
-    lines.write.mode("overwrite").text(out)
-    p = F.split(F.col("value"), "\\|", -1)
-
-    def fld(i: int) -> F.Column:
-        return F.nullif(p.getItem(i), F.lit(NULL_SENTINEL))
-
-    # The guard rides the first parsed column (a pruned-away assert
-    # column would be optimized out): wrong field count => loud error
-    # carrying the offending line, never a silent left-shift.
-    guarded_id = F.when(F.size(p) == 6, fld(0)).otherwise(
-        F.raise_error(F.concat(F.lit("malformed text line: "), F.col("value")))
-    )
-    parsed = spark.read.text(out).select(
-        guarded_id.cast("long").alias("event_id"),
-        F.to_timestamp(fld(1)).alias("ts"),
-        fld(2).cast("long").alias("user_id"),
-        fld(3).alias("event_type"),
-        fld(4).cast("double").alias("value"),
-        fld(5).alias("props"),
-    )
+    serialize_event_lines(ev).write.mode("overwrite").text(out)
+    parsed = parse_event_lines(spark.read.text(out))
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 6).alias("value_sum"),

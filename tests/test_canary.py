@@ -125,3 +125,50 @@ def test_rate_source_produces_canonical_events(spark):
         assert out.filter(F.col("props").rlike('^\\{"k":\\d+\\}$')).count() == out.count()
     finally:
         q.stop()
+
+
+def test_text_line_null_round_trip(spark):
+    # Null fields must keep their slot through the pipe-delimited
+    # format (concat_ws silently drops bare NULLs, shifting later
+    # fields left) and come back as real NULLs, not sentinel strings.
+    import datetime
+
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.scans import (
+        parse_event_lines,
+        serialize_event_lines,
+    )
+
+    ts = datetime.datetime(2024, 1, 5, 12, 0, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, ts, 7, "click", 1.5, "k=v"),
+            (2, ts, None, None, None, None),  # nulls mid-record
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    back = {
+        r.event_id: r
+        for r in parse_event_lines(serialize_event_lines(ev)).collect()
+    }
+    assert back[1].user_id == 7 and back[1].props == "k=v"
+    r2 = back[2]
+    assert r2.user_id is None and r2.event_type is None
+    assert r2.value is None and r2.props is None
+    assert r2.ts == ts  # later fields did NOT shift into null slots
+
+
+def test_text_line_malformed_raises(spark):
+    # A stray delimiter inside a field must fail the scan loudly
+    # (size != 6 guard), never silently misalign the parse.
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.scans import (
+        parse_event_lines,
+    )
+
+    bad = spark.createDataFrame(
+        [("1|2024-01-05 12:00:01|7|click|1.5|k=v|extra",)], "value string"
+    )
+    with pytest.raises(SparkRuntimeException, match="malformed text line"):
+        parse_event_lines(bad).collect()
