@@ -59,7 +59,11 @@ def _run_one(spec, spark, sf_dir: str, cold: bool = False) -> float:
         # is the production "persist labels once" shape, and the first
         # dedup query pays the full cost. But a RERUN of that first
         # query must not get credited a warm-cache time; clear the memo
-        # so min(first, rerun) compares two honest cold runs.
+        # so min(first, rerun) compares two honest cold runs. The
+        # caller passes cold=True ONLY for the dedup key that ran
+        # cache-cold in the first pass — clearing for the downstream
+        # consumer would make ITS rerun pay a cold recompute its
+        # first-pass number never paid (guaranteed-useless rerun).
         getattr(spark, "_cc_labels_memo", {}).clear()
     start = time.perf_counter()
     df = spec.fn(spark, sf_dir)
@@ -81,9 +85,9 @@ def _stdout_line(payload: dict) -> dict:
     checks compare) and dropping from the cheap end first.
     """
     ranked = sorted(payload["queries"].items(), key=lambda kv: -kv[1])
-    keep = len(ranked)
-    while keep > 0:
-        line = {
+
+    def build(keep: int) -> dict:
+        return {
             "metric": payload["metric"],
             "value": payload["value"],
             "unit": payload["unit"],
@@ -93,10 +97,15 @@ def _stdout_line(payload: dict) -> dict:
             "queries_full": "bench_last.json",
             "queries": dict(sorted(ranked[:keep])),
         }
+
+    for keep in range(len(ranked), -1, -1):
+        line = build(keep)
         if len(json.dumps(line, separators=(",", ":"))) <= _STDOUT_BUDGET:
             return line
-        keep -= 1
-    return line
+    # Even the keep=0 headline line overflows only if a caller shrank
+    # the budget below ~200 bytes; emit it anyway — headline numbers
+    # beat nothing.
+    return build(0)
 
 
 def main() -> None:
@@ -143,6 +152,13 @@ def main() -> None:
             for n, t in timings.items()
             if n in floor and floor[n] > 0 and t > 1.8 * floor[n]
         }
+        # The dedup key that ran cache-cold in the sequential first
+        # pass (first of the family in registry order) is the only one
+        # whose rerun must also start cold — see _run_one.
+        cc_family = [
+            n for n in specs if n in ("q_llm_dedup_clusters", "q_llm_dedup_keep")
+        ]
+        cc_cold_first = cc_family[0] if cc_family else None
         # Biggest absolute excess over the proven floor first: a 7s key
         # 2s over floor outranks a 0.5s key 0.3s over, and the cheap
         # tail of small noisy keys still fits before the deadline.
@@ -153,7 +169,15 @@ def main() -> None:
                 break
             try:
                 timings[name] = round(
-                    min(timings[name], _run_one(specs[name], spark, sf_dir, cold=True)),
+                    min(
+                        timings[name],
+                        _run_one(
+                            specs[name],
+                            spark,
+                            sf_dir,
+                            cold=(name == cc_cold_first),
+                        ),
+                    ),
                     3,
                 )
             except Exception as exc:

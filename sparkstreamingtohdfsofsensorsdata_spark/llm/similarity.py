@@ -228,6 +228,24 @@ def _assign_cells(vecs: DataFrame, cent_rows) -> DataFrame:
     return vecs.select("vec_id", "e", top1("e")[0].alias("cell"))
 
 
+def _seed_centroid_rows(v: DataFrame) -> list:
+    """Seeded deterministic quantizer init: the IVF_NLIST corpus
+    vectors with the smallest xxhash64(vec_id, IVF_SEED) — a uniform
+    label-free sample, TakeOrdered of nlist rows, no driver fit. Shared
+    by the query and by scripts/dump_plans.py so the captured
+    assignment subplan can never drift from the shipped seeding."""
+    return (
+        v.withColumn("h", F.xxhash64("vec_id", F.lit(IVF_SEED)))
+        .orderBy("h")
+        .limit(IVF_NLIST)
+        .select(
+            (F.row_number().over(Window.orderBy("h")) - 1).alias("cell"),
+            F.col("e").alias("ce"),
+        )
+        .collect()
+    )
+
+
 def _recompute_centroids(assigned: DataFrame) -> DataFrame:
     """Spherical-k-means update: per-cell mean, renormalized to unit
     length. posexplode -> (cell, dim) partial averages, so the pass is
@@ -289,16 +307,7 @@ def q_llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Seeded deterministic init: nlist actual corpus vectors (unit norm
     # already), chosen by hash order — reproducible and label-free.
-    cent_rows = (
-        v.withColumn("h", F.xxhash64("vec_id", F.lit(IVF_SEED)))
-        .orderBy("h")
-        .limit(IVF_NLIST)
-        .select(
-            (F.row_number().over(Window.orderBy("h")) - 1).alias("cell"),
-            F.col("e").alias("ce"),
-        )
-        .collect()
-    )
+    cent_rows = _seed_centroid_rows(v)
     for _ in range(IVF_LLOYD_ITERS):
         # nlist x dim scalars only — the k-means centroid broadcast
         # round-trip, not a data-path collect.

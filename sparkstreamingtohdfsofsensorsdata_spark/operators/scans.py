@@ -70,10 +70,27 @@ def serialize_event_lines(ev: DataFrame) -> DataFrame:
     """Events -> pipe-delimited text lines (one `value` column). Every
     field passes through the ``\\N`` null sentinel so NULLs keep their
     slot — bare NULLs would be silently dropped by concat_ws, left-
-    shifting every later field (round-3 ADVICE)."""
+    shifting every later field (round-3 ADVICE).
+
+    Write-side guard: a free-text field that CONTAINS the delimiter or
+    IS the sentinel literal cannot round-trip (the former would split,
+    the latter would come back NULL), so serialization raises on such
+    rows instead of emitting a lie. A deployment that needs those
+    bytes verbatim should switch to an escaping SerDe; this format
+    fails loudly rather than corrupt silently in either direction."""
 
     def sentinel(col):
         return F.coalesce(col.cast("string"), F.lit(TEXT_NULL_SENTINEL))
+
+    def guarded_text(name: str):
+        col = F.col(name)
+        bad = col.contains("|") | (col == TEXT_NULL_SENTINEL)
+        return F.when(
+            bad,
+            F.raise_error(
+                F.concat(F.lit(f"unserializable {name} field: "), col)
+            ),
+        ).otherwise(sentinel(col))
 
     return ev.select(
         F.concat_ws(
@@ -83,9 +100,9 @@ def serialize_event_lines(ev: DataFrame) -> DataFrame:
                 F.date_format(F.date_trunc("second", "ts"), "yyyy-MM-dd HH:mm:ss")
             ),
             sentinel(F.col("user_id")),
-            sentinel(F.col("event_type")),
+            guarded_text("event_type"),
             sentinel(F.col("value")),
-            sentinel(F.col("props")),
+            guarded_text("props"),
         ).alias("value")
     )
 
@@ -93,21 +110,29 @@ def serialize_event_lines(ev: DataFrame) -> DataFrame:
 def parse_event_lines(lines: DataFrame) -> DataFrame:
     """Pipe-delimited text lines -> typed events columns. Re-asserts
     exactly TEXT_N_FIELDS fields per line and raises (carrying the
-    offending line) on violation, so a stray delimiter inside a field
-    fails loudly instead of misaligning quietly; sentinel fields come
-    back as real NULLs."""
+    offending line) on violation, so a stray delimiter fails loudly
+    instead of misaligning quietly; sentinel fields come back as real
+    NULLs.
+
+    EVERY output column carries the field-count guard: a guard riding
+    only one column would be column-pruned away whenever a downstream
+    plan (e.g. the q_scan_text_lines aggregate, which never reads
+    event_id) drops that column — leaving the malformed line to
+    corrupt the surviving fields silently."""
     p = F.split(F.col("value"), "\\|", -1)
 
     def fld(i: int):
-        return F.nullif(p.getItem(i), F.lit(TEXT_NULL_SENTINEL))
+        return F.when(
+            F.size(p) == TEXT_N_FIELDS,
+            F.nullif(p.getItem(i), F.lit(TEXT_NULL_SENTINEL)),
+        ).otherwise(
+            F.raise_error(
+                F.concat(F.lit("malformed text line: "), F.col("value"))
+            )
+        )
 
-    # The guard rides the first parsed column (a pruned-away assert
-    # column would be optimized out): wrong field count => loud error.
-    guarded_id = F.when(F.size(p) == TEXT_N_FIELDS, fld(0)).otherwise(
-        F.raise_error(F.concat(F.lit("malformed text line: "), F.col("value")))
-    )
     return lines.select(
-        guarded_id.cast("long").alias("event_id"),
+        fld(0).cast("long").alias("event_id"),
         F.to_timestamp(fld(1)).alias("ts"),
         fld(2).cast("long").alias("user_id"),
         fld(3).alias("event_type"),

@@ -88,14 +88,32 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     input collapses below the session's parallelism, one narrow shuffle
     spreads the hash work across every core.
     """
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = sc.defaultParallelism
-    # File count is a driver-side FileIndex lookup — unlike
-    # df.rdd.getNumPartitions() it never converts the logical plan to an
-    # RDD. It lower-bounds the split count (a file larger than
-    # maxPartitionBytes splits further), so the only miss is a narrow
-    # extra shuffle when few-but-huge files already split wide enough.
-    if len(df.inputFiles()) >= target:
+    # File count alone does NOT lower-bound splits: FilePartition
+    # bin-packing can merge small files below the parallelism target
+    # (measured here: 40 tiny files -> 20 splits on local[32]). But
+    # packing is itself bounded — one bin holds at most
+    # maxPartitionBytes / openCostInBytes files — so a file count of
+    # cap x target PROVES splits >= target, and that driver-side
+    # FileIndex lookup short-circuits the at-scale case (thousands of
+    # files) without converting the plan to an RDD. Only the ambiguous
+    # small case pays the accurate df.rdd partition probe.
+    try:
+        jutils = sc._jvm.org.apache.spark.util.Utils
+        maxpb = jutils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        opencost = jutils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+        )
+        per_bin_cap = max(1, int(maxpb) // max(1, int(opencost)))
+    except Exception:
+        per_bin_cap = 32  # 128 MB / 4 MB defaults
+    if len(df.inputFiles()) >= per_bin_cap * target:
+        return df
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
 

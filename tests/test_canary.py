@@ -118,13 +118,16 @@ def test_rate_source_produces_canonical_events(spark):
             if spark.table("canary_rate").count() > 0:
                 break
             time.sleep(0.5)
-        out = spark.table("canary_rate")
-        assert out.count() > 0
-        types = {r[0] for r in out.select("event_type").distinct().collect()}
-        assert types <= {"click", "purchase", "error", "signup", "view"}
-        assert out.filter(F.col("props").rlike('^\\{"k":\\d+\\}$')).count() == out.count()
     finally:
+        # Stop BEFORE asserting: content checks against a live memory
+        # table race the stream (two separate .count() actions can see
+        # different row sets as micro-batches land between them).
         q.stop()
+    out = spark.table("canary_rate")
+    assert out.count() > 0
+    types = {r[0] for r in out.select("event_type").distinct().collect()}
+    assert types <= {"click", "purchase", "error", "signup", "view"}
+    assert out.filter(F.col("props").rlike('^\\{"k":\\d+\\}$')).count() == out.count()
 
 
 def test_text_line_null_round_trip(spark):
@@ -172,3 +175,53 @@ def test_text_line_malformed_raises(spark):
     )
     with pytest.raises(SparkRuntimeException, match="malformed text line"):
         parse_event_lines(bad).collect()
+
+
+def test_text_line_guard_survives_column_pruning(spark):
+    # Every parsed column carries the guard, because a guard riding a
+    # single column is column-pruned away by any plan that drops it —
+    # the q_scan_text_lines aggregate never reads event_id, and a
+    # one-column guard let malformed lines aggregate SILENTLY (caught
+    # by round-4 self-review, verified against the executed plan).
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.scans import (
+        parse_event_lines,
+    )
+
+    bad = spark.createDataFrame(
+        [("1|2024-01-05 12:00:01|7|click|1.5|k=v|extra",)], "value string"
+    )
+    narrow = parse_event_lines(bad).groupBy("event_type").agg(
+        F.round(F.sum("value"), 6).alias("value_sum")
+    )
+    with pytest.raises(SparkRuntimeException, match="malformed text line"):
+        narrow.collect()
+
+
+def test_text_line_unserializable_field_raises_at_write(spark):
+    # The delimiter-free format cannot carry '|' or a literal sentinel
+    # inside a free-text field; serialization must refuse loudly, not
+    # emit a line that parses into different data.
+    import datetime
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.scans import (
+        serialize_event_lines,
+    )
+
+    ts = datetime.datetime(2024, 1, 5, 12, 0, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    pipey = spark.createDataFrame([(1, ts, 7, "click", 1.0, "a|b")], schema)
+    with pytest.raises(SparkRuntimeException, match="unserializable props"):
+        serialize_event_lines(pipey).collect()
+    sentinelly = spark.createDataFrame(
+        [(1, ts, 7, "\\N", 1.0, "k=v")], schema
+    )
+    with pytest.raises(SparkRuntimeException, match="unserializable event_type"):
+        serialize_event_lines(sentinelly).collect()
