@@ -65,6 +65,7 @@ def _run_one(spec, spark, sf_dir: str, cold: bool = False) -> float:
         # consumer would make ITS rerun pay a cold recompute its
         # first-pass number never paid (guaranteed-useless rerun).
         getattr(spark, "_cc_labels_memo", {}).clear()
+        getattr(spark, "_simhash_pairs_memo", {}).clear()
     start = time.perf_counter()
     df = spec.fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
@@ -156,7 +157,14 @@ def main() -> None:
         # pass (first of the family in registry order) is the only one
         # whose rerun must also start cold — see _run_one.
         cc_family = [
-            n for n in specs if n in ("q_llm_dedup_clusters", "q_llm_dedup_keep")
+            n
+            for n in specs
+            if n
+            in (
+                "q_llm_simhash_banded",
+                "q_llm_dedup_clusters",
+                "q_llm_dedup_keep",
+            )
         ]
         cc_cold_first = cc_family[0] if cc_family else None
         # Biggest absolute excess over the proven floor first: a 7s key

