@@ -225,3 +225,117 @@ def test_scd2_writeto_commit_roundtrip(spark):
         assert back.filter(~F.col("is_current") & F.col("valid_to").isNull()).count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS customer_scd2_test")
+
+
+# --- round-4 additions: format round-trip + session-window law ---
+
+_field_text = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            codec="ascii", categories=("L", "N", "P", "Zs"), exclude_characters="|"
+        ),
+        max_size=12,
+    ).filter(lambda s: s != "\\N"),
+)
+
+
+@PROP
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),  # event_id
+            st.datetimes(
+                min_value=__import__("datetime").datetime(2020, 1, 1),
+                max_value=__import__("datetime").datetime(2030, 1, 1),
+            ).map(lambda d: d.replace(microsecond=0)),
+            st.one_of(st.none(), st.integers(0, 10**6)),  # user_id
+            _field_text,  # event_type
+            st.one_of(  # value: finite, parse-stable doubles
+                st.none(),
+                st.integers(-10**6, 10**6).map(lambda i: i / 64.0),
+            ),
+            _field_text,  # props
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_text_line_round_trip_property(spark, recs):
+    # serialize(parse^-1) is the identity on every serializable record:
+    # any combination of nulls and delimiter-free text must come back
+    # value-identical (ts at whole-second precision by format design).
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.scans import (
+        parse_event_lines,
+        serialize_event_lines,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    ev = spark.createDataFrame(recs, schema)
+    back = parse_event_lines(serialize_event_lines(ev))
+    assert sorted(map(repr, back.collect())) == sorted(
+        map(repr, ev.collect())
+    )
+
+
+@PROP
+@given(
+    gaps=st.lists(
+        st.one_of(
+            st.integers(0, 3600),
+            st.just(1800),  # force exact-gap ties to appear often
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_session_window_matches_relational_sessionization(spark, gaps):
+    # Law behind the shared q_ts_session_window / q_stream_session
+    # oracle: native session_window(30m) produces exactly the sessions
+    # of the lag-based rule "new session iff gap > 1800s", including
+    # events at exactly the gap boundary (end-inclusive merge).
+    import datetime
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    t = datetime.datetime(2024, 1, 5, 0, 0, 0)
+    ts_rows = []
+    for g in gaps:
+        t = t + datetime.timedelta(seconds=g)
+        ts_rows.append((1, t))
+    df = spark.createDataFrame(ts_rows, "user_id long, ts timestamp")
+
+    native = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").cast("long").alias("start"), "n"
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    relational = (
+        df.withColumn(
+            "new_sess",
+            (
+                F.coalesce(
+                    F.col("ts").cast("long") - F.lag("ts").over(w).cast("long"),
+                    F.lit(10**9),
+                )
+                > 1800
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").cast("long").alias("start"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("start", "n")
+    )
+    assert sorted(map(tuple, native.collect())) == sorted(
+        map(tuple, relational.collect())
+    )
