@@ -1,0 +1,103 @@
+"""Full-registry oracle parity sweep at an arbitrary SF (default sf0.01).
+
+Mirrors the driver's correctness gate — Spark result vs DuckDB oracle,
+row count + sorted-column schema + tolerant value compare — over EVERY
+registered key, not just the driver's 50-key/round window. Use before a
+round closes to catch staleness in cohorts the driver hasn't re-checked
+recently.
+
+Usage: python scripts/parity_sweep.py [sf_dir]
+Prints one status line per key and a final JSON summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import duckdb
+
+from conftest import assert_cells_close, rows_key
+from sparkstreamingtohdfsofsensorsdata_spark import registry
+from sparkstreamingtohdfsofsensorsdata_spark.session import build_session
+from sparkstreamingtohdfsofsensorsdata_spark.tables import TABLES, table_path
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session(app_name="parity-sweep", shuffle_partitions=8)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{table_path(sf_dir, name)}')"
+        )
+
+    specs = registry.load_all()
+    results: dict[str, dict] = {}
+    n_pass = n_rows_only = n_fail = 0
+    for name in sorted(specs):
+        spec = specs[name]
+        t0 = time.monotonic()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+            if spec.oracle is None:
+                assert len(srows) > 0, "rows-only op returned 0 rows"
+                status = "rows-only"
+                n_rows_only += 1
+            else:
+                res = con.execute(spec.oracle)
+                drows = [tuple(r) for r in res.fetchall()]
+                dcols = [d[0] for d in res.description]
+                s_cols, s_canon = rows_key(scols, srows)
+                d_cols, d_canon = rows_key(dcols, drows)
+                assert s_cols == d_cols, f"columns {s_cols} vs {d_cols}"
+                assert len(s_canon) == len(d_canon), (
+                    f"rows {len(s_canon)} vs {len(d_canon)}"
+                )
+                assert_cells_close(s_canon, d_canon)
+                status = "pass"
+                n_pass += 1
+            results[name] = {
+                "status": status,
+                "rows": len(srows),
+                "sec": round(time.monotonic() - t0, 2),
+            }
+        except Exception as exc:  # noqa: BLE001 — report, don't abort
+            n_fail += 1
+            results[name] = {
+                "status": "FAIL",
+                "err": f"{type(exc).__name__}: {exc}"[:500],
+                "sec": round(time.monotonic() - t0, 2),
+            }
+            traceback.print_exc(limit=3)
+        r = results[name]
+        print(
+            f"{r['status']:>9}  {r['sec']:7.2f}s  {name}"
+            + (f"  {r.get('err', '')}" if r["status"] == "FAIL" else ""),
+            flush=True,
+        )
+
+    summary = {
+        "sf_dir": sf_dir,
+        "total": len(specs),
+        "pass": n_pass,
+        "rows_only": n_rows_only,
+        "fail": n_fail,
+        "failed_keys": sorted(k for k, v in results.items() if v["status"] == "FAIL"),
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

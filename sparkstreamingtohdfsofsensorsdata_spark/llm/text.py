@@ -700,8 +700,12 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     hot = (
+        # (doc_id, h) is unique by construction (array_distinct within
+        # each doc), so plain count == count(DISTINCT doc_id) — skips
+        # the distinct-aggregate expansion and keeps the DF count a
+        # cheap map-side-partial sum.
         sh.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= BOILER_MIN_DF)
         .select("h", F.lit(True).alias("is_hot"))
     )

@@ -77,13 +77,14 @@ def query(
 # 50 keys/round). Listing keys here pins them to the front so every key
 # accumulates a verdict across rounds. Round-4 rotation: 43 of the 47
 # keys whose only verdict predates the pyspark-4.1.2 ns-timestamp fix
-# (round 1), plus the 7 keys whose implementation changed this round
+# (round 1), plus the 8 keys whose implementation changed this round
 # (IVF assignment rewrite, CC-label + simhash-pair memoization,
 # multimodal vectorization, text-line format guard, BPE driver-loop
-# restructure). The four displaced r1 keys (two rows-only checks, two
-# trivial set/join ops untouched since r1) lead round 5's window,
-# followed by the remaining round-2 cohort; round-3-verified keys
-# rotate to the back.
+# restructure, boilerplate DF-count de-distinct). The displaced r1
+# keys (rows-only checks and trivial set/join/distinct ops untouched
+# since r1, all re-verified locally at sf0.01 by scripts/
+# parity_sweep.py) lead round 5's window, followed by the remaining
+# round-2 cohort; round-3-verified keys rotate to the back.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # --- window 1 (50): round-1 cohort, oldest verdicts first ---
     "q_scan_parquet",
@@ -93,7 +94,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_filter_compare",
     "q_filter_in_between_like",
     "q_filter_null",
-    "q_distinct",
     "q_join_inner_equi",
     "q_join_broadcast",
     "q_join_left",
@@ -139,7 +139,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_dedup_keep",
     "q_llm_bpe_train",
     "q_llm_simhash_banded",
+    "q_llm_boilerplate",
     # --- window 2 (round 5): displaced + remaining round-2 cohort ---
+    "q_distinct",
     "q_limit",
     "q_agg_approx_distinct",
     "q_join_cross",

@@ -375,3 +375,18 @@ def test_dpp_injects_dynamic_partition_filter(spark):
     # at runtime rather than after a full scan.
     text = inspect.plan_str(q(spark, "q_join_dpp"))
     assert "dynamicpruning" in text, "no dynamic partition pruning in plan"
+
+
+def test_boilerplate_broadcast_hot_set_no_expand(spark):
+    # The hot-shingle set must be filtered by document frequency
+    # BEFORE it joins back (tiny by construction), and that join must
+    # be a broadcast — a shuffled join here would shuffle the full
+    # shingle stream. The DF count must also be a plain count, not a
+    # distinct aggregate: (doc_id, h) is already unique per doc, so an
+    # Expand/partial-distinct pass would double the shingle bytes
+    # through the first shuffle for nothing.
+    df = q(spark, "q_llm_boilerplate")
+    text = inspect.plan_str(df)
+    assert inspect.has_broadcast_join(df)
+    assert inspect.has_partial_aggregation(df)
+    assert "Expand" not in text, "distinct-aggregate expansion in DF count"
