@@ -630,6 +630,25 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cache[key]
 
     pairs = _simhash_banded_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = propagate_min_labels(pairs)
+    cache[key] = labels
+    return labels
+
+
+def propagate_min_labels(
+    pairs: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """Min-label propagation over an undirected pair set ``(id_a,
+    id_b)`` with ``id_a != id_b``: returns ``(node, label)`` for every
+    node incident to at least one pair, where label = min node id in
+    the node's connected component.
+
+    The min spreads one hop per round, so convergence takes at most
+    graph-diameter rounds (+1 to observe no change). Hitting
+    ``max_iters`` without converging would mean SILENTLY wrong labels
+    downstream, so it raises instead — the property tests pin this
+    loop against a union-find oracle on arbitrary graphs, and near-dup
+    graphs (near-cliques, diameter 2-3) never come close to the cap."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -641,7 +660,7 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(
         F.col("src").alias("node"), F.col("src").alias("label")
     ).distinct()
-    for _ in range(CC_MAX_ITERS):
+    for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges["src"] == labels["node"])
             .select("dst", "label")
@@ -667,9 +686,12 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         changed = stepped.filter("chg").count()
         labels = stepped.select(F.col("node"), F.col("new_label").alias("label"))
         if changed == 0:
-            break
-    cache[key] = labels
-    return labels
+            return labels
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_iters} rounds; "
+        "graph diameter exceeds the cap — raise max_iters (or switch to "
+        "large-star/small-star) rather than trust these labels"
+    )
 
 
 @query(

@@ -339,3 +339,52 @@ def test_session_window_matches_relational_sessionization(spark, gaps):
     assert sorted(map(tuple, native.collect())) == sorted(
         map(tuple, relational.collect())
     )
+
+
+# --- connected-components law: Spark propagation vs union-find ---
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _union_find_min_labels(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=edge_lists)
+def test_min_label_propagation_matches_union_find(spark, pairs):
+    # The iterative CC loop behind q_llm_dedup_clusters/_keep must
+    # assign every node the min id of its component on ANY graph —
+    # paths, stars, merged cliques — not just the fixture's near-dup
+    # cliques. Union-find is the exact oracle.
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import (
+        propagate_min_labels,
+    )
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    df = spark.createDataFrame(canon, "id_a long, id_b long")
+    got = {r["node"]: r["label"] for r in propagate_min_labels(df).collect()}
+    assert got == _union_find_min_labels(canon)
