@@ -292,27 +292,47 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("event_id").alias("view_event_id"),
-        F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"),
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(views, purchases).select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", F.col("ts")).alias("purchase_ts"),
+        "asof_view_id",
+    )
+
+
+def asof_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Union-window as-of core (see q_join_asof): ``views`` is
+    ``(user_id, ts, view_event_id)``, ``purchases`` is ``(user_id, ts,
+    event_id)``; returns every purchase row plus ``asof_view_id`` = the
+    view at-or-before it per user (equal-ts views visible, max id wins
+    ties). Property-tested against a brute-force per-purchase argmax in
+    tests/test_properties.py on arbitrary tie patterns."""
+    v = views.select(
+        "user_id", "ts", "view_event_id",
+        F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"),
+    )
+    p = purchases.select(
         "user_id", "ts", F.lit(None).cast("long").alias("view_event_id"),
         F.lit(1).alias("side"), "event_id",
     )
     # side=0 (view) sorts before side=1 (purchase) at equal ts -> inclusive
     # "at-or-before"; view_event_id as final key -> max id wins ties.
-    merged = views.unionByName(purchases)
+    merged = v.unionByName(p)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "side", "view_event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = merged.withColumn("asof_view_id", F.last("view_event_id", ignorenulls=True).over(w))
+    carried = merged.withColumn(
+        "asof_view_id", F.last("view_event_id", ignorenulls=True).over(w)
+    )
     return carried.filter(F.col("side") == 1).select(
-        "event_id",
-        "user_id",
-        F.date_trunc("second", F.col("ts")).alias("purchase_ts"),
-        "asof_view_id",
+        "user_id", "ts", "event_id", "asof_view_id"
     )
 
 

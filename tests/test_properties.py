@@ -388,3 +388,53 @@ def test_min_label_propagation_matches_union_find(spark, pairs):
     df = spark.createDataFrame(canon, "id_a long, id_b long")
     got = {r["node"]: r["label"] for r in propagate_min_labels(df).collect()}
     assert got == _union_find_min_labels(canon)
+
+
+# --- as-of join law: union-window trick vs brute-force argmax ---
+
+events = st.lists(
+    st.tuples(
+        st.integers(0, 2),           # user_id
+        st.integers(0, 4),           # ts (seconds — collisions likely)
+        st.booleans(),               # True = purchase, False = view
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=events)
+def test_asof_join_matches_bruteforce(spark, evs):
+    # Equal-ts ties are the whole point: a view AT the purchase ts must
+    # be visible, the max view id must win among equal-ts views, and a
+    # user with no prior view must get NULL — on ANY arrival pattern.
+    import datetime
+
+    rows = [
+        (u, datetime.datetime(2024, 1, 1, 0, 0, t), i, is_p)
+        for i, (u, t, is_p) in enumerate(evs)
+    ]
+    views = [(u, ts, i) for u, ts, i, p in rows if not p]
+    purchases = [(u, ts, i) for u, ts, i, p in rows if p]
+    if not purchases:
+        return
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.joins import asof_join
+
+    schema_v = "user_id long, ts timestamp, view_event_id long"
+    schema_p = "user_id long, ts timestamp, event_id long"
+    vdf = spark.createDataFrame(views or [], schema_v)
+    pdf = spark.createDataFrame(purchases, schema_p)
+    got = {
+        r["event_id"]: r["asof_view_id"]
+        for r in asof_join(vdf, pdf).collect()
+    }
+    want = {}
+    for u, ts, i in purchases:
+        cand = [(vts, vi) for vu, vts, vi in views if vu == u and vts <= ts]
+        want[i] = max(cand)[1] if cand else None
+    assert got == want
