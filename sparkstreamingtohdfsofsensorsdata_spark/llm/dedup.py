@@ -380,11 +380,16 @@ def _simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = os.path.abspath(sf_dir)
     if key in cache:
         return cache[key]
-    # read by the band explode and two candidate rejoins; GC-scoped
-    # cache (same rationale as the minhash signature table)
+    # The 8-byte simhash rides the band explode (4 rows/doc), so the
+    # hamming test runs INSIDE the bucket join — far-pairs die before
+    # the dedup shuffle ever sees them, and no signature rejoin is
+    # needed. The distinct (one pair survives in up to SIMHASH_BANDS
+    # buckets) then runs over true near-dups only, which banding
+    # guarantees is a tiny fraction of the candidate stream.
     s = _simhash_df(load(spark, sf_dir, "documents")).localCheckpoint(eager=False)
     bands = s.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -396,27 +401,19 @@ def _simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    pair_ids = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    cand = pair_ids.join(
-        F.broadcast(s.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))),
-        "id_a",
-    ).join(
-        F.broadcast(s.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))),
-        "id_b",
-    )
-    pairs = (
-        cand.select(
-            "id_a", "id_b", F.expr("bit_count(sa ^ sb)").alias("hamming")
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
         .localCheckpoint(eager=False)
     )
     cache[key] = pairs
