@@ -380,12 +380,22 @@ def _simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = os.path.abspath(sf_dir)
     if key in cache:
         return cache[key]
-    # The 8-byte simhash rides the band explode (4 rows/doc), so the
-    # hamming test runs INSIDE the bucket join — far-pairs die before
-    # the dedup shuffle ever sees them, and no signature rejoin is
-    # needed. The distinct (one pair survives in up to SIMHASH_BANDS
-    # buckets) then runs over true near-dups only, which banding
-    # guarantees is a tiny fraction of the candidate stream.
+    pairs = _simhash_banded_pairs_plan(spark, sf_dir).localCheckpoint(eager=False)
+    cache[key] = pairs
+    return pairs
+
+
+def _simhash_banded_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-checkpointed pair plan, split out so tests/test_plans.py
+    can gate its shape (the localCheckpoint wrapper above truncates the
+    inspectable plan to a block scan).
+
+    The 8-byte simhash rides the band explode (4 rows/doc), so the
+    hamming test runs INSIDE the bucket join — far-pairs die before
+    the dedup shuffle ever sees them, and no signature rejoin is
+    needed. The distinct (one pair survives in up to SIMHASH_BANDS
+    buckets) then runs over true near-dups only, which banding
+    guarantees is a tiny fraction of the candidate stream."""
     s = _simhash_df(load(spark, sf_dir, "documents")).localCheckpoint(eager=False)
     bands = s.select(
         "doc_id",
@@ -414,9 +424,7 @@ def _simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    cache[key] = pairs
     return pairs
 
 

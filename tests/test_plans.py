@@ -390,3 +390,20 @@ def test_boilerplate_broadcast_hot_set_no_expand(spark):
     assert inspect.has_broadcast_join(df)
     assert inspect.has_partial_aggregation(df)
     assert "Expand" not in text, "distinct-aggregate expansion in DF count"
+
+
+def test_simhash_pair_gen_single_join_no_rejoin(spark):
+    # Pair generation must be ONE band-bucket join with the hamming
+    # test applied inside it: the 8-byte signature rides the band
+    # explode, so there must be no broadcast signature rejoin and no
+    # second join of any kind before the pair distinct.
+    from sparkstreamingtohdfsofsensorsdata_spark.llm import dedup
+
+    text = inspect.plan_str(dedup._simhash_banded_pairs_plan(spark, SF))
+    n_joins = sum(
+        text.count(j)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, f"expected exactly one bucket join, saw {n_joins}"
+    join_line = next(l for l in text.splitlines() if "Join" in l)
+    assert "bit_count" in join_line, "hamming filter not inside the join"
