@@ -648,12 +648,19 @@ def propagate_min_labels(
     node incident to at least one pair, where label = min node id in
     the node's connected component.
 
-    The min spreads one hop per round, so convergence takes at most
-    graph-diameter rounds (+1 to observe no change). Hitting
+    Each round does two things: (1) pointer doubling — jump every
+    node's label to its label's label (Shiloach-Vishkin shortcutting:
+    one self-join of the small (node, label) table), then (2) take the
+    min over neighbors' jumped labels (one edge join + groupBy). The
+    doubling halves pointer-chain depth each round, so convergence is
+    O(log diameter) instead of diameter — a path of 2^20 nodes fits in
+    the default cap, where plain propagation would need a million
+    rounds. Labels only decrease and always stay inside the node's own
+    component (both steps take minima over component members), so the
+    fixpoint is the component min; the property tests pin the loop
+    against a union-find oracle on arbitrary graphs. Hitting
     ``max_iters`` without converging would mean SILENTLY wrong labels
-    downstream, so it raises instead — the property tests pin this
-    loop against a union-find oracle on arbitrary graphs, and near-dup
-    graphs (near-cliques, diameter 2-3) never come close to the cap."""
+    downstream, so it raises instead."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -666,25 +673,45 @@ def propagate_min_labels(
         F.col("src").alias("node"), F.col("src").alias("label")
     ).distinct()
     for _ in range(max_iters):
+        jumped = (
+            labels.alias("x")
+            .join(
+                labels.alias("y"),
+                F.col("x.label") == F.col("y.node"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("x.label").alias("old_label"),
+                F.least(
+                    F.col("x.label"),
+                    F.coalesce(F.col("y.label"), F.col("x.label")),
+                ).alias("label"),
+            )
+        )
         nbr = (
-            edges.join(labels, edges["src"] == labels["node"])
+            edges.join(jumped, edges["src"] == jumped["node"])
             .select("dst", "label")
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # Change detection rides the same row (`chg`), so each round is
-        # exactly two jobs: the checkpoint materialization and a cheap
-        # count over the checkpointed result — no extra old-vs-new join.
+        # Change detection rides the same row (`chg`) and compares
+        # against the PRE-jump label, so each round is exactly two
+        # jobs: the checkpoint materialization and a cheap count over
+        # the checkpointed result — no extra old-vs-new join.
         stepped = (
-            labels.join(nbr, labels["node"] == nbr["dst"], "left")
+            jumped.join(nbr, jumped["node"] == nbr["dst"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("new_label"),
-                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
-                    "chg"
-                ),
+                (
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    )
+                    < F.col("old_label")
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
@@ -693,9 +720,9 @@ def propagate_min_labels(
         if changed == 0:
             return labels
     raise RuntimeError(
-        f"min-label propagation did not converge in {max_iters} rounds; "
-        "graph diameter exceeds the cap — raise max_iters (or switch to "
-        "large-star/small-star) rather than trust these labels"
+        f"min-label propagation did not converge in {max_iters} rounds "
+        "even with pointer doubling (diameter > 2^max_iters is not a "
+        "real graph) — do not trust these labels"
     )
 
 

@@ -351,6 +351,16 @@ edge_lists = st.lists(
     max_size=15,
 )
 
+# Worst case for min-label spread: a long path with the min at one end
+# and ids shuffled so pointer chains actually need doubling. Deep
+# chains are where plain diameter-rounds propagation and the O(log d)
+# doubling loop diverge, so pin one explicitly.
+PATH_PERM = [7, 19, 3, 23, 11, 0, 15, 27, 5, 21, 9, 25, 1, 17, 13,
+             29, 2, 24, 8, 28, 4, 22, 10, 26, 6, 18, 12, 20, 14, 16]
+PATH_EDGES = sorted(
+    (min(a, b), max(a, b)) for a, b in zip(PATH_PERM, PATH_PERM[1:])
+)
+
 
 def _union_find_min_labels(pairs):
     parent = {}
@@ -438,3 +448,15 @@ def test_asof_join_matches_bruteforce(spark, evs):
         cand = [(vts, vi) for vu, vts, vi in views if vu == u and vts <= ts]
         want[i] = max(cand)[1] if cand else None
     assert got == want
+
+
+def test_min_label_propagation_deep_path(spark):
+    # 30-node shuffled path: component min must reach the far end well
+    # inside the iteration cap (doubling: ~log2(30) + slack rounds).
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import (
+        propagate_min_labels,
+    )
+
+    df = spark.createDataFrame(PATH_EDGES, "id_a long, id_b long")
+    got = {r["node"]: r["label"] for r in propagate_min_labels(df, max_iters=9).collect()}
+    assert got == {n: 0 for n in range(30)}
