@@ -1,0 +1,66 @@
+"""The bench stdout contract (no Spark needed).
+
+The grading harness stores only a ~2000-byte tail of stdout; rounds 1-3
+recorded `parsed: null` because the full 138-key map cannot fit. The
+fix — one compact line with headline numbers plus the slowest keys and
+an explicit omission count — must not regress, so pin it here.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench
+
+
+def _payload(n_keys: int) -> dict:
+    queries = {f"q_llm_some_rather_long_key_name_{i:04d}": i * 0.01 for i in range(n_keys)}
+    return {
+        "metric": "total_query_wall_clock",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": queries,
+    }
+
+
+def test_stdout_line_fits_tail_window():
+    line = json.dumps(
+        bench._stdout_line(_payload(138)), separators=(",", ":")
+    )
+    assert len(line) <= bench._STDOUT_BUDGET
+    assert "\n" not in line
+
+
+def test_stdout_line_keeps_slowest_keys_and_counts():
+    payload = _payload(138)
+    out = bench._stdout_line(payload)
+    # headline numbers survive verbatim
+    assert out["value"] == payload["value"]
+    assert out["sf"] == payload["sf"]
+    assert out["queries_total"] == 138
+    assert out["queries_omitted"] == 138 - len(out["queries"])
+    assert out["queries_full"] == "bench_last.json"
+    # the kept subset is exactly the slowest keys (ties impossible here)
+    kept = set(out["queries"])
+    slowest = {
+        k
+        for k, _ in sorted(
+            payload["queries"].items(), key=lambda kv: -kv[1]
+        )[: len(kept)]
+    }
+    assert kept == slowest
+    # kept values are untouched
+    assert all(out["queries"][k] == payload["queries"][k] for k in kept)
+
+
+def test_stdout_line_small_surface_is_complete():
+    # A small registry fits whole: nothing omitted, map intact.
+    payload = _payload(10)
+    out = bench._stdout_line(payload)
+    assert out["queries_omitted"] == 0
+    assert out["queries"] == payload["queries"]
