@@ -669,9 +669,14 @@ def propagate_min_labels(
         .distinct()
         .localCheckpoint()
     )
-    labels = edges.select(
-        F.col("src").alias("node"), F.col("src").alias("label")
-    ).distinct()
+    # Init = round 1 fused: with identity labels, the first neighbor-min
+    # is just min(neighbor ids), computable as ONE groupBy on the edge
+    # table — no label join, no checkpoint round. Every node appears as
+    # src (both orientations), so this also enumerates the node set.
+    labels = edges.groupBy("src").agg(F.min("dst").alias("mn")).select(
+        F.col("src").alias("node"),
+        F.least(F.col("src"), F.col("mn")).alias("label"),
+    )
     for _ in range(max_iters):
         jumped = (
             labels.alias("x")
