@@ -84,8 +84,17 @@ def _stdout_line(payload: dict) -> dict:
     """Shrink ``payload`` until its compact-JSON form fits the harness's
     stdout tail window, keeping the slowest queries (the ones regression
     checks compare) and dropping from the cheap end first.
+
+    Failed queries (timing -1.0) must never be shrunk away: they would
+    otherwise rank as the CHEAPEST keys, vanish from the kept map first,
+    and leave a lower total that reads as a speedup — so they ride a
+    dedicated always-present field instead of the ranked map.
     """
-    ranked = sorted(payload["queries"].items(), key=lambda kv: -kv[1])
+    failed = sorted(k for k, v in payload["queries"].items() if v < 0)
+    ranked = sorted(
+        ((k, v) for k, v in payload["queries"].items() if v >= 0),
+        key=lambda kv: -kv[1],
+    )
 
     def build(keep: int) -> dict:
         return {
@@ -93,7 +102,8 @@ def _stdout_line(payload: dict) -> dict:
             "value": payload["value"],
             "unit": payload["unit"],
             "sf": payload["sf"],
-            "queries_total": len(ranked),
+            "queries_total": len(ranked) + len(failed),
+            "queries_failed": failed,
             "queries_omitted": len(ranked) - keep,
             "queries_full": "bench_last.json",
             "queries": dict(sorted(ranked[:keep])),

@@ -351,12 +351,14 @@ def q_llm_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs compare — the output is exactly the pairs a dedup pass
     would drop, not a lossy sample (test_similarity asserts the set
     equals the all-pairs computation).
-    Same scale shape as MinHash banding: signatures are per-doc
-    map-side work, the only shuffles are the band-bucket join and the
-    candidate top-k; candidate pairs are deduped as narrow ids before
-    the (broadcast) signature rejoin, mirroring q_llm_minhash_lsh's
-    documented OOM fix. Hot buckets (boilerplate-heavy corpora) are the
-    usual skew risk — AQE skew-join or upstream bucket caps handle it.
+    Same scale shape as MinHash banding, with one difference the tiny
+    signature buys: the 8-byte simhash rides the band explode, so the
+    hamming test runs INSIDE the bucket join and the pair distinct only
+    shuffles true near-dups — no signature rejoin at all (MinHash keeps
+    the narrow-ids-then-broadcast-rejoin form because its 12-element
+    signatures are ~50x wider; see q_llm_minhash_lsh). Hot buckets
+    (boilerplate-heavy corpora) are the usual skew risk — AQE skew-join
+    or upstream bucket caps handle it.
     """
     return _simhash_banded_pairs(spark, sf_dir).orderBy(
         F.col("hamming").asc(), "id_a", "id_b"

@@ -73,18 +73,26 @@ def serialize_event_lines(ev: DataFrame) -> DataFrame:
     shifting every later field (round-3 ADVICE).
 
     Write-side guard: a free-text field that CONTAINS the delimiter or
-    IS the sentinel literal cannot round-trip (the former would split,
-    the latter would come back NULL), so serialization raises on such
-    rows instead of emitting a lie. A deployment that needs those
-    bytes verbatim should switch to an escaping SerDe; this format
-    fails loudly rather than corrupt silently in either direction."""
+    a line break, or IS the sentinel literal, cannot round-trip (a
+    delimiter would split the field, a newline/CR would split the
+    LINE — `.text()` writes it as two physical records, corrupting the
+    file before any reader runs — and the sentinel would come back
+    NULL), so serialization raises on such rows instead of emitting a
+    lie. A deployment that needs those bytes verbatim should switch to
+    an escaping SerDe; this format fails loudly rather than corrupt
+    silently in either direction."""
 
     def sentinel(col):
         return F.coalesce(col.cast("string"), F.lit(TEXT_NULL_SENTINEL))
 
     def guarded_text(name: str):
         col = F.col(name)
-        bad = col.contains("|") | (col == TEXT_NULL_SENTINEL)
+        bad = (
+            col.contains("|")
+            | col.contains("\n")
+            | col.contains("\r")
+            | (col == TEXT_NULL_SENTINEL)
+        )
         return F.when(
             bad,
             F.raise_error(
@@ -118,7 +126,14 @@ def parse_event_lines(lines: DataFrame) -> DataFrame:
     only one column would be column-pruned away whenever a downstream
     plan (e.g. the q_scan_text_lines aggregate, which never reads
     event_id) drops that column — leaving the malformed line to
-    corrupt the surviving fields silently."""
+    corrupt the surviving fields silently.
+
+    Typed fields get the same loud-failure contract as the field count:
+    a plain ``cast``/``to_timestamp`` returns NULL on garbage (non-ANSI
+    semantics), which would silently drop the row from downstream sums
+    and joins — indistinguishable from a legitimate sentinel NULL. A
+    non-sentinel raw value that casts to NULL raises instead, carrying
+    the line."""
     p = F.split(F.col("value"), "\\|", -1)
 
     def fld(i: int):
@@ -131,12 +146,22 @@ def parse_event_lines(lines: DataFrame) -> DataFrame:
             )
         )
 
+    def typed(i: int, caster):
+        raw = fld(i)
+        cast = caster(raw)
+        return F.when(
+            raw.isNotNull() & cast.isNull(),
+            F.raise_error(
+                F.concat(F.lit("uncastable text field: "), F.col("value"))
+            ),
+        ).otherwise(cast)
+
     return lines.select(
-        fld(0).cast("long").alias("event_id"),
-        F.to_timestamp(fld(1)).alias("ts"),
-        fld(2).cast("long").alias("user_id"),
+        typed(0, lambda c: c.cast("long")).alias("event_id"),
+        typed(1, F.to_timestamp).alias("ts"),
+        typed(2, lambda c: c.cast("long")).alias("user_id"),
         fld(3).alias("event_type"),
-        fld(4).cast("double").alias("value"),
+        typed(4, lambda c: c.cast("double")).alias("value"),
         fld(5).alias("props"),
     )
 

@@ -173,7 +173,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_corpus_prep",
     "q_llm_pii_redact",
     "q_llm_domain_stats",
-    "q_llm_boilerplate",
     "q_llm_repetition",
     "q_llm_tokenize_vocab",
     "q_llm_chunk",

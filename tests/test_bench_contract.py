@@ -64,3 +64,18 @@ def test_stdout_line_small_surface_is_complete():
     out = bench._stdout_line(payload)
     assert out["queries_omitted"] == 0
     assert out["queries"] == payload["queries"]
+
+
+def test_stdout_line_surfaces_failures():
+    # A failed query (timing -1.0) must appear in every emitted line —
+    # it would otherwise rank cheapest, be shrunk away first, and the
+    # lowered total would read as a speedup.
+    payload = _payload(138)
+    worst = max(payload["queries"], key=payload["queries"].get)
+    payload["queries"][worst] = -1.0
+    out = bench._stdout_line(payload)
+    assert out["queries_failed"] == [worst]
+    assert worst not in out["queries"]
+    assert out["queries_total"] == 138
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= bench._STDOUT_BUDGET
