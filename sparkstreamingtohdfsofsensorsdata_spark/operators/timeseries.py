@@ -280,9 +280,11 @@ def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_ts_session_window",
-    oracle="""
+# Shared by q_ts_session_window (batch session_window) and
+# q_stream_session (streaming session_window): the two queries are the
+# same semantics on two engines, so a single oracle text keeps a future
+# gap/tie-break change from silently checking one twin against stale SQL.
+SESSION_GAP_ORACLE = """
         WITH ordered AS (
             SELECT user_id, ts, value, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
@@ -302,7 +304,12 @@ def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(value), 6)        AS session_value
         FROM tagged
         GROUP BY user_id, sess_id
-    """,
+    """
+
+
+@query(
+    "q_ts_session_window",
+    oracle=SESSION_GAP_ORACLE,
     description="Batch session_window aggregation (30m gap) — native gap-merge windows outside streaming",
     tags=("timeseries", "session", "window"),
 )

@@ -93,33 +93,48 @@ def make_replay_dir(
     """Split the events table into ``n_chunks`` parquet files so a
     maxFilesPerTrigger=1 stream replays them as distinct micro-batches.
     Chunks are ordered by ts so event-time advances like a live source.
-    """
-    if not glob.glob(os.path.join(out_dir, "chunk_*")):
-        ev = load(spark, sf_dir, "events")
-        n = ev.count()
-        per = (n + n_chunks - 1) // n_chunks
-        # monotonically_increasing_id is only globally ordered on a single
-        # partition — test-rig only, never a scale path.
-        ev2 = (
-            ev.coalesce(1)
-            .orderBy("ts", "event_id")
-            .withColumn("rid", F.monotonically_increasing_id())
-            .withColumn("chunk", (F.col("rid") / per).cast("int"))
+
+    Reuse is gated on a ``_COMPLETE`` marker written after the LAST
+    chunk, not on "any chunk exists": a generation that died midway
+    would otherwise leave a partial directory that every later caller
+    silently replays as the whole table. A partial dir is rebuilt from
+    scratch."""
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    per = (n + n_chunks - 1) // n_chunks
+    # monotonically_increasing_id is only globally ordered on a single
+    # partition — test-rig only, never a scale path. localCheckpoint
+    # materializes the sorted+numbered table ONCE; without it each
+    # chunk's filter would re-run the full scan + global sort.
+    ev2 = (
+        ev.coalesce(1)
+        .orderBy("ts", "event_id")
+        .withColumn("rid", F.monotonically_increasing_id())
+        .withColumn("chunk", (F.col("rid") / per).cast("int"))
+        .localCheckpoint()
+    )
+    for i in range(n_chunks):
+        tmp = os.path.join(out_dir, f"_tmp_{i:03d}")
+        (
+            ev2.filter(F.col("chunk") == i)
+            .drop("rid", "chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
         )
-        for i in range(n_chunks):
-            tmp = os.path.join(out_dir, f"_tmp_{i:03d}")
-            (
-                ev2.filter(F.col("chunk") == i)
-                .drop("rid", "chunk")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            # The stream source does not recurse into subdirectories:
-            # flatten the single part file to a plain chunk file.
-            (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
-            os.replace(part, os.path.join(out_dir, f"chunk_{i:03d}.parquet"))
-            shutil.rmtree(tmp)
+        # The stream source does not recurse into subdirectories:
+        # flatten the single part file to a plain chunk file.
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        os.replace(part, os.path.join(out_dir, f"chunk_{i:03d}.parquet"))
+        shutil.rmtree(tmp)
+    with open(marker, "w") as fh:
+        fh.write(f"{n_chunks}\n")
     return out_dir
 
 

@@ -10,8 +10,9 @@ Streaming makes that a sound oracle).
 
 Scale notes:
 - Watermarks bound state: without one, windowed state grows forever.
-  Production delay here is "10 minutes"; tests use a generous delay so
-  a full replay retains everything and equals batch.
+  Every operator takes the delay as a parameter (the late-data tests
+  pass tight ones); the RETAIN_ALL_WATERMARK default outlives the
+  fixture's span so a full replay retains everything and equals batch.
 - Windowed aggregation state lives in the per-partition state store,
   keyed by (window, group key) — sizing is group-cardinality x windows
   in flight, independent of input volume.
@@ -25,7 +26,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_WATERMARK = "10 minutes"
 # Longer than the fixture's 30-day span: nothing is ever late in tests,
 # so a replayed stream equals the batch computation exactly.
 RETAIN_ALL_WATERMARK = "60 days"

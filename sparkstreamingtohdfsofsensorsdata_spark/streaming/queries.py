@@ -11,10 +11,13 @@ a stronger check than the rows-only fallback.
 
 from __future__ import annotations
 
+import uuid
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.timeseries import SESSION_GAP_ORACLE
 from ..registry import query
 from ..session import scratch_dir
 from ..sources.factory import events_stream
@@ -67,27 +70,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_session",
-    oracle="""
-        WITH ordered AS (
-            SELECT user_id, ts, value, event_id,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
-                        THEN 1 ELSE 0 END AS new_sess
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ),
-        tagged AS (
-            SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                          ROWS UNBOUNDED PRECEDING) AS sess_id
-            FROM ordered
-        )
-        SELECT CAST(min(ts) AS TIMESTAMP)  AS session_start,
-               user_id,
-               count(*)                    AS n_events,
-               round(sum(value), 6)        AS session_value
-        FROM tagged
-        GROUP BY user_id, sess_id
-    """,
+    oracle=SESSION_GAP_ORACLE,
     description="Streaming session windows (30m gap) == relational sessionization",
     tags=("streaming", "session"),
 )
@@ -189,7 +172,8 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH quality AS (
             SELECT source,
                    md5(lower(trim(text)))                    AS h,
-                   CAST(ceil(length(text) / 4.0) AS BIGINT)  AS toks
+                   CAST(ceil(length(lower(trim(text))) / 4.0)
+                        AS BIGINT)                           AS toks
             FROM documents
             WHERE length(text) BETWEEN 100 AND 20000
         )
@@ -211,9 +195,13 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique documents.
 
     The dedup key set is (source, hash), so the admitted set — and
-    therefore the funnel — is order-independent: no matter which
-    arrival wins, the surviving (source, hash, token-count) triple is
-    identical. State is one hash per unique (source, doc); with a real
+    therefore the funnel — is order-independent: every per-row value
+    that survives dedup (the token count) is derived from the SAME
+    normalized text the hash is, so it is a pure function of the key
+    and no arrival order can change the surviving triple. (Deriving
+    toks from the RAW text would break this: two arrivals differing
+    only in case/whitespace share a hash but not a raw length, and
+    whichever arrived first would decide the count.) State is one hash per unique (source, doc); with a real
     unbounded feed you bound it with dropDuplicatesWithinWatermark (the
     q_stream_dedup pattern) once re-crawl windows make exact history
     unnecessary.
@@ -232,7 +220,9 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
-            F.ceil(F.length("text") / 4.0).alias("toks"),
+            F.ceil(F.length(F.lower(F.trim(F.col("text")))) / 4.0).alias(
+                "toks"
+            ),
         )
         .dropDuplicates(["source", "h"])
     )
@@ -261,16 +251,22 @@ def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     made exactly-once with a snapshot-pointer commit protocol (the
     minimal form of a lakehouse transaction log):
 
-    - each epoch writes a NEW immutable snapshot directory
-      ``v<epoch_id>`` holding current-state = merge(previous snapshot,
-      this batch's winners);
+    - each epoch ATTEMPT writes a NEW immutable snapshot directory
+      ``v<epoch_id>_<attempt-nonce>`` holding current-state =
+      merge(previous snapshot, this batch's winners) — never the
+      directory the previous snapshot is being read from, so a retry
+      can never hit Spark's cannot-overwrite-a-path-being-read error;
     - a one-line pointer file is atomically replaced (os.replace) to
       publish it — readers resolve the pointer, so they only ever see
       a fully-committed snapshot;
-    - reprocessing an epoch after a crash rewrites the SAME ``v<N>``
-      directory and repoints — idempotent, because the epoch id names
-      the snapshot (this is exactly how foreachBatch docs recommend
-      achieving exactly-once on non-transactional stores).
+    - the streaming checkpoint makes epoch ids durable: a crash after
+      publish but before the offset commit re-delivers the SAME batch
+      under the SAME epoch_id, and re-merging it into the
+      already-merged snapshot is a no-op (max_by winners are
+      unchanged) — the republished snapshot is value-identical, which
+      is the idempotence exactly-once needs on a non-transactional
+      store. Superseded ``v*`` directories are garbage, vacuumed by
+      retention (here: the scratch dir's lifetime).
 
     The replay is chunked (maxFilesPerTrigger=1 over 4 chunks) so the
     merge genuinely runs across multiple epochs with state carried
@@ -312,8 +308,10 @@ def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             merged = best
-        snap = os.path.join(base, f"v{epoch_id}")
-        merged.write.mode("overwrite").parquet(snap)
+        # Attempt-unique target: epoch id for lineage, nonce so a retry
+        # never writes into the directory `cur` is lazily reading.
+        snap = os.path.join(base, f"v{epoch_id}_{uuid.uuid4().hex[:8]}")
+        merged.write.mode("errorifexists").parquet(snap)
         tmp = pointer + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(snap)
@@ -324,7 +322,8 @@ def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = stream_source(spark, replay, max_files_per_trigger=1).select(
         "user_id", "event_id", "value"
     )
-    run_foreach_batch(deltas, upsert)
+    run_foreach_batch(deltas, upsert, checkpoint=os.path.join(base, "ckpt"))
     final = read_current(spark)
-    assert final is not None, "no snapshot was published"
+    if final is None:
+        raise RuntimeError("no snapshot was published by any epoch")
     return final.select("user_id", "value", "event_id")

@@ -80,15 +80,20 @@ def run_to_memory(
     # is the right place — a restartable deployment would point this at
     # HDFS/S3 instead (write_file_sink does).
     ckpt = scratch_dir("ckpt_")
-    q = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # start() itself can throw (unsupported plan/output-mode combo) —
+    # it must sit INSIDE the try, or the finally never restores the
+    # session's shuffle-partition override and the leak degrades every
+    # later batch query in a long-lived session.
+    q = None
     try:
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         finished = q.awaitTermination(timeout_s)
         if not finished:
             # A silently-partial memory table would surface later as a
@@ -98,7 +103,7 @@ def run_to_memory(
                 "refusing to return a partial memory table"
             )
     finally:
-        if q.isActive:
+        if q is not None and q.isActive:
             q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
         result.sparkSession.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -121,21 +126,22 @@ def write_file_sink(
     the same checkpoint resumes from committed offsets.
     """
     prev_parts = _prepare_streaming_session(result)
-    writer = (
-        result.writeStream.outputMode(output_mode)
-        .format("parquet")
-        .option("path", path)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-    )
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    q = writer.start()
+    q = None
     try:
+        writer = (
+            result.writeStream.outputMode(output_mode)
+            .format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+        )
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        q = writer.start()
         if not q.awaitTermination(300):
             raise TimeoutError("file-sink query still running after 300s")
     finally:
-        if q.isActive:
+        if q is not None and q.isActive:
             q.stop()
         result.sparkSession.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
@@ -144,22 +150,32 @@ def run_foreach_batch(
     result: DataFrame,
     fn,
     output_mode: str = "append",
+    checkpoint: str | None = None,
 ) -> None:
     """foreachBatch sink: hands each micro-batch to ``fn(df, epoch_id)``
     as a batch DataFrame — the idiomatic escape hatch for sinks without
-    native streaming support (JDBC, MERGE targets)."""
+    native streaming support (JDBC, MERGE targets).
+
+    Pass ``checkpoint`` to make epoch ids durable: only then does a
+    restart resume from committed offsets and re-deliver the SAME
+    epoch_id for an uncommitted batch — the property every idempotent
+    foreachBatch commit protocol keys on. Without it the run is
+    ephemeral (epoch ids restart at 0)."""
     prev_parts = _prepare_streaming_session(result)
-    q = (
-        result.writeStream.outputMode(output_mode)
-        .foreachBatch(fn)
-        .trigger(availableNow=True)
-        .start()
-    )
+    q = None
     try:
+        writer = (
+            result.writeStream.outputMode(output_mode)
+            .foreachBatch(fn)
+            .trigger(availableNow=True)
+        )
+        if checkpoint is not None:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
         if not q.awaitTermination(300):
             raise TimeoutError("foreachBatch query still running after 300s")
     finally:
-        if q.isActive:
+        if q is not None and q.isActive:
             q.stop()
         result.sparkSession.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
