@@ -37,16 +37,25 @@ N_BANDS = 4
 BAND_ROWS = 3
 
 # Spark-SQL expression fragments (mirrored 1:1 in the DuckDB oracles).
+# Too-short inputs MUST short-circuit to an empty array: Spark's
+# sequence(1, 0) is the DESCENDING [1, 0] (not [] like DuckDB's
+# range(1, 1)), which would crash element_at lookups on single-token
+# docs and fabricate junk shingles for sub-n-gram texts — a silent
+# engine divergence the fixture's long texts never exercise.
 SHINGLES_EXPR = (
-    "array_distinct(transform(sequence(1, length(text) - 2),"
-    " i -> substring(text, i, 3)))"
+    "if(length(text) >= 3,"
+    " array_distinct(transform(sequence(1, length(text) - 2),"
+    " i -> substring(text, i, 3))),"
+    " array())"
 )
 # Word-bigram shingles for MinHash: the standard granularity for LLM
 # corpus dedup (char n-grams over-match on shared vocabulary), and ~10x
 # fewer hash calls per document than char 3-grams.
 WORD_SHINGLES_EXPR = (
-    "array_distinct(transform(sequence(1, size(toks) - 1),"
-    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+    "if(size(toks) >= 2,"
+    " array_distinct(transform(sequence(1, size(toks) - 1),"
+    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))),"
+    " array())"
 )
 # One md5 pair per shingle (64 hex chars) sliced into twelve 5-char
 # chunks = 12 independent 20-bit hash functions. 12x fewer md5 calls
@@ -105,6 +114,7 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE),
                      6) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
         ORDER BY jaccard DESC, id_a, id_b
         LIMIT 20
     """,
@@ -123,7 +133,20 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+            inter.alias("ni"),
+            union.alias("nu"),
+        )
+        # Two sub-3-char texts have EMPTY shingle sets: their Jaccard is
+        # 0/0 — undefined, ANSI-divide-by-zero on Spark, NULL on DuckDB —
+        # so degenerate pairs are excluded on both sides (oracle has the
+        # matching WHERE) rather than leaning on NULL-ordering quirks.
+        .filter(F.col("nu") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("ni") / F.col("nu").cast("double"), 6).alias(
+                "jaccard"
+            ),
         )
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
         .limit(20)

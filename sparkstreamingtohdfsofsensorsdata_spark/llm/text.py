@@ -290,10 +290,18 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(1), F.length("text") - 4),
-        lambda i: F.md5(F.col("text").substr(i, F.lit(5))),
-    )
+    # if-guard: texts shorter than one 5-gram must yield an EMPTY
+    # shingle list (-> NULL array_min/max, skipped by the source
+    # aggregate, matching DuckDB's empty range()); Spark's
+    # sequence(1, 0) is the descending [1, 0] and would fabricate junk
+    # hashes that poison the per-source min/max.
+    shingle_hashes = F.when(
+        F.length("text") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 4),
+            lambda i: F.md5(F.col("text").substr(i, F.lit(5))),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
     fp = docs.select(
         "source",
         F.md5("text").alias("full_hash"),
@@ -799,9 +807,14 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(
             "doc_id",
             F.explode(
+                # if-guard: sequence(1, 0) is descending in Spark (not
+                # empty like DuckDB range) and element_at would crash on
+                # single-token docs — see dedup.SHINGLES_EXPR.
                 F.expr(
-                    "transform(sequence(1, size(t) - 1),"
-                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                    "if(size(t) >= 2,"
+                    " transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1))),"
+                    " array())"
                 )
             ).alias("g"),
         )

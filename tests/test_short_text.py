@@ -1,0 +1,70 @@
+"""Short-text edge corpus: Spark vs DuckDB on texts the fixture never has.
+
+Spark's ``sequence(1, 0)`` is the DESCENDING ``[1, 0]`` while DuckDB's
+``range(1, 1)`` is empty, so every n-gram/shingle expression needs an
+explicit too-short guard or it either crashes (element_at out of
+bounds) or silently fabricates junk shingles only on the Spark side.
+The fixture's documents are all long enough to mask this, so this test
+runs the affected queries end-to-end on a tiny corpus of empty,
+single-char, single-token, and sub-n-gram texts with the SAME DuckDB
+oracle the driver uses.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from conftest import assert_cells_close, rows_key
+from sparkstreamingtohdfsofsensorsdata_spark import registry
+
+# doc_ids chosen to pass every query's slice filter (doc_id < 60 for
+# ngram_jaccard, % 3 == 1 for repetition). Includes one normal text so
+# results are non-degenerate.
+DOCS = [
+    (1, "", "en", "web", 0),
+    (4, "x", "en", "web", 1),
+    (7, "ab", "en", "wiki", 2),
+    (10, "abcd", "en", "wiki", 4),
+    (13, "word", "en", "web", 4),
+    (16, "two words", "en", "web", 9),
+    (19, "a slightly longer text with several words in it", "en", "wiki", 48),
+    (22, "another ordinary document text for company", "en", "web", 42),
+]
+
+KEYS = [
+    "q_llm_ngram_jaccard",
+    "q_llm_minhash_lsh",
+    "q_llm_fingerprint",
+    "q_llm_repetition",
+]
+
+
+@pytest.fixture(scope="module")
+def short_sf_dir(spark, tmp_path_factory):
+    sf_dir = tmp_path_factory.mktemp("short_sf")
+    spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(sf_dir / "documents.parquet"))
+    return str(sf_dir)
+
+
+@pytest.mark.parametrize("name", KEYS)
+def test_short_text_matches_oracle(spark, short_sf_dir, name):
+    spec = registry.load_all()[name]
+    sdf = spec.fn(spark, short_sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]  # must not crash
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{short_sf_dir}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(spec.oracle)
+    drows = [tuple(r) for r in res.fetchall()]
+    dcols = [d[0] for d in res.description]
+    s_cols, s_canon = rows_key(list(sdf.columns), srows)
+    d_cols, d_canon = rows_key(dcols, drows)
+    assert s_cols == d_cols
+    assert len(s_canon) == len(d_canon), f"{name}: {s_canon} vs {d_canon}"
+    assert_cells_close(s_canon, d_canon)
