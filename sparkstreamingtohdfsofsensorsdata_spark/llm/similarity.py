@@ -48,6 +48,50 @@ def _dot_expr(a: str, b: str):
     )
 
 
+def _topk_ids(scored: DataFrame, name: str) -> DataFrame:
+    """Rank a (qid, vec_id, dot) candidate stream and keep the TOP_K
+    ids per query under the ONE canonical tie-break (dot desc, vec_id
+    asc). Every recall@k in this module cuts both its exact and its
+    approximate side with this function, so a tie-break or TOP_K change
+    cannot skew a metric's two sides differently."""
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", F.col("vec_id").alias(name))
+    )
+
+
+def _exact_scored(v: DataFrame, q: DataFrame) -> DataFrame:
+    """Brute-force (qid, vec_id, dot) pair stream: queries broadcast,
+    corpus never shuffles — the exact tier every ANN variant measures
+    its recall against."""
+    return v.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", _dot_expr("qe", "e").alias("dot")
+    )
+
+
+def _recall_at_k(exact: DataFrame, approx: DataFrame, name: str) -> DataFrame:
+    """Per-query recall@k: the fraction of exact top-k ids the
+    approximate tier recovered. ``exact`` carries (qid,
+    exact_neighbor), ``approx`` carries (qid, <name>). The exact side's
+    qid is renamed before the join: both frames descend from the same
+    scan, and leaning on dataset-id disambiguation for a shared-lineage
+    self-join invites the trivially-true-predicate trap."""
+    e = exact.withColumnRenamed("qid", "eqid")
+    return (
+        e.join(
+            approx,
+            (F.col("eqid") == F.col("qid"))
+            & (F.col("exact_neighbor") == F.col(name)),
+            "left",
+        )
+        .groupBy(F.col("eqid").alias("qid"))
+        .agg((F.count(name) / float(TOP_K)).alias("recall_at_k"))
+        .orderBy("qid")
+    )
+
+
 @query(
     "q_llm_sim_topk",
     oracle=f"""
@@ -75,10 +119,7 @@ def q_llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
     )
-    scored = (
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", _dot_expr("qe", "e").alias("dot"))
-    )
+    scored = _exact_scored(v, q)
     w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -149,38 +190,17 @@ def q_llm_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("buckets").alias("qbuckets"),
     )
 
-    def topk(joined: DataFrame, name: str) -> DataFrame:
-        w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id"))
-        return (
-            joined.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOP_K)
-            .select("qid", F.col("vec_id").alias(name))
-        )
-
-    exact = topk(
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
-            "qid", "vec_id", _dot_expr("qe", "e").alias("dot")
-        ),
-        "exact_neighbor",
-    )
+    exact = _topk_ids(_exact_scored(v, q), "exact_neighbor")
     # Same bucket in any table: elementwise table-i comparison, OR-folded.
     collide = F.exists(
         F.zip_with("buckets", "qbuckets", lambda a, b: a == b), lambda x: x
     )
-    approx = topk(
+    approx = _topk_ids(
         v.join(F.broadcast(q), (F.col("vec_id") != F.col("qid")) & collide)
         .select("qid", "vec_id", _dot_expr("qe", "e").alias("dot")),
         "lsh_neighbor",
     )
-    hits = exact.join(
-        approx,
-        (exact.qid == approx.qid)
-        & (exact.exact_neighbor == approx.lsh_neighbor),
-        "left",
-    ).groupBy(exact.qid.alias("qid")).agg(
-        (F.count("lsh_neighbor") / float(TOP_K)).alias("recall_at_k")
-    )
-    return hits.orderBy("qid")
+    return _recall_at_k(exact, approx, "lsh_neighbor")
 
 
 IVF_NPROBE = 3
@@ -332,37 +352,16 @@ def q_llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("qid")),
     ).select("qid", "qe", "vec_id", "e")
 
-    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), "vec_id")
-    approx = (
-        candidates.select("qid", "vec_id", _dot_expr("qe", "e").alias("dot"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("qid", F.col("vec_id").alias("ivf_neighbor"))
+    approx = _topk_ids(
+        candidates.select("qid", "vec_id", _dot_expr("qe", "e").alias("dot")),
+        "ivf_neighbor",
     )
 
-    vv = _as_double(load(spark, sf_dir, "embeddings"))
-    qq = vv.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
     )
-    exact = (
-        vv.join(F.broadcast(qq), F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", _dot_expr("qe", "e").alias("dot"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("qid", F.col("vec_id").alias("exact_neighbor"))
-    )
-
-    return (
-        exact.join(
-            approx,
-            (exact.qid == approx.qid)
-            & (exact.exact_neighbor == approx.ivf_neighbor),
-            "left",
-        )
-        .groupBy(exact.qid.alias("qid"))
-        .agg((F.count("ivf_neighbor") / float(TOP_K)).alias("recall_at_k"))
-        .orderBy("qid")
-    )
+    exact = _topk_ids(_exact_scored(v, q), "exact_neighbor")
+    return _recall_at_k(exact, approx, "ivf_neighbor")
 
 
 @query(

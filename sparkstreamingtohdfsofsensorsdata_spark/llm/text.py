@@ -103,29 +103,39 @@ def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    scored = docs.select("source", *_quality_cols())
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+        F.sum(F.when(_quality_keep(), 1).otherwise(0)).alias("n_keep"),
+    )
+
+
+def _quality_cols():
+    """The one definition of the per-doc quality scores (type-token
+    ratio, stopword ratio, length gate) — shared by q_llm_quality (the
+    report) and q_llm_corpus_prep (the funnel), so a threshold or
+    stopword-list change cannot silently desynchronize the funnel's
+    n_quality from the report's n_keep."""
     toks = _tokens()
     n_tok = F.size(toks).cast("double")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    scored = docs.select(
-        "source",
+    return (
         (F.size(F.array_distinct(toks)) / n_tok).alias("ttr"),
         (
             F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tok
         ).alias("stop_ratio"),
         F.when(F.length("text").between(100, 20000), 1).otherwise(0).alias("len_ok"),
     )
-    return scored.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
-        F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
-        F.sum(
-            F.when(
-                (F.col("len_ok") == 1)
-                & (F.col("stop_ratio") < 0.5)
-                & (F.col("ttr") > 0.05),
-                1,
-            ).otherwise(0)
-        ).alias("n_keep"),
+
+
+def _quality_keep():
+    """The keep/drop gate over _quality_cols outputs."""
+    return (
+        (F.col("len_ok") == 1)
+        & (F.col("stop_ratio") < 0.5)
+        & (F.col("ttr") > 0.05)
     )
 
 
@@ -371,22 +381,14 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
-    toks = _tokens()
     scored = docs.select(
         "doc_id",
         "source",
         "text",
         F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
-        (F.size(F.array_distinct(toks)) / F.size(toks).cast("double")).alias("ttr"),
-        (
-            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-            / F.size(toks).cast("double")
-        ).alias("stop_ratio"),
-        F.length("text").between(100, 20000).cast("int").alias("len_ok"),
+        *_quality_cols(),
     )
-    quality = scored.filter(
-        (F.col("len_ok") == 1) & (F.col("stop_ratio") < 0.5) & (F.col("ttr") > 0.05)
-    )
+    quality = scored.filter(_quality_keep())
     uniq = quality.withColumn(
         "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
     ).filter(F.col("rn") == 1)
