@@ -96,32 +96,47 @@ def _stdout_line(payload: dict) -> dict:
         key=lambda kv: -kv[1],
     )
 
-    def build(keep: int) -> dict:
+    def build(keep: int, keep_failed: int) -> dict:
         return {
             "metric": payload["metric"],
             "value": payload["value"],
             "unit": payload["unit"],
             "sf": payload["sf"],
             "queries_total": len(ranked) + len(failed),
-            "queries_failed": failed,
+            "queries_failed_total": len(failed),
+            "queries_failed": failed[:keep_failed],
             "queries_omitted": len(ranked) - keep,
             "queries_full": "bench_last.json",
             "queries": dict(sorted(ranked[:keep])),
         }
 
+    def fits(line: dict) -> bool:
+        return len(json.dumps(line, separators=(",", ":"))) <= _STDOUT_BUDGET
+
+    # Shrink timings first (failures are the more important signal)…
     for keep in range(len(ranked), -1, -1):
-        line = build(keep)
-        if len(json.dumps(line, separators=(",", ":"))) <= _STDOUT_BUDGET:
+        line = build(keep, len(failed))
+        if fits(line):
             return line
-    # Even the keep=0 headline line overflows only if a caller shrank
-    # the budget below ~200 bytes; emit it anyway — headline numbers
-    # beat nothing.
-    return build(0)
+    # …then, in a mass-failure run, the failed-name list itself — the
+    # count survives even when the names cannot all fit.
+    for keep_failed in range(len(failed), -1, -1):
+        line = build(0, keep_failed)
+        if fits(line):
+            return line
+    # Only reachable if a caller shrank the budget below ~200 bytes;
+    # emit the headline anyway — numbers beat nothing.
+    return build(0, 0)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    except ValueError:
+        # A non-sf<N> directory name is a valid bench target; a dead
+        # bench over an unparseable LABEL is not. Null it and run.
+        sf = None
     spark = build_session(app_name="bench")
 
     _warmup(spark, sf_dir)

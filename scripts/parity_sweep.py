@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 import duckdb
 
-from conftest import assert_cells_close, rows_key
+from conftest import run_parity
 from sparkstreamingtohdfsofsensorsdata_spark import registry
 from sparkstreamingtohdfsofsensorsdata_spark.session import build_session
 from sparkstreamingtohdfsofsensorsdata_spark.tables import TABLES, table_path
@@ -46,29 +46,21 @@ def main() -> int:
         spec = specs[name]
         t0 = time.monotonic()
         try:
-            sdf = spec.fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = list(sdf.columns)
             if spec.oracle is None:
-                assert len(srows) > 0, "rows-only op returned 0 rows"
+                rows = len(spec.fn(spark, sf_dir).collect())
+                assert rows > 0, "rows-only op returned 0 rows"
                 status = "rows-only"
                 n_rows_only += 1
             else:
-                res = con.execute(spec.oracle)
-                drows = [tuple(r) for r in res.fetchall()]
-                dcols = [d[0] for d in res.description]
-                s_cols, s_canon = rows_key(scols, srows)
-                d_cols, d_canon = rows_key(dcols, drows)
-                assert s_cols == d_cols, f"columns {s_cols} vs {d_cols}"
-                assert len(s_canon) == len(d_canon), (
-                    f"rows {len(s_canon)} vs {len(d_canon)}"
-                )
-                assert_cells_close(s_canon, d_canon)
+                # The SAME compare the pytest gate runs (tests/conftest
+                # run_parity): a tolerance or normalization change there
+                # propagates here instead of silently diverging.
+                rows = run_parity(spark, con, name, sf_dir)
                 status = "pass"
                 n_pass += 1
             results[name] = {
                 "status": status,
-                "rows": len(srows),
+                "rows": rows,
                 "sec": round(time.monotonic() - t0, 2),
             }
         except Exception as exc:  # noqa: BLE001 — report, don't abort

@@ -32,19 +32,41 @@ def has_pushed_filters(df: DataFrame, *fragments: str) -> bool:
     return False
 
 
+def _split_top_level(body: str) -> list[str]:
+    """Split a struct body on top-level commas only: nested structs
+    (nestedSchemaPruning is on session-wide) would otherwise leak their
+    inner fields as phantom top-level columns."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    parts.append(body[start:])
+    return [p for p in parts if p]
+
+
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Column lists actually read by each parquet scan (pruning check)."""
     out = []
     for line in plan_str(df).splitlines():
         if "ReadSchema: struct<" in line:
             inner = line.split("ReadSchema: struct<", 1)[1].rsplit(">", 1)[0]
-            cols = [c.split(":")[0].strip() for c in inner.split(",") if ":" in c]
+            cols = [
+                c.split(":")[0].strip()
+                for c in _split_top_level(inner)
+                if ":" in c
+            ]
             out.append(cols)
     return out
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in plan_str(df) or "BroadcastExchange" in plan_str(df)
+    text = plan_str(df)
+    return "BroadcastHashJoin" in text or "BroadcastExchange" in text
 
 def has_sort_merge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in plan_str(df)
@@ -60,12 +82,15 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     return "partial_" in plan_str(df)
 
 
-def codegen_stage_count(df: DataFrame) -> int:
+def codegen_stage_count(df: DataFrame, text: str | None = None) -> int:
     """Distinct whole-stage-codegen stages. Tree strings mark fused
-    operators with a ``*(n)`` prefix (and some render the long form)."""
+    operators with a ``*(n)`` prefix (and some render the long form).
+    Pass ``text`` when the caller already rendered the plan — each
+    render is a full JVM toString crossing the Py4J boundary."""
     import re
 
-    text = plan_str(df)
+    if text is None:
+        text = plan_str(df)
     stages = set(re.findall(r"\*\((\d+)\)", text))
     return max(len(stages), text.count("WholeStageCodegen"))
 
@@ -85,7 +110,7 @@ def report(df: DataFrame) -> dict[str, object]:
         "sort_merge_join": "SortMergeJoin" in text,
         "take_ordered_top_k": "TakeOrderedAndProject" in text,
         "partial_aggregation": "partial_" in text,
-        "whole_stage_codegen_stages": codegen_stage_count(df),
+        "whole_stage_codegen_stages": codegen_stage_count(df, text),
         "pushed_filters": [
             line.strip() for line in text.splitlines() if "PushedFilters: [" in line
         ],
@@ -112,6 +137,15 @@ def scan_output_rows(df: DataFrame) -> list[int]:
                     out.append(int(kv._2().value()))
         for i in range(node.children().size()):
             out += walk(node.children().apply(i))
+        # AQE wrappers are LeafExecNodes: AdaptiveSparkPlanExec hides
+        # its tree behind executedPlan(), QueryStageExec behind plan().
+        # Without descending through them, every post-shuffle plan
+        # would silently report ZERO scans.
+        for accessor in ("executedPlan", "plan"):
+            try:
+                out += walk(getattr(node, accessor)())
+            except Exception:
+                pass
         return out
 
     return walk(root)

@@ -59,13 +59,15 @@ def query(
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        # next(iter(...), "") tolerates a whitespace-only docstring — a
+        # bare [0] here would IndexError at import time and take the
+        # whole registry down with it.
+        doc_first = next(iter((fn.__doc__ or "").strip().splitlines()), "")
         REGISTRY[name] = QuerySpec(
             name=name,
             fn=wrapped,
             oracle=oracle,
-            description=description or (fn.__doc__ or "").strip().splitlines()[0]
-            if (description or fn.__doc__)
-            else "",
+            description=description or doc_first,
             tags=tuple(tags),
         )
         return fn

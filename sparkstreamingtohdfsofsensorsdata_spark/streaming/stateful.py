@@ -3,9 +3,9 @@ via ``applyInPandasWithState`` — the sensor-pipeline 'N consecutive
 out-of-range readings' alarm, the one operator class windowed aggs
 cannot express.
 
-State per user is two integers (run length, alert count): constant
-memory per key regardless of stream length — exactly what keeps custom
-state viable on a 100 TB stream. Rows inside a micro-batch are sorted
+State per user is ONE integer (the in-progress run length; alerts are
+emitted, not counted): constant memory per key regardless of stream
+length — exactly what keeps custom state viable on a 100 TB stream. Rows inside a micro-batch are sorted
 by (ts, event_id) before folding so replay chunking does not change
 the result (chunks are time-ordered).
 """

@@ -75,7 +75,19 @@ def test_stdout_line_surfaces_failures():
     payload["queries"][worst] = -1.0
     out = bench._stdout_line(payload)
     assert out["queries_failed"] == [worst]
+    assert out["queries_failed_total"] == 1
     assert worst not in out["queries"]
     assert out["queries_total"] == 138
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= bench._STDOUT_BUDGET
+
+
+def test_stdout_line_mass_failure_still_fits():
+    # Every query failing must still yield a line inside the tail
+    # window: the failed-name list shrinks but its count survives.
+    payload = _payload(138)
+    payload["queries"] = {k: -1.0 for k in payload["queries"]}
+    out = bench._stdout_line(payload)
+    assert out["queries_failed_total"] == 138
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) <= bench._STDOUT_BUDGET
