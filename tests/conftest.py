@@ -12,7 +12,6 @@ from sparkstreamingtohdfsofsensorsdata_spark.session import build_session
 from sparkstreamingtohdfsofsensorsdata_spark.tables import TABLES, table_path
 
 SF_DIR = "/root/testdata/sf0.001"
-SF_DIR_01 = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
@@ -45,6 +44,10 @@ def _normalize(value):
     if isinstance(value, float):
         return round(value, 9)
     if isinstance(value, datetime.datetime):
+        if value.tzinfo is not None:
+            # canonicalize aware instants to UTC wall time — stripping a
+            # non-UTC offset would compare host-local wall times instead
+            value = value.astimezone(datetime.timezone.utc)
         return value.replace(tzinfo=None).isoformat()
     if isinstance(value, datetime.date):
         return value.isoformat()

@@ -45,17 +45,17 @@ def _year_bounds(df):
     )
 
 
-def _run_stream_bounds(spark, stream, name):
-    q = (
-        _year_bounds(stream.groupBy())
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+def _run_stream_bounds(stream):
+    # run_to_memory raises on timeout and stops the query — rolling a
+    # bare start()/awaitTermination here once let a timed-out canary
+    # assert against a partial memory table (and leak the query).
+    from sparkstreamingtohdfsofsensorsdata_spark.streaming.runner import (
+        run_to_memory,
     )
-    q.awaitTermination(300)
-    return spark.table(name).collect()
+
+    return run_to_memory(
+        _year_bounds(stream.groupBy()), output_mode="complete"
+    ).collect()
 
 
 def test_batch_load_ts_is_2024_us_timestamp(spark):
@@ -70,7 +70,7 @@ def test_batch_load_ts_is_2024_us_timestamp(spark):
 def test_events_stream_ts_is_2024(spark):
     stream = events_stream(spark, SF_DIR)
     assert isinstance(stream.schema["ts"].dataType, TimestampType)
-    _assert_2024_range(_run_stream_bounds(spark, stream, "canary_raw_stream"))
+    _assert_2024_range(_run_stream_bounds(stream))
 
 
 @pytest.fixture(scope="module")
@@ -83,7 +83,7 @@ def replay_dir(spark):
 def test_replay_chunk_stream_ts_is_2024(spark, replay_dir):
     stream = stream_source(spark, replay_dir, max_files_per_trigger=1)
     assert isinstance(stream.schema["ts"].dataType, TimestampType)
-    _assert_2024_range(_run_stream_bounds(spark, stream, "canary_replay_stream"))
+    _assert_2024_range(_run_stream_bounds(stream))
 
 
 def test_rate_source_produces_canonical_events(spark):

@@ -12,7 +12,7 @@ def test_entry_returns_rows(spark):
     assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty", "count_order"}
 
 
-def test_queries_and_oracles_align(spark):
+def test_queries_and_oracles_align():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     assert qs, "no queries registered"

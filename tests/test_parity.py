@@ -28,7 +28,7 @@ def test_rows_only_runs(spark, name):
     assert len(df.collect()) > 0
 
 
-def test_no_empty_oracle_results(spark, duck):
+def test_no_empty_oracle_results(duck):
     """A 0-row result passes a hash compare trivially — make sure the
     fixture scale actually exercises every oracle query."""
     empty = []

@@ -146,6 +146,9 @@ def test_sample_filter_is_scan_local(spark):
     df = q(spark, "q_sample_hash")
     (cols,) = inspect.read_schema_columns(df)
     assert set(cols) <= {"o_orderkey", "o_orderpriority", "o_totalprice"}
+    # the only exchange allowed is the final aggregation's — the filter
+    # itself must sit on the scan side of it (one exchange total)
+    assert inspect.plan_str(df).count("Exchange hashpartitioning") <= 1
 
 
 def test_q19_infers_per_side_filters(spark):
@@ -402,7 +405,13 @@ def test_simhash_pair_gen_single_join_no_rejoin(spark):
     text = inspect.plan_str(dedup._simhash_banded_pairs_plan(spark, SF))
     n_joins = sum(
         text.count(j)
-        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for j in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        )
     )
     assert n_joins == 1, f"expected exactly one bucket join, saw {n_joins}"
     join_line = next(l for l in text.splitlines() if "Join" in l)

@@ -439,10 +439,11 @@ def test_asof_join_matches_bruteforce(spark, evs):
     schema_p = "user_id long, ts timestamp, event_id long"
     vdf = spark.createDataFrame(views or [], schema_v)
     pdf = spark.createDataFrame(purchases, schema_p)
-    got = {
-        r["event_id"]: r["asof_view_id"]
-        for r in asof_join(vdf, pdf).collect()
-    }
+    out = asof_join(vdf, pdf).collect()
+    # exactly one output row per purchase — a fan-out on equal-ts view
+    # ties would silently dedupe in the dict below
+    assert len(out) == len(purchases)
+    got = {r["event_id"]: r["asof_view_id"] for r in out}
     want = {}
     for u, ts, i in purchases:
         cand = [(vts, vi) for vu, vts, vi in views if vu == u and vts <= ts]

@@ -49,18 +49,24 @@ def short_sf_dir(spark, tmp_path_factory):
     return str(sf_dir)
 
 
-@pytest.mark.parametrize("name", KEYS)
-def test_short_text_matches_oracle(spark, short_sf_dir, name):
-    spec = registry.load_all()[name]
-    sdf = spec.fn(spark, short_sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]  # must not crash
-
+@pytest.fixture(scope="module")
+def short_duck(short_sf_dir):
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{short_sf_dir}/documents.parquet/*.parquet')"
     )
-    res = con.execute(spec.oracle)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", KEYS)
+def test_short_text_matches_oracle(spark, short_sf_dir, short_duck, name):
+    spec = registry.load_all()[name]
+    sdf = spec.fn(spark, short_sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]  # must not crash
+
+    res = short_duck.execute(spec.oracle)
     drows = [tuple(r) for r in res.fetchall()]
     dcols = [d[0] for d in res.description]
     s_cols, s_canon = rows_key(list(sdf.columns), srows)
