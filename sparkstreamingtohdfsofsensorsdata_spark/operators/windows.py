@@ -29,8 +29,8 @@ from ..tables import load
                rank()         OVER w AS rnk,
                dense_rank()   OVER w AS drnk,
                ntile(4)       OVER w AS quartile,
-               round(percent_rank() OVER w, 6) AS prank,
-               round(cume_dist()    OVER w, 6) AS cdist
+               CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS prank_micros,
+               CAST(floor(cume_dist()    OVER w * 1000000 + 0.5) AS BIGINT) AS cdist_micros
         FROM orders
         WHERE o_totalprice > 350000
         WINDOW w AS (PARTITION BY o_orderpriority
@@ -52,8 +52,19 @@ def q_win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        # floor(x * 1e6 + 0.5) instead of round(x, 6): both engines
+        # compute the IDENTICAL IEEE double for k/(n-1), but Spark's
+        # round goes through the shortest DECIMAL repr (HALF_UP) while
+        # DuckDB rounds the raw binary — at a 7-digit boundary (any
+        # partition where n-1 has a factor of 5^k, e.g. 641 rows ->
+        # steps of 1/640 = 0.0015625) they disagree in the 6th digit.
+        # Scaled floor is pure double math, bit-identical on both.
+        F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("prank_micros"),
+        F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("cdist_micros"),
     )
 
 
