@@ -99,3 +99,28 @@ def test_cc_clusters_are_consistent(spark):
         assert cl == min(docs)
     for p in _simhash_banded_pairs(spark, sf).collect():
         assert cluster[p.id_a] == cluster[p.id_b], p
+
+
+def test_cc_labels_at_bench_scale_match_union_find(spark):
+    # The DuckDB recursive-CTE oracle for the CC queries is a full
+    # transitive closure and cannot run on sf0.1's 425k-edge near-dup
+    # graph — so the distributed propagation loop is checked there
+    # against an exact union-find over the SAME pair table instead.
+    # (The hypothesis property pins the loop on small arbitrary graphs;
+    # this pins it on the real, heavily-clustered graph at bench scale.)
+    from test_properties import _union_find_min_labels
+
+    from sparkstreamingtohdfsofsensorsdata_spark.llm import dedup
+
+    sf = "/root/testdata/sf0.1"
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in dedup._simhash_banded_pairs(spark, sf)
+        .select("id_a", "id_b")
+        .collect()
+    ]
+    assert len(pairs) > 100_000  # the graph really is this dense
+    got = {
+        r["node"]: r["label"] for r in dedup._cc_labels(spark, sf).collect()
+    }
+    assert got == _union_find_min_labels(pairs)
