@@ -45,6 +45,14 @@ def main() -> int:
         )
 
     specs = registry.load_all()
+    unknown = skip - set(specs)
+    if unknown:
+        # a typo'd skip key would silently leave the real key running —
+        # for the CC keys at sf0.1 that's the exact hang the flag exists
+        # to prevent
+        print(f"unknown skip keys: {sorted(unknown)}", file=sys.stderr)
+        spark.stop()
+        return 2
     results: dict[str, dict] = {}
     n_pass = n_rows_only = n_fail = 0
     for name in sorted(specs):

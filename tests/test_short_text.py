@@ -15,7 +15,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from conftest import assert_cells_close, rows_key
+from conftest import run_parity
 from sparkstreamingtohdfsofsensorsdata_spark import registry
 
 # doc_ids chosen to pass every query's slice filter (doc_id < 60 for
@@ -62,15 +62,6 @@ def short_duck(short_sf_dir):
 
 @pytest.mark.parametrize("name", KEYS)
 def test_short_text_matches_oracle(spark, short_sf_dir, short_duck, name):
-    spec = registry.load_all()[name]
-    sdf = spec.fn(spark, short_sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]  # must not crash
-
-    res = short_duck.execute(spec.oracle)
-    drows = [tuple(r) for r in res.fetchall()]
-    dcols = [d[0] for d in res.description]
-    s_cols, s_canon = rows_key(list(sdf.columns), srows)
-    d_cols, d_canon = rows_key(dcols, drows)
-    assert s_cols == d_cols
-    assert len(s_canon) == len(d_canon), f"{name}: {s_canon} vs {d_canon}"
-    assert_cells_close(s_canon, d_canon)
+    # the SAME compare as every other parity test — a tolerance or
+    # normalization change in conftest.run_parity propagates here
+    run_parity(spark, short_duck, name, short_sf_dir)
