@@ -537,16 +537,31 @@ def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if ba == bb:
             # Same block on both operands: each unordered pair appears
-            # in both orientations — keep the id_a < id_b one.
-            ii, jj = np.nonzero(ids_a[:, None] < ids_b[None, :])
+            # in both orientations — mask all but the id_a < id_b one.
+            # (The GEMM itself stays full: numpy exposes no triangular
+            # multiply, and BLAS n^2*d beats any Python-side triangle
+            # bookkeeping.)
+            scores[ids_a[:, None] >= ids_b[None, :]] = -np.inf
+        # Group-local top-k WITHOUT materializing per-pair index arrays
+        # for all n^2 entries (the previous nonzero+full-lexsort did,
+        # and sorting n^2 candidates for k winners is the task's peak
+        # memory): threshold-select every entry that can still reach
+        # the top k (>= the kth-largest dot, so boundary ties all
+        # survive to the deterministic sort), then order just those.
+        flat = scores.ravel()
+        kth = min(k, flat.size)
+        thresh = np.partition(flat, flat.size - kth)[flat.size - kth]
+        cand = np.flatnonzero(flat >= thresh)
+        cand = cand[np.isfinite(flat[cand])]  # masked -inf when thresh=-inf
+        ii, jj = np.unravel_index(cand, scores.shape)
+        if ba == bb:
             lo, hi = ids_a[ii], ids_b[jj]
         else:
             # Distinct blocks: each unordered pair appears exactly once;
             # orient it by id regardless of which block hashed lower.
-            ii, jj = np.nonzero(np.ones_like(scores, dtype=bool))
             lo = np.minimum(ids_a[ii], ids_b[jj])
             hi = np.maximum(ids_a[ii], ids_b[jj])
-        dots = scores[ii, jj]
+        dots = flat[cand]
         order = np.lexsort((hi, lo, -dots))[:k]
         return pd.DataFrame(
             {"id_a": lo[order], "id_b": hi[order], "dot": dots[order]}

@@ -62,7 +62,11 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": payload.str.len().astype("int64"),
-                "head_byte": payload.str[0].astype("int32"),
+                # .str[0] on a bytes Series is the first BYTE (int); an
+                # empty payload yields NaN, so fill 0 before the cast —
+                # an unguarded astype would crash the task on the first
+                # empty document.
+                "head_byte": payload.str[0].fillna(0).astype("int32"),
                 "width": pdf["meta_width"],
                 "height": pdf["meta_height"],
             }
@@ -74,7 +78,17 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     oracle="""
         SELECT doc_id,
                octet_length(encode(text))       AS n_bytes,
-               ascii(substr(text, 1, 1))        AS head_byte,
+               -- first BYTE of the UTF-8 payload (what the pandas side
+               -- reads off the binary column), derived from the first
+               -- codepoint: DuckDB has no blob byte accessor, and
+               -- ascii() would return the CODEPOINT, which diverges
+               -- from the byte on any non-ASCII head character.
+               CASE WHEN length(text) = 0          THEN 0
+                    WHEN unicode(text) < 128       THEN unicode(text)
+                    WHEN unicode(text) < 2048      THEN 192 + unicode(text) // 64
+                    WHEN unicode(text) < 65536     THEN 224 + unicode(text) // 4096
+                    ELSE                                240 + unicode(text) // 262144
+               END                              AS head_byte,
                64 + doc_id % 512                AS width,
                64 + (doc_id // 7) % 512         AS height
         FROM documents

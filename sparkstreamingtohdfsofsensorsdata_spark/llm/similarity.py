@@ -87,7 +87,12 @@ def _recall_at_k(exact: DataFrame, approx: DataFrame, name: str) -> DataFrame:
             "left",
         )
         .groupBy(F.col("eqid").alias("qid"))
-        .agg((F.count(name) / float(TOP_K)).alias("recall_at_k"))
+        # Denominator = the query's ACTUAL exact-neighbor count, not
+        # the TOP_K constant: on a corpus slice with fewer than TOP_K
+        # vectors a perfect ANN tier would otherwise read as
+        # recall < 1.0. (On the fixture every query has >= TOP_K
+        # neighbors, so the two denominators coincide there.)
+        .agg((F.count(name) / F.count("exact_neighbor")).alias("recall_at_k"))
         .orderBy("qid")
     )
 
@@ -152,9 +157,13 @@ def _buckets_udf():
 
     @pandas_udf("array<int>")
     def buckets(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        mat = np.vstack(emb.to_numpy())  # (batch, dim)
+        # Plane shape follows the data's dimensionality — a hardcoded
+        # dim would shape-mismatch on any non-fixture embedding table.
         rng = np.random.default_rng(LSH_SEED)
-        planes = rng.standard_normal((LSH_TABLES, 64, LSH_PLANES))
-        mat = np.vstack(emb.to_numpy())  # (batch, 64)
+        planes = rng.standard_normal((LSH_TABLES, mat.shape[1], LSH_PLANES))
         bits = np.einsum("bd,tdp->tbp", mat, planes) > 0  # (tables, batch, planes)
         vals = (bits * (1 << np.arange(LSH_PLANES))).sum(axis=2)  # (tables, batch)
         return pd.Series(list(vals.astype("int32").T))

@@ -72,6 +72,15 @@ def run_to_memory(
     memory sink materializes the whole result: fine for aggregates,
     never for raw 100 TB passthrough — that's what the file sink is
     for.)
+
+    The sink table itself is DROPPED before returning: a registered
+    memory-sink table pins its rows in the driver for the session's
+    lifetime, and a suite/bench run executes ~10 streaming queries —
+    leaving every result registered is an unbounded driver-heap leak
+    (one of the reasons the driver heap had to be raised; see
+    session.py). The result rides back as an eagerly
+    localCheckpointed DataFrame whose blocks the ContextCleaner
+    releases once the caller is done with it.
     """
     prev_parts = _prepare_streaming_session(result)
     name = f"mem_{uuid.uuid4().hex[:12]}"
@@ -108,7 +117,16 @@ def run_to_memory(
         shutil.rmtree(ckpt, ignore_errors=True)
         result.sparkSession.conf.set("spark.sql.shuffle.partitions", prev_parts)
     spark = result.sparkSession
-    return spark.table(name)
+    sink = spark.table(name)
+    try:
+        # Eager localCheckpoint decouples the result from the sink's
+        # catalog entry JVM-side (no driver<->Python roundtrip), and
+        # unlike the pinned temp view its blocks are released by the
+        # ContextCleaner once the caller drops the returned DataFrame.
+        out = sink.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+    return out
 
 
 def write_file_sink(

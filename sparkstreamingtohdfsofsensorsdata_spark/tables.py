@@ -56,9 +56,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pre-4.1 readers REJECT TIMESTAMP(NANOS) parquet outright
+        # unless the legacy conf maps it to raw ns longs. The setting
+        # cannot be scoped to this one read — execution is lazy, and
+        # the conf is captured when the scan RDD materializes, not
+        # here — so on those runtimes it is a deliberate session-wide
+        # fallback. On >= 4.1 the conf is ignored for NANOS columns
+        # (native NTZ read); skip it there so an events read never
+        # leaks legacy int64-ns semantics into the caller's session
+        # for OTHER nanos parquet files.
+        if _spark_version_tuple(spark) < (4, 1):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return _normalize_ts(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _spark_version_tuple(spark: SparkSession) -> tuple[int, int]:
+    try:
+        major, minor = spark.version.split(".")[:2]
+        return (int(major), int(minor))
+    except (ValueError, AttributeError):
+        return (0, 0)  # unparseable -> assume old, keep the fallback
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
@@ -119,6 +137,16 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for the SQL entry point."""
+    """Register every fixture table as a temp view for the SQL entry point.
+
+    Memoized on the LAST registered sf_dir per live session: every
+    golden/SQL query calls this, and re-registering costs 10 driver-side
+    parquet footer reads per call (~130 redundant reads per full
+    registry sweep). The views are global to the session, so only a
+    CHANGE of sf_dir needs a re-register; same-dir repeats are no-ops.
+    """
+    if getattr(spark, "_views_registered_for", None) == os.path.abspath(sf_dir):
+        return
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark._views_registered_for = os.path.abspath(sf_dir)

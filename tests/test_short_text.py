@@ -65,3 +65,53 @@ def test_short_text_matches_oracle(spark, short_sf_dir, short_duck, name):
     # the SAME compare as every other parity test — a tolerance or
     # normalization change in conftest.run_parity propagates here
     run_parity(spark, short_duck, name, short_sf_dir)
+
+
+# The multimodal payload is encode(text, UTF-8), and head_byte is the
+# first BYTE of that payload — on the all-ASCII fixture byte ==
+# codepoint, which masked both an oracle divergence (ascii() returns
+# the codepoint: 'é' -> 233, not the UTF-8 lead byte 195) and a task
+# crash (empty payload -> NaN -> astype raises). This corpus has a
+# 2-, 3-, and 4-byte-lead head char plus an empty text; doc_ids are
+# chosen so every row passes at least one modality's slice filter
+# (% 4 / % 5 / % 6 == 0).
+MODAL_DOCS = [
+    (0, "", "en", "web", 0),
+    (12, "école est belle", "fr", "web", 15),
+    (20, "€ price list", "en", "wiki", 12),
+    (24, "😀 emoji head", "en", "web", 12),
+    (30, "plain ascii document", "en", "wiki", 20),
+    (60, "ñandú", "es", "web", 5),
+]
+
+MODAL_KEYS = [
+    "q_llm_multimodal",
+    "q_llm_multimodal_frames",
+    "q_llm_multimodal_audio",
+]
+
+
+@pytest.fixture(scope="module")
+def modal_sf_dir(spark, tmp_path_factory):
+    sf_dir = tmp_path_factory.mktemp("modal_sf")
+    spark.createDataFrame(
+        MODAL_DOCS,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(sf_dir / "documents.parquet"))
+    return str(sf_dir)
+
+
+@pytest.fixture(scope="module")
+def modal_duck(modal_sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{modal_sf_dir}/documents.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", MODAL_KEYS)
+def test_multimodal_non_ascii_matches_oracle(spark, modal_sf_dir, modal_duck, name):
+    run_parity(spark, modal_duck, name, modal_sf_dir)
