@@ -456,6 +456,64 @@ def _simhash_banded_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_BLOCKS = 8
 
 
+def _block_pair_topk(key, pdf, k: int):
+    """Group kernel for the blocked all-pairs GEMM (q_llm_embed_neardup):
+    score this block pair's A-rows against its B-rows and return the
+    group-local top-``k`` (id_a < id_b) pairs under the deterministic
+    (dot desc, id_a, id_b) order.
+
+    Module-level so the property test can drive it directly against a
+    brute-force oracle (ties included) without a Spark job.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ba, bb = key
+    a = pdf[pdf["operand"] == 0]
+    b = pdf[pdf["operand"] == 1]
+    if not len(a) or not len(b):
+        return pd.DataFrame({"id_a": [], "id_b": [], "dot": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "dot": "float64"}
+        )
+    ids_a = a["vec_id"].to_numpy()
+    ids_b = b["vec_id"].to_numpy()
+    scores = (
+        np.stack(a["embedding"].to_numpy()).astype("float64")
+        @ np.stack(b["embedding"].to_numpy()).astype("float64").T
+    )
+    if ba == bb:
+        # Same block on both operands: each unordered pair appears
+        # in both orientations — mask all but the id_a < id_b one.
+        # (The GEMM itself stays full: numpy exposes no triangular
+        # multiply, and BLAS n^2*d beats any Python-side triangle
+        # bookkeeping.)
+        scores[ids_a[:, None] >= ids_b[None, :]] = -np.inf
+    # Group-local top-k WITHOUT materializing per-pair index arrays
+    # for all n^2 entries (the previous nonzero+full-lexsort did,
+    # and sorting n^2 candidates for k winners is the task's peak
+    # memory): threshold-select every entry that can still reach
+    # the top k (>= the kth-largest dot, so boundary ties all
+    # survive to the deterministic sort), then order just those.
+    flat = scores.ravel()
+    kth = min(k, flat.size)
+    thresh = np.partition(flat, flat.size - kth)[flat.size - kth]
+    cand = np.flatnonzero(flat >= thresh)
+    cand = cand[np.isfinite(flat[cand])]  # masked -inf when thresh=-inf
+    ii, jj = np.unravel_index(cand, scores.shape)
+    if ba == bb:
+        lo, hi = ids_a[ii], ids_b[jj]
+    else:
+        # Distinct blocks: each unordered pair appears exactly once;
+        # orient it by id regardless of which block hashed lower.
+        lo = np.minimum(ids_a[ii], ids_b[jj])
+        hi = np.maximum(ids_a[ii], ids_b[jj])
+    dots = flat[cand]
+    order = np.lexsort((hi, lo, -dots))[:k]
+    return pd.DataFrame(
+        {"id_a": lo[order], "id_b": hi[order], "dot": dots[order]}
+    )
+
+
 @query(
     "q_llm_embed_neardup",
     oracle="""
@@ -495,9 +553,6 @@ def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_llm_minhash_lsh / q_llm_sim_topk_lsh); the kernel (per-pair GEMM
     + local top-k + tiny merge) is unchanged.
     """
-    import numpy as np
-    import pandas as pd
-
     k = 20
     nb = NEARDUP_BLOCKS
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -521,56 +576,13 @@ def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("operand"),
     )
 
-    def block_pair_topk(key, pdf):
-        ba, bb = key
-        a = pdf[pdf["operand"] == 0]
-        b = pdf[pdf["operand"] == 1]
-        if not len(a) or not len(b):
-            return pd.DataFrame({"id_a": [], "id_b": [], "dot": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "dot": "float64"}
-            )
-        ids_a = a["vec_id"].to_numpy()
-        ids_b = b["vec_id"].to_numpy()
-        scores = (
-            np.stack(a["embedding"].to_numpy()).astype("float64")
-            @ np.stack(b["embedding"].to_numpy()).astype("float64").T
-        )
-        if ba == bb:
-            # Same block on both operands: each unordered pair appears
-            # in both orientations — mask all but the id_a < id_b one.
-            # (The GEMM itself stays full: numpy exposes no triangular
-            # multiply, and BLAS n^2*d beats any Python-side triangle
-            # bookkeeping.)
-            scores[ids_a[:, None] >= ids_b[None, :]] = -np.inf
-        # Group-local top-k WITHOUT materializing per-pair index arrays
-        # for all n^2 entries (the previous nonzero+full-lexsort did,
-        # and sorting n^2 candidates for k winners is the task's peak
-        # memory): threshold-select every entry that can still reach
-        # the top k (>= the kth-largest dot, so boundary ties all
-        # survive to the deterministic sort), then order just those.
-        flat = scores.ravel()
-        kth = min(k, flat.size)
-        thresh = np.partition(flat, flat.size - kth)[flat.size - kth]
-        cand = np.flatnonzero(flat >= thresh)
-        cand = cand[np.isfinite(flat[cand])]  # masked -inf when thresh=-inf
-        ii, jj = np.unravel_index(cand, scores.shape)
-        if ba == bb:
-            lo, hi = ids_a[ii], ids_b[jj]
-        else:
-            # Distinct blocks: each unordered pair appears exactly once;
-            # orient it by id regardless of which block hashed lower.
-            lo = np.minimum(ids_a[ii], ids_b[jj])
-            hi = np.maximum(ids_a[ii], ids_b[jj])
-        dots = flat[cand]
-        order = np.lexsort((hi, lo, -dots))[:k]
-        return pd.DataFrame(
-            {"id_a": lo[order], "id_b": hi[order], "dot": dots[order]}
-        )
-
     pairs = (
         a_side.unionByName(b_side)
         .groupBy("ba", "bb")
-        .applyInPandas(block_pair_topk, "id_a long, id_b long, dot double")
+        .applyInPandas(
+            lambda key, pdf: _block_pair_topk(key, pdf, k),
+            "id_a long, id_b long, dot double",
+        )
     )
     return (
         pairs.orderBy(F.col("dot").desc(), "id_a", "id_b")

@@ -461,3 +461,64 @@ def test_min_label_propagation_deep_path(spark):
     df = spark.createDataFrame(PATH_EDGES, "id_a long, id_b long")
     got = {r["node"]: r["label"] for r in propagate_min_labels(df, max_iters=9).collect()}
     assert got == {n: 0 for n in range(30)}
+
+
+# Embeddings as small-integer grids: dot products collide constantly,
+# so the kernel's tie class (threshold selection must keep EVERY entry
+# equal to the kth dot before the deterministic sort cuts to k) is
+# exercised on nearly every example — random floats would never tie.
+_vecs = st.lists(
+    st.lists(st.integers(-2, 2), min_size=3, max_size=3),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(vecs=_vecs, k=st.integers(1, 6), diagonal=st.booleans())
+def test_block_pair_topk_matches_bruteforce(vecs, k, diagonal):
+    # Pure-numpy kernel (no Spark job): the group-local top-k of the
+    # blocked GEMM must equal brute-force enumeration of the block
+    # pair's valid (id_a < id_b) pairs under (dot desc, id_a, id_b) —
+    # for BOTH the diagonal (same block both operands, self-pair and
+    # reverse-orientation masking) and off-diagonal (disjoint blocks,
+    # orientation by id) cases, ties and sub-k groups included.
+    import numpy as np
+    import pandas as pd
+
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import _block_pair_topk
+
+    ids = [10 * i + 3 for i in range(len(vecs))]  # unique, unsorted-ish
+    if diagonal:
+        key, a_ids, b_ids = (2, 2), ids, ids
+        a_vecs, b_vecs = vecs, vecs
+        valid = [
+            (ids[i], ids[j], float(np.dot(vecs[i], vecs[j])))
+            for i in range(len(ids))
+            for j in range(len(ids))
+            if ids[i] < ids[j]
+        ]
+    else:
+        half = (len(ids) + 1) // 2
+        key = (1, 2)
+        a_ids, b_ids = ids[:half], ids[half:]
+        a_vecs, b_vecs = vecs[:half], vecs[half:]
+        if not b_ids:
+            b_ids, b_vecs = a_ids, a_vecs  # degenerate 1-vector draw
+            key = (2, 2)
+        valid = [
+            (min(x, y), max(x, y), float(np.dot(vx, vy)))
+            for x, vx in zip(a_ids, a_vecs)
+            for y, vy in zip(b_ids, b_vecs)
+            if x != y
+        ]
+    pdf = pd.DataFrame(
+        {
+            "operand": [0] * len(a_ids) + [1] * len(b_ids),
+            "vec_id": a_ids + b_ids,
+            "embedding": [np.array(v, dtype="float64") for v in a_vecs + b_vecs],
+        }
+    )
+    got = _block_pair_topk(key, pdf, k)
+    want = sorted(valid, key=lambda p: (-p[2], p[0], p[1]))[:k]
+    assert list(zip(got["id_a"], got["id_b"], got["dot"])) == want
