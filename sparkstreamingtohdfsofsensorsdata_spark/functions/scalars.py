@@ -115,10 +115,13 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
                ceil(l_extendedprice)                          AS price_ceil,
                abs(l_discount - 0.05)                         AS disc_dev_raw,
                round(pow(l_quantity, 2), 6)                   AS qty_sq,
-               round(sqrt(l_quantity), 6)                     AS qty_sqrt,
+               CASE WHEN l_quantity >= 0
+                    THEN round(sqrt(l_quantity), 6) END       AS qty_sqrt,
                round(exp(l_discount), 6)                      AS disc_exp,
-               round(ln(l_extendedprice), 6)                  AS price_ln,
-               round(log10(l_extendedprice), 6)               AS price_log10,
+               CASE WHEN l_extendedprice > 0
+                    THEN round(ln(l_extendedprice), 6) END    AS price_ln,
+               CASE WHEN l_extendedprice > 0
+                    THEN round(log10(l_extendedprice), 6) END AS price_log10,
                CAST(sign(l_discount - 0.05) AS BIGINT)        AS disc_sign,
                CAST(l_orderkey % 13 AS BIGINT)                AS key_mod,
                round(greatest(l_quantity, l_discount * 100), 6) AS biggest,
@@ -139,10 +142,20 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev_raw"),
         F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
-        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        # Out-of-domain inputs (negative quantity, non-positive price)
+        # are NULL by explicit guard on BOTH sides: Spark alone would
+        # return NULL/NaN while DuckDB raises an Out of Range error, so
+        # the unguarded expressions only AGREED on positive-domain data.
+        F.when(F.col("l_quantity") >= 0, F.round(F.sqrt("l_quantity"), 6)).alias(
+            "qty_sqrt"
+        ),
         F.round(F.exp("l_discount"), 6).alias("disc_exp"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
-        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.when(
+            F.col("l_extendedprice") > 0, F.round(F.log("l_extendedprice"), 6)
+        ).alias("price_ln"),
+        F.when(
+            F.col("l_extendedprice") > 0, F.round(F.log10("l_extendedprice"), 6)
+        ).alias("price_log10"),
         # sign(): double in Spark, integer in DuckDB -> long on both sides
         F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
         (F.col("l_orderkey") % 13).alias("key_mod"),
@@ -195,7 +208,11 @@ def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_regexp",
     oracle=r"""
         SELECT c_custkey,
-               CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT)
+               -- TRY_CAST: a name without the pattern extracts '' and
+               -- plain CAST('' AS BIGINT) RAISES in DuckDB where Spark's
+               -- (ANSI-off) cast yields NULL — TRY_CAST is the matching
+               -- null-on-failure semantics.
+               TRY_CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT)
                                                                 AS parsed_id,
                regexp_replace(c_name, '0+', '_', 'g')           AS squeezed,
                CASE WHEN regexp_matches(c_name, '[13579]$')
@@ -216,8 +233,12 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.select(
         "c_custkey",
+        # try_cast, not cast: a pattern-less name extracts '' and under
+        # ANSI mode (the Spark 4 default) a plain cast of '' to BIGINT
+        # THROWS — mirroring the oracle's TRY_CAST gives null-on-failure
+        # on both engines for any input.
         F.regexp_extract("c_name", r"Customer#(\d+)", 1)
-        .cast("long")
+        .try_cast("long")
         .alias("parsed_id"),
         F.regexp_replace("c_name", "0+", "_").alias("squeezed"),
         F.when(F.col("c_name").rlike("[13579]$"), F.lit(1))
@@ -234,7 +255,8 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderkey & 255                        AS low_byte,
                o_orderkey | 4096                       AS with_flag,
                xor(o_orderkey, 21845)                  AS xored,
-               o_orderkey << 2                         AS shl2,
+               CASE WHEN o_orderkey BETWEEN 0 AND 2305843009213693951
+                    THEN o_orderkey << 2 END           AS shl2,
                o_orderkey >> 3                         AS shr3,
                bit_count(o_orderkey)                   AS popcount
         FROM orders
@@ -247,7 +269,11 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit manipulation on 64-bit keys — the substrate for bloom/LSH
     style hashing (the simhash family builds on exactly these). DuckDB
     spells xor as a function, Spark as `^`; everything else is the
-    shared operator set."""
+    shared operator set. &/|/xor/>> agree on negatives in both engines
+    (two's complement, arithmetic right shift), but << does not: Spark
+    wraps Java-style while DuckDB raises on a negative or overflowing
+    operand — so shl2 carries an explicit in-domain guard (0 <= k <
+    2^61) on BOTH sides and is NULL outside it."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
     k = F.col("o_orderkey")
     return o.select(
@@ -255,7 +281,7 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseAND(F.lit(255)).alias("low_byte"),
         k.bitwiseOR(F.lit(4096)).alias("with_flag"),
         k.bitwiseXOR(F.lit(21845)).alias("xored"),
-        F.shiftleft(k, 2).alias("shl2"),
+        F.when(k.between(0, (1 << 61) - 1), F.shiftleft(k, 2)).alias("shl2"),
         F.shiftright(k, 3).alias("shr3"),
         F.bit_count(k).alias("popcount"),
     )

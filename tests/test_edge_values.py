@@ -1,0 +1,131 @@
+"""Hostile-value edge corpus: the scalar-function families Spark vs
+DuckDB on values the fixture never has.
+
+The TPC-H-shaped fixture is all-positive, all-ASCII, null-free and
+pattern-regular, which masks a whole class of engine divergences:
+DuckDB RAISES on ln(0)/sqrt(-1)/negative-left-shift/CAST('' AS BIGINT)
+where Spark returns NULL (or wraps), so the unguarded expressions only
+ever AGREED on benign data. The q_fn_* queries now carry explicit
+domain guards (scalars.py); this corpus — zeros, negatives, empty and
+unicode strings, pattern-less names, NULL dates/statuses, pre-epoch
+and leap-day timestamps, tier-boundary prices — runs every family
+end-to-end against the SAME DuckDB oracle the driver uses, so a future
+edit that drops a guard fails here rather than on real data.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+
+from conftest import run_parity
+
+_TS = datetime.datetime
+
+# part: p_partkey % 7 == 0 (q_fn_string). Empty/short/unicode/no-vowel
+# names, whitespace-only type, negative and over-wide sizes.
+PART = [
+    (0, "", "", "", 0, 0.0),
+    (7, "x", "BR", "  padded type  ", -3, 1.5),
+    (14, "école naïve", "Brand#1", "\ttabbed\t", 999999, 2.0),
+    (21, "NO LOWERCASE 123", "mixed Case", " ", 5, 3.0),
+    (28, "aeiou", "b", "t", 1, 0.5),
+    (35, "abcd tail", "BB", "x", 42, 9.9),
+]
+
+# orders: %11 (date+bitwise), %13 (cond), >450000 (struct). 0 and
+# multiples of 143 pass both mod filters; -143 also does (both engines
+# use C-style mod, sign follows the dividend: -143 % 11 == 0).
+ORDERS = [
+    (0, 1, "O", 0.0, _TS(1969, 12, 31, 23, 59, 59), "1-URGENT"),
+    (143, 1, "F", 100000.0, _TS(2024, 2, 29), "5-LOW"),
+    (286, 2, "X", 300000.0, _TS(2000, 12, 31, 23, 59, 59), "1-URGENT"),
+    (429, 2, None, 449999.99, _TS(1999, 1, 1), None),
+    (572, 3, "O", 500000.0, None, "2-HIGH"),
+    (715, 3, "F", 460000.0, _TS(2099, 12, 31), "3-MEDIUM"),
+    (-143, 4, "P", -5.0, _TS(1970, 1, 1), "4-NOT SPECIFIED"),
+]
+
+# lineitem: l_orderkey % 17 == 0 (q_fn_math). Zero/negative quantity
+# and price (the sqrt/ln/log10 guard class), huge magnitudes, an exact
+# .5 rounding boundary.
+LINEITEM = [
+    (0, 1, 1, 1, 0.0, 0.0, 0.05, 0.0, "N", "O", _TS(2024, 1, 1)),
+    (17, 1, 1, 2, -4.0, -123.45, -0.05, 0.0, "R", "F", _TS(2024, 1, 2)),
+    (34, 2, 2, 3, 1e9, 1e12, 0.0, 0.1, "A", "F", _TS(2024, 1, 3)),
+    (51, 2, 2, 4, 0.5, 100.5, 0.1, 0.2, "N", "O", _TS(2024, 1, 4)),
+]
+
+# customer: c_name ~ \d\d$ AND c_custkey % 7 == 0 (q_fn_regexp). A
+# pattern-less name (parsed_id must be NULL via TRY_CAST, not an
+# error), zero-run squeezing, unicode.
+CUSTOMER = [
+    (0, "Customer#000", 1, 0.0, "BUILDING"),
+    (7, "Customer#013", 1, 1.5, "AUTOMOBILE"),
+    (14, "no-pattern 99", 2, -2.5, "MACHINERY"),
+    (21, "Ω#42", 2, 3.5, "HOUSEHOLD"),
+]
+
+SCHEMAS = {
+    "part": (
+        PART,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ),
+    "orders": (
+        ORDERS,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ),
+    "lineitem": (
+        LINEITEM,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ),
+    "customer": (
+        CUSTOMER,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ),
+}
+
+KEYS = [
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_fn_regexp",
+    "q_fn_bitwise",
+    "q_fn_struct",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(spark, tmp_path_factory):
+    sf_dir = tmp_path_factory.mktemp("edge_sf")
+    for table, (rows, schema) in SCHEMAS.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(sf_dir / f"{table}.parquet"))
+    return str(sf_dir)
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_sf_dir):
+    con = duckdb.connect()
+    for table in SCHEMAS:
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM "
+            f"read_parquet('{edge_sf_dir}/{table}.parquet/*.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", KEYS)
+def test_fn_family_on_edge_values(spark, edge_sf_dir, edge_duck, name):
+    run_parity(spark, edge_duck, name, edge_sf_dir)
