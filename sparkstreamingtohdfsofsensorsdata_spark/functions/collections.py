@@ -32,13 +32,26 @@ from ..tables import load
         SELECT vec_id, label,
                len(emb)                                              AS dim,
                round(emb[1], 6)                                      AS first_elem,
-               round(emb[64], 6)                                     AS last_elem,
-               round(list_sum(list_transform(emb, x -> x * x)), 6)   AS self_dot,
-               round(list_sum(list_filter(emb, x -> x > 0)), 6)      AS pos_sum,
+               round(emb[len(emb)], 6)                               AS last_elem,
+               -- fold-with-init semantics: an EMPTY list sums to 0
+               -- (Spark's aggregate starts from the 0.0 accumulator)
+               -- where bare list_sum([]) is NULL; a NULL list is NULL
+               -- on both. Indexing is len-relative, not a hardcoded
+               -- fixture dim: out-of-range list indexes are NULL in
+               -- DuckDB, and the Spark side guards with when(size>0)
+               -- because ANSI element_at would raise instead.
+               CASE WHEN emb IS NOT NULL THEN
+                    round(coalesce(list_sum(list_transform(emb, x -> x * x)), 0.0), 6)
+               END                                                   AS self_dot,
+               CASE WHEN emb IS NOT NULL THEN
+                    round(coalesce(list_sum(list_filter(emb, x -> x > 0)), 0.0), 6)
+               END                                                   AS pos_sum,
                len(list_filter(emb, x -> x > 0))                     AS n_pos,
                round(list_sort(emb)[1], 6)                           AS min_elem,
-               round(list_sort(emb)[64], 6)                          AS max_elem,
-               round(list_sum(list_transform(emb[1:8], x -> x)), 6)  AS head_sum
+               round(list_sort(emb)[len(emb)], 6)                    AS max_elem,
+               CASE WHEN emb IS NOT NULL THEN
+                    round(coalesce(list_sum(list_transform(emb[1:8], x -> x)), 0.0), 6)
+               END                                                   AS head_sum
         FROM v
         WHERE vec_id % 5 = 0
     """,
@@ -52,17 +65,25 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = F.filter("emb", lambda x: x > 0)
     fsum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    # when(size > 0, ...) guards every positional access: under ANSI
+    # mode (the Spark 4 default) element_at RAISES on an out-of-range
+    # or zero index, where the oracle's list index is NULL — and the
+    # last/max indexes are size-relative, not the fixture's dim.
+    def at(arr, idx):
+        return F.when(F.size(arr) > 0, F.element_at(arr, idx))
+
+    emb = F.col("emb")
     return v.select(
         "vec_id",
         "label",
         F.size("emb").alias("dim"),
-        F.round(F.element_at("emb", 1), 6).alias("first_elem"),
-        F.round(F.element_at("emb", 64), 6).alias("last_elem"),
+        F.round(at(emb, F.lit(1)), 6).alias("first_elem"),
+        F.round(at(emb, F.size("emb")), 6).alias("last_elem"),
         F.round(fsum(F.transform("emb", lambda x: x * x)), 6).alias("self_dot"),
         F.round(fsum(pos), 6).alias("pos_sum"),
         F.size(pos).alias("n_pos"),
-        F.round(F.element_at(F.array_sort("emb"), 1), 6).alias("min_elem"),
-        F.round(F.element_at(F.array_sort("emb"), 64), 6).alias("max_elem"),
+        F.round(at(F.array_sort("emb"), F.lit(1)), 6).alias("min_elem"),
+        F.round(at(F.array_sort("emb"), F.size("emb")), 6).alias("max_elem"),
         F.round(fsum(F.slice("emb", 1, 8)), 6).alias("head_sum"),
     )
 
@@ -73,11 +94,25 @@ MAP_SCHEMA = T.MapType(T.StringType(), T.IntegerType())
 @query(
     "q_fn_map",
     oracle="""
+        -- is_obj mirrors Spark's typed map parse domain: the parse
+        -- returns NULL (not an empty/partial map) for anything that is
+        -- not a JSON OBJECT. The nested CASE keeps json_type() off
+        -- malformed input, where it raises instead of returning NULL.
         SELECT event_id,
-               'k'                                  AS only_key,
-               CAST(props->>'k' AS INTEGER)         AS k_value,
-               1                                    AS n_keys,
-               CAST(props->>'k' AS INTEGER) * 2     AS k_doubled
+               CASE WHEN coalesce(json_valid(props), false) THEN
+                 CASE WHEN json_type(props) = 'OBJECT'
+                      THEN json_keys(props)[1] END END          AS only_key,
+               CASE WHEN coalesce(json_valid(props), false) THEN
+                 CASE WHEN json_type(props) = 'OBJECT'
+                      THEN TRY_CAST(props->>'k' AS INTEGER) END END
+                                                                AS k_value,
+               CASE WHEN coalesce(json_valid(props), false) THEN
+                 CASE WHEN json_type(props) = 'OBJECT'
+                      THEN len(json_keys(props)) END END        AS n_keys,
+               CASE WHEN coalesce(json_valid(props), false) THEN
+                 CASE WHEN json_type(props) = 'OBJECT'
+                      THEN TRY_CAST(props->>(json_keys(props)[1]) AS INTEGER) * 2
+                 END END                                        AS k_doubled
         FROM events
         WHERE event_id % 9 = 0
     """,
@@ -85,16 +120,22 @@ MAP_SCHEMA = T.MapType(T.StringType(), T.IntegerType())
     tags=("function", "map"),
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """props is always {"k": int} (measured), so map-function results are
-    oracle-expressible as constants + json extraction."""
+    """Input contract: ``props`` is NULL, malformed text, or a JSON
+    object whose values are integers (what the events table carries) —
+    a wrong-TYPED value fails Spark's whole typed map parse while the
+    oracle's per-key TRY_CAST nulls just that key, so value typing is
+    the declared boundary, not something this query reconciles. Within
+    the contract both sides agree on every shape: NULL/malformed props
+    -> all-NULL row, '{}' -> 0 keys, missing 'k' -> NULL value,
+    multi-key objects -> first key in document order."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0)
     m = ev.withColumn("pmap", F.from_json("props", MAP_SCHEMA))
     return m.select(
         "event_id",
-        F.element_at(F.map_keys("pmap"), 1).alias("only_key"),
+        F.try_element_at(F.map_keys("pmap"), F.lit(1)).alias("only_key"),
         F.element_at("pmap", F.lit("k")).alias("k_value"),
         F.size("pmap").alias("n_keys"),
-        (F.element_at(F.map_values("pmap"), 1) * 2).alias("k_doubled"),
+        (F.try_element_at(F.map_values("pmap"), F.lit(1)) * 2).alias("k_doubled"),
     )
 
 
@@ -105,10 +146,25 @@ PROPS_STRUCT = T.StructType([T.StructField("k", T.IntegerType())])
     "q_fn_json",
     oracle="""
         SELECT event_id,
-               props->>'k'                          AS k_raw,
-               CAST(props->>'k' AS INTEGER)         AS k_typed,
-               CAST(json_valid(props) AS INTEGER)   AS is_valid_json,
-               '{"k":' || (props->>'k') || '}'      AS rebuilt_json
+               CASE WHEN coalesce(json_valid(props), false)
+                    THEN props->>'k' END                        AS k_raw,
+               -- typed extraction is NULL unless $.k is json-INTEGER
+               -- (json_type: UBIGINT positive, BIGINT negative) —
+               -- mirroring Spark's typed from_json, which nulls a
+               -- wrong-typed field instead of coercing '3.7'/'"7"'.
+               CASE WHEN coalesce(json_valid(props), false) THEN
+                 CASE WHEN json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+                      THEN TRY_CAST(props->>'k' AS INTEGER) END END
+                                                                AS k_typed,
+               coalesce(CAST(json_valid(props) AS INTEGER), 0)  AS is_valid_json,
+               -- TRY_CAST, twice: an int64-range k overflows INT32 —
+               -- Spark's typed parse nulls it, a plain CAST raises.
+               -- The rebuilt document exists exactly when k_typed does.
+               CASE WHEN coalesce(json_valid(props), false) THEN
+                 CASE WHEN json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+                       AND TRY_CAST(props->>'k' AS INTEGER) IS NOT NULL
+                      THEN '{"k":' || (props->>'k') || '}' END END
+                                                                AS rebuilt_json
         FROM events
         WHERE event_id % 9 = 4
     """,
@@ -116,14 +172,24 @@ PROPS_STRUCT = T.StructType([T.StructField("k", T.IntegerType())])
     tags=("function", "json"),
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity comes from ``try_parse_json`` (the real JSON-syntax
+    probe), not from the typed struct parse: permissive ``from_json``
+    returns an all-NULL struct for malformed input, so ``p IS NOT
+    NULL`` read every malformed row as valid. The rebuilt document is
+    emitted only when the typed field exists — ``to_json`` drops NULL
+    fields, which would render '{}' where the oracle's string concat
+    yields NULL."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 4)
     parsed = ev.withColumn("p", F.from_json("props", PROPS_STRUCT))
     return parsed.select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_raw"),
+        F.when(
+            F.try_parse_json("props").isNotNull(),
+            F.get_json_object("props", "$.k"),
+        ).alias("k_raw"),
         F.col("p.k").alias("k_typed"),
-        F.when(F.col("p").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
-            "is_valid_json"
-        ),
-        F.to_json("p").alias("rebuilt_json"),
+        F.when(F.try_parse_json("props").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_valid_json"),
+        F.when(F.col("p.k").isNotNull(), F.to_json("p")).alias("rebuilt_json"),
     )

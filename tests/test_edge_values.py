@@ -68,6 +68,41 @@ CUSTOMER = [
     (21, "Ω#42", 2, 3.5, "HOUSEHOLD"),
 ]
 
+# events: event_id % 9 == 0 feeds q_fn_map, == 4 feeds q_fn_json. NULL
+# and malformed props, empty/non-object/multi-key documents, null /
+# wrong-typed / int32-overflowing / negative values of k. (Wrong-TYPED
+# map VALUES go only to the json query — the map query's documented
+# contract excludes them.)
+EVENTS = [
+    (0, _TS(2024, 1, 1), 1, "click", 1.0, None),
+    (9, _TS(2024, 1, 1), 1, "click", 1.0, "{bad"),
+    (18, _TS(2024, 1, 1), 2, "view", 2.0, "{}"),
+    (27, _TS(2024, 1, 1), 2, "view", 2.0, '{"k": null}'),
+    (36, _TS(2024, 1, 1), 3, "click", 3.0, '{"a":1,"b":2}'),
+    (45, _TS(2024, 1, 1), 3, "view", 3.0, "[1,2]"),
+    (54, _TS(2024, 1, 1), 4, "click", 4.0, '{"k": -5}'),
+    (4, _TS(2024, 1, 2), 1, "click", 1.0, None),
+    (13, _TS(2024, 1, 2), 1, "view", 1.0, "{bad"),
+    (22, _TS(2024, 1, 2), 2, "click", 2.0, '{"k": 7}'),
+    (31, _TS(2024, 1, 2), 2, "view", 2.0, '{"k": "abc"}'),
+    (40, _TS(2024, 1, 2), 3, "click", 3.0, '{"k": null}'),
+    (49, _TS(2024, 1, 2), 3, "view", 3.0, '{"k": 2147483648}'),
+    (58, _TS(2024, 1, 2), 4, "click", 4.0, "7"),
+    (67, _TS(2024, 1, 2), 4, "view", 4.0, '{"k": -12}'),
+]
+
+# embeddings: vec_id % 5 == 0 (q_fn_array). Empty and NULL arrays, a
+# 3-dim vector (the query must index size-relative, never a hardcoded
+# fixture dim), an all-negative vector (pos_sum must be 0, not NULL).
+# Values are exactly f32-representable so the f32->f64 widening both
+# engines do stays bit-exact.
+EMBEDDINGS = [
+    (0, [], 0),
+    (5, None, 1),
+    (10, [0.5, -1.25, 3.0], 2),
+    (15, [-1.0, -2.0], 3),
+]
+
 SCHEMAS = {
     "part": (
         PART,
@@ -91,6 +126,15 @@ SCHEMAS = {
         "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
         "c_mktsegment string",
     ),
+    "events": (
+        EVENTS,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ),
+    "embeddings": (
+        EMBEDDINGS,
+        "vec_id long, embedding array<float>, label int",
+    ),
 }
 
 KEYS = [
@@ -101,6 +145,9 @@ KEYS = [
     "q_fn_regexp",
     "q_fn_bitwise",
     "q_fn_struct",
+    "q_fn_array",
+    "q_fn_map",
+    "q_fn_json",
 ]
 
 
