@@ -133,23 +133,50 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_stats",
     oracle="""
         SELECT l_returnflag,
-               round(stddev_samp(l_quantity), 6)               AS sd_qty,
-               round(var_samp(l_extendedprice), 4)             AS var_price,
-               round(corr(l_quantity, l_extendedprice), 6)     AS corr_qty_price,
-               round(covar_samp(l_quantity, l_discount), 6)    AS cov_qty_disc
-        FROM lineitem
-        GROUP BY l_returnflag
+               round(sd_qty, 6)                                AS sd_qty,
+               round(var_price, 4)                             AS var_price,
+               round(cqp / nullif(sdq * sdp, 0), 6)            AS corr_qty_price,
+               round(cov_qty_disc, 6)                          AS cov_qty_disc
+        FROM (
+            SELECT l_returnflag,
+                   stddev_samp(l_quantity)                  AS sd_qty,
+                   var_samp(l_extendedprice)                AS var_price,
+                   covar_pop(l_quantity, l_extendedprice)   AS cqp,
+                   stddev_pop(l_quantity)                   AS sdq,
+                   stddev_pop(l_extendedprice)              AS sdp,
+                   covar_samp(l_quantity, l_discount)       AS cov_qty_disc
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
     """,
     description="Statistical aggregates: stddev/variance/corr/covar",
     tags=("agg", "stats"),
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation is derived from co-moments (covar_pop over the
+    stddev product, try_divide) instead of the built-in corr final:
+    on a zero-variance group Spark's corr RAISES under ANSI mode where
+    DuckDB returns NULL — the explicit ratio makes "undefined -> NULL"
+    the stated semantics on both sides. stddev/var/covar themselves
+    have no division hazard (their n-1 finals are engine-special-cased
+    to NULL on single-row groups, identically)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    m = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.covar_pop("l_quantity", "l_extendedprice").alias("cqp"),
+        F.stddev_pop("l_quantity").alias("sdq"),
+        F.stddev_pop("l_extendedprice").alias("sdp"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+    return m.select(
+        "l_returnflag",
+        "sd_qty",
+        "var_price",
+        F.round(
+            F.try_divide("cqp", F.nullif(F.col("sdq") * F.col("sdp"), F.lit(0.0))), 6
+        ).alias("corr_qty_price"),
+        "cov_qty_disc",
     )
 
 
@@ -378,24 +405,44 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_corr",
     oracle="""
         SELECT l_returnflag,
-               CAST(count(*) AS BIGINT)                                AS n,
-               round(corr(l_extendedprice, l_quantity), 6)             AS price_qty_corr,
-               round(covar_samp(l_extendedprice, l_quantity), 2)       AS cov_samp,
-               round(covar_pop(l_extendedprice, l_quantity), 2)        AS cov_pop,
-               round(regr_slope(l_extendedprice, l_quantity), 5)       AS slope,
-               round(regr_intercept(l_extendedprice, l_quantity), 2)   AS intercept,
-               round(regr_r2(l_extendedprice, l_quantity), 6)          AS r2
-        FROM lineitem
-        GROUP BY l_returnflag
+               CAST(n AS BIGINT)                               AS n,
+               round(cp / nullif(sdp * sdq, 0), 6)             AS price_qty_corr,
+               round(cs, 2)                                    AS cov_samp,
+               round(cp, 2)                                    AS cov_pop,
+               round(cp / nullif(vq, 0), 5)                    AS slope,
+               round(mp - (cp / nullif(vq, 0)) * mq, 2)        AS intercept,
+               round(CASE WHEN vq = 0 THEN NULL
+                          WHEN vp = 0 THEN 1.0
+                          ELSE pow(cp / (sdp * sdq), 2) END, 6) AS r2
+        FROM (
+            SELECT l_returnflag,
+                   count(*)                              AS n,
+                   covar_pop(l_extendedprice, l_quantity)  AS cp,
+                   covar_samp(l_extendedprice, l_quantity) AS cs,
+                   var_pop(l_quantity)                     AS vq,
+                   var_pop(l_extendedprice)                AS vp,
+                   stddev_pop(l_extendedprice)             AS sdp,
+                   stddev_pop(l_quantity)                  AS sdq,
+                   avg(l_extendedprice)                    AS mp,
+                   avg(l_quantity)                         AS mq
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
     """,
     description="Bivariate statistics family: corr / covariance / linear-regression aggregates",
     tags=("aggregate", "stats"),
 )
 def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics: correlation, sample/population covariance,
-    and the regr_* linear-fit family — all single-pass algebraic
-    aggregates over co-moments, so they partial-aggregate map-side
-    like sum/count and shuffle one co-moment tuple per group.
+    and the linear-regression family (price regressed on quantity) —
+    aggregated as co-moments (covar/var/avg: single-pass, map-side
+    partial, one tuple per group), with every RATIO derived row-level
+    AFTER the aggregation. The built-in corr/regr_* finals divide by
+    the (co)variance, and on a zero-variance group Spark under ANSI
+    mode RAISES where DuckDB returns NULL — deriving the ratios from
+    co-moments with try_divide/nullif gives one explicit semantics on
+    both sides: NULL when the independent variance is 0, r2 = 1 when
+    only the dependent is degenerate.
 
     Rounding is magnitude-aware: corr/r2 are O(1) (6 dp), covariance
     and intercept carry price magnitudes where engine summation-order
@@ -405,14 +452,34 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     x, y = F.col("l_extendedprice"), F.col("l_quantity")
-    return li.groupBy("l_returnflag").agg(
+    m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.round(F.corr(x, y), 6).alias("price_qty_corr"),
-        F.round(F.covar_samp(x, y), 2).alias("cov_samp"),
-        F.round(F.covar_pop(x, y), 2).alias("cov_pop"),
-        F.round(F.regr_slope(x, y), 5).alias("slope"),
-        F.round(F.regr_intercept(x, y), 2).alias("intercept"),
-        F.round(F.regr_r2(x, y), 6).alias("r2"),
+        F.covar_pop(x, y).alias("cp"),
+        F.covar_samp(x, y).alias("cs"),
+        F.var_pop(y).alias("vq"),
+        F.var_pop(x).alias("vp"),
+        F.stddev_pop(x).alias("sdp"),
+        F.stddev_pop(y).alias("sdq"),
+        F.avg(x).alias("mp"),
+        F.avg(y).alias("mq"),
+    )
+    slope = F.try_divide("cp", F.nullif(F.col("vq"), F.lit(0.0)))
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            F.try_divide("cp", F.nullif(F.col("sdp") * F.col("sdq"), F.lit(0.0))), 6
+        ).alias("price_qty_corr"),
+        F.round("cs", 2).alias("cov_samp"),
+        F.round("cp", 2).alias("cov_pop"),
+        F.round(slope, 5).alias("slope"),
+        F.round(F.col("mp") - slope * F.col("mq"), 2).alias("intercept"),
+        F.round(
+            F.when(F.col("vq") == 0, F.lit(None).cast("double"))
+            .when(F.col("vp") == 0, F.lit(1.0))
+            .otherwise(F.pow(F.col("cp") / (F.col("sdp") * F.col("sdq")), 2)),
+            6,
+        ).alias("r2"),
     )
 
 
@@ -425,8 +492,10 @@ HIST_BINS = 16
         WITH b AS (
             SELECT min(value) AS v0, max(value) AS v1 FROM events
         )
-        SELECT least(CAST(floor((value - v0) / (v1 - v0) * {HIST_BINS})
-                          AS BIGINT), {HIST_BINS - 1})  AS bin,
+        SELECT CASE WHEN v1 > v0
+                    THEN least(CAST(floor((value - v0) / (v1 - v0) * {HIST_BINS})
+                               AS BIGINT), {HIST_BINS - 1})
+                    ELSE 0 END                          AS bin,
                CAST(count(*) AS BIGINT)                 AS n,
                round(min(value), 2)                     AS lo,
                round(max(value), 2)                     AS hi
@@ -443,19 +512,26 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect of the bounds, the q_ts_gapfill pattern applied to numeric
     binning. Bin assignment is pure per-row arithmetic on identical
     doubles, hence engine-deterministic; the final groupBy has at most
-    HIST_BINS keys.
+    HIST_BINS keys. The v1 > v0 guard makes the degenerate all-equal
+    table one bin 0: unguarded, the 0/0 bin expression raises under
+    ANSI mode (and DuckDB's NaN-to-BIGINT cast likewise errors).
     """
     ev = load(spark, sf_dir, "events").select("value")
     bounds = ev.agg(F.min("value").alias("v0"), F.max("value").alias("v1"))
     binned = ev.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("v0"))
-                / (F.col("v1") - F.col("v0"))
-                * HIST_BINS
-            ).cast("long"),
-            F.lit(HIST_BINS - 1).cast("long"),
-        ).alias("bin"),
+        F.when(
+            F.col("v1") > F.col("v0"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("v0"))
+                    / (F.col("v1") - F.col("v0"))
+                    * HIST_BINS
+                ).cast("long"),
+                F.lit(HIST_BINS - 1).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bin"),
         "value",
     )
     return binned.groupBy("bin").agg(

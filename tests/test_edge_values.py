@@ -50,12 +50,20 @@ ORDERS = [
 
 # lineitem: l_orderkey % 17 == 0 (q_fn_math). Zero/negative quantity
 # and price (the sqrt/ln/log10 guard class), huge magnitudes, an exact
-# .5 rounding boundary.
+# .5 rounding boundary. The "Z" group is zero-variance in BOTH stat
+# columns and "Y" in quantity only — the classes where Spark's builtin
+# corr/regr_* finals raise DIVIDE_BY_ZERO under ANSI mode; the stats
+# aggregates must yield the declared NULL/1.0 forms instead. "R"/"A"
+# are single-row groups (n-1 sample aggregates must be NULL).
 LINEITEM = [
     (0, 1, 1, 1, 0.0, 0.0, 0.05, 0.0, "N", "O", _TS(2024, 1, 1)),
     (17, 1, 1, 2, -4.0, -123.45, -0.05, 0.0, "R", "F", _TS(2024, 1, 2)),
     (34, 2, 2, 3, 1e9, 1e12, 0.0, 0.1, "A", "F", _TS(2024, 1, 3)),
     (51, 2, 2, 4, 0.5, 100.5, 0.1, 0.2, "N", "O", _TS(2024, 1, 4)),
+    (68, 3, 3, 1, 5.0, 30.0, 0.01, 0.0, "Z", "O", _TS(2024, 1, 5)),
+    (85, 3, 3, 2, 5.0, 30.0, 0.02, 0.0, "Z", "O", _TS(2024, 1, 6)),
+    (102, 4, 4, 1, 3.0, 10.0, 0.03, 0.0, "Y", "F", _TS(2024, 1, 7)),
+    (119, 4, 4, 2, 3.0, 20.0, 0.04, 0.0, "Y", "F", _TS(2024, 1, 8)),
 ]
 
 # customer: c_name ~ \d\d$ AND c_custkey % 7 == 0 (q_fn_regexp). A
@@ -148,6 +156,11 @@ KEYS = [
     "q_fn_array",
     "q_fn_map",
     "q_fn_json",
+    # statistical aggregates over the zero-variance / single-row groups
+    "q_agg_stats",
+    "q_agg_corr",
+    "q_agg_percentile",
+    "q_agg_histogram",
 ]
 
 
@@ -176,3 +189,40 @@ def edge_duck(edge_sf_dir):
 @pytest.mark.parametrize("name", KEYS)
 def test_fn_family_on_edge_values(spark, edge_sf_dir, edge_duck, name):
     run_parity(spark, edge_duck, name, edge_sf_dir)
+
+
+@pytest.fixture(scope="module")
+def const_sf_dir(spark, tmp_path_factory):
+    # Every event carries the SAME value: the histogram's data-driven
+    # bounds collapse (v1 == v0) and the unguarded bin expression is
+    # 0/0 — which raises on BOTH engines (ANSI divide-by-zero / NaN
+    # cast). The guard must fold the whole table into bin 0.
+    sf_dir = tmp_path_factory.mktemp("const_sf")
+    rows = [
+        (i, _TS(2024, 1, 1 + i % 3), i % 4, "click", 5.0, '{"k": 1}')
+        for i in range(20)
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"][1]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(sf_dir / "events.parquet"))
+    return str(sf_dir)
+
+
+def test_histogram_on_constant_values(spark, const_sf_dir):
+    import duckdb as _duckdb
+
+    from sparkstreamingtohdfsofsensorsdata_spark import registry
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{const_sf_dir}/events.parquet/*.parquet')"
+    )
+    try:
+        run_parity(spark, con, "q_agg_histogram", const_sf_dir)
+        rows = registry.load_all()["q_agg_histogram"].fn(
+            spark, const_sf_dir
+        ).collect()
+        assert [(r["bin"], r["n"]) for r in rows] == [(0, 20)]
+    finally:
+        con.close()
