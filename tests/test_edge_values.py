@@ -97,6 +97,34 @@ EVENTS = [
     (49, _TS(2024, 1, 2), 3, "view", 3.0, '{"k": 2147483648}'),
     (58, _TS(2024, 1, 2), 4, "click", 4.0, "7"),
     (67, _TS(2024, 1, 2), 4, "view", 4.0, '{"k": -12}'),
+    # behavioral rows (ids stay off the % 9 in {0, 4} residues feeding
+    # the map/json queries): funnel/retention shapes incl. a purchase
+    # with no prior signup and one BEFORE the user's signup.
+    (1, _TS(2024, 1, 1, 8), 1, "signup", 1.0, None),
+    (2, _TS(2024, 1, 1, 9), 1, "purchase", 10.0, None),
+    (3, _TS(2024, 1, 2, 9), 1, "purchase", 5.0, None),
+    (5, _TS(2024, 1, 1, 8, 30), 2, "signup", 1.0, None),
+    (6, _TS(2024, 1, 3), 3, "purchase", 2.0, None),
+    (7, _TS(2024, 1, 1, 7), 4, "purchase", 3.0, None),
+]
+
+# documents: present only to complete the ten-table surface the SQL
+# entry point registers (golden queries never read it; the hostile
+# document corpus lives in test_short_text.py).
+DOCUMENTS = [
+    (0, "a small document", "en", "web", 16),
+    (1, "", "en", "wiki", 0),
+]
+
+# dims: an empty region name, unicode nation, orphan foreign keys (a
+# nation whose region does not exist, a supplier whose nation does
+# not), a negative supplier balance.
+REGION = [(0, "AMERICA"), (1, "")]
+NATION = [(0, "usa", 0), (1, "ñoland", 0), (2, "orphan", 7)]
+SUPPLIER = [
+    (1, "Supplier#1", 0, -100.5),
+    (2, "", 2, 0.0),
+    (3, "S3", 9, 1e7),
 ]
 
 # embeddings: vec_id % 5 == 0 (q_fn_array). Empty and NULL arrays, a
@@ -143,6 +171,16 @@ SCHEMAS = {
         EMBEDDINGS,
         "vec_id long, embedding array<float>, label int",
     ),
+    "documents": (
+        DOCUMENTS,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ),
+    "region": (REGION, "r_regionkey int, r_name string"),
+    "nation": (NATION, "n_nationkey int, n_name string, n_regionkey int"),
+    "supplier": (
+        SUPPLIER,
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ),
 }
 
 KEYS = [
@@ -161,6 +199,65 @@ KEYS = [
     "q_agg_corr",
     "q_agg_percentile",
     "q_agg_histogram",
+    # the broader batch-relational surface on the same hostile corpus:
+    # every key here reads only tables the corpus provides, and several
+    # filters now select EMPTY inputs (e.g. all shipdates postdate the
+    # TPC-H windows) — the degenerate empty-input class rides along.
+    "q_project",
+    "q_filter_compare",
+    "q_filter_in_between_like",
+    "q_filter_null",
+    "q_distinct",
+    "q_join_inner_equi",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta",
+    "q_join_range",
+    "q_join_asof",
+    "q_set_union",
+    "q_set_union_distinct",
+    "q_set_intersect",
+    "q_set_except",
+    "q_sort_multi",
+    "q_topk_global",
+    "q_win_ranking",
+    "q_win_lag_lead",
+    "q_win_frame_rows",
+    "q_win_frame_range",
+    "q_win_value_family",
+    "q_win_topk_group",
+    "q_ts_gapfill",
+    "q_ts_ohlc",
+    "q_ts_sessionize",
+    "q_ts_funnel",
+    "q_ts_retention",
+    "q_ts_session_window",
+    "q_agg_group",
+    "q_agg_global",
+    "q_agg_count_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_pivot",
+    "q_agg_collect",
+    "q_agg_grouping_sets",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q16",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_subquery_scalar",
+    "q_subquery_correlated",
 ]
 
 
