@@ -103,9 +103,14 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_ngram_jaccard",
     oracle="""
         WITH sh AS (
+            -- coalesce: a NULL document has the EMPTY shingle set (so
+            -- its pairs appear with jaccard 0), rather than a NULL one
+            -- whose propagation the engines disagree on (Spark nulls
+            -- through concat/size, DuckDB list_concat skips NULLs).
             SELECT doc_id,
-                   list_distinct(list_transform(range(1, length(text) - 1),
-                                                i -> substr(text, i, 3))) AS s
+                   list_distinct(list_transform(
+                       range(1, length(coalesce(text, '')) - 1),
+                       i -> substr(coalesce(text, ''), i, 3))) AS s
             FROM documents
             WHERE doc_id < 60
         )
@@ -122,7 +127,12 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "jaccard"),
 )
 def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        # NULL text -> empty shingle set, matching the oracle's coalesce
+        .withColumn("text", F.coalesce("text", F.lit("")))
+    )
     sh = docs.select("doc_id", F.expr(SHINGLES_EXPR).alias("s"))
     a = sh.alias("a")
     b = sh.alias("b")

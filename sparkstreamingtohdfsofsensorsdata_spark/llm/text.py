@@ -423,8 +423,12 @@ IDTAG_RE = r"ID-[0-9]+"
     "q_llm_pii_redact",
     oracle=f"""
         WITH pii AS (
+            -- coalesce: a NULL document redacts as an empty one. Spark
+            -- concat NULLS the whole result on any NULL operand where
+            -- DuckDB concat skips NULLs — without the coalesce the two
+            -- engines disagree on every NULL-text row.
             SELECT doc_id, source,
-                   concat(substring(text, 1, 80),
+                   concat(substring(coalesce(text, ''), 1, 80),
                           ' contact user', CAST(doc_id AS VARCHAR),
                           '@example.com or +1-555-',
                           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
@@ -462,7 +466,9 @@ def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.concat(
-            F.substring("text", 1, 80),
+            # NULL text redacts as empty text (see oracle note: Spark
+            # concat null-propagates, DuckDB concat skips NULLs).
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80),
             F.lit(" contact user"),
             did,
             F.lit("@example.com or +1-555-"),
@@ -650,14 +656,20 @@ BOILER_MIN_DF = 2  # fixture-calibrated; real corpora use a DF fraction (e.g. 0.
 @query(
     "q_llm_boilerplate",
     oracle=f"""
-        WITH sh AS (
+        WITH src AS (
+            -- coalesce: a NULL document shingles as an empty one (one
+            -- ''-token shingle), rather than a NULL token list whose
+            -- unnest/explode the engines disagree on.
+            SELECT doc_id, source, coalesce(text, '') AS text FROM documents
+        ),
+        sh AS (
             SELECT doc_id, source,
                    unnest(list_distinct(list_transform(
                        range(1, greatest(len(string_split(text, ' ')) - {BOILER_NGRAM - 1}, 1) + 1),
                        i -> md5(array_to_string(
                                 string_split(text, ' ')[i : i + {BOILER_NGRAM - 1}],
                                 ' ')))))                  AS h
-            FROM documents
+            FROM src
         ),
         hot AS (
             SELECT h FROM sh GROUP BY h
@@ -697,7 +709,8 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id",
         "source",
-        F.split(F.col("text"), " ").alias("toks"),
+        # NULL text -> [''] like an empty document (oracle coalesces)
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"),
     ).select(
         "doc_id",
         "source",

@@ -19,17 +19,28 @@ from conftest import run_parity
 from sparkstreamingtohdfsofsensorsdata_spark import registry
 
 # doc_ids chosen to pass every query's slice filter (doc_id < 60 for
-# ngram_jaccard, % 3 == 1 for repetition). Includes one normal text so
-# results are non-degenerate.
+# ngram_jaccard, % 3 == 1 for repetition, % 3 == 0 text_stats,
+# % 5 == 0 tokenize_vocab, % 10 == 0 tfidf, % 13 == 0 pii). Includes
+# one normal text so results are non-degenerate, plus the hostile
+# rows: NULL text (never in any fixture), whitespace-only, unicode +
+# CJK (the lang-id script branch), all-stopwords, an emoji run, a
+# single very long token, and PII-shaped content.
 DOCS = [
+    (0, None, "en", "web", 0),
     (1, "", "en", "web", 0),
+    (3, "   ", "en", "wiki", 3),
     (4, "x", "en", "web", 1),
+    (6, "école naïve häuser 中文文本 mixed", "de", "web", 24),
     (7, "ab", "en", "wiki", 2),
+    (9, "😀 😀 😀 the the the", "en", "web", 17),
     (10, "abcd", "en", "wiki", 4),
+    (12, "the a and of to in", "en", "web", 18),
     (13, "word", "en", "web", 4),
+    (15, "supercalifragilisticexpialidociousantidisestablishmentarianism", "en", "wiki", 62),
     (16, "two words", "en", "web", 9),
     (19, "a slightly longer text with several words in it", "en", "wiki", 48),
     (22, "another ordinary document text for company", "en", "web", 42),
+    (26, "contact me at foo@bar.com or 555-123-4567 now", "en", "web", 45),
 ]
 
 KEYS = [
@@ -37,6 +48,28 @@ KEYS = [
     "q_llm_minhash_lsh",
     "q_llm_fingerprint",
     "q_llm_repetition",
+    # the rest of the deterministic documents-reading surface, now
+    # exposed to NULL/whitespace/unicode/emoji/stopword-only texts
+    "q_llm_text_stats",
+    "q_llm_quality",
+    "q_llm_lang_id",
+    "q_llm_tfidf",
+    "q_llm_corpus_prep",
+    "q_llm_pii_redact",
+    "q_llm_domain_stats",
+    "q_llm_boilerplate",
+    "q_llm_tokenize_vocab",
+    "q_llm_chunk",
+    "q_llm_pack",
+    "q_llm_exact_dedup",
+    "q_llm_simhash",
+    "q_llm_simhash_banded",
+    "q_llm_mix_sample",
+    "q_llm_bpe_train",
+    "q_llm_contamination",
+    "q_llm_split_leakage",
+    "q_llm_dedup_clusters",
+    "q_llm_dedup_keep",
 ]
 
 
