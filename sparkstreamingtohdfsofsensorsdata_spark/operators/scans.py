@@ -37,11 +37,19 @@ PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
 @query(
     "q_scan_csv_json",
     oracle="""
-        SELECT event_id,
-               event_type,
-               CAST(props->>'k' AS INTEGER) AS prop_k
-        FROM events
-        WHERE CAST(props->>'k' AS INTEGER) >= 50
+        -- guard mirrors the query's declared ingest semantics
+        -- ("malformed records become nulls instead of failures"):
+        -- bare ->> RAISES on malformed JSON, and a wrong-typed or
+        -- int32-overflowing k must null like Spark's typed parse.
+        SELECT event_id, event_type, prop_k
+        FROM (
+            SELECT event_id, event_type,
+                   CASE WHEN coalesce(json_valid(props), false) THEN
+                     CASE WHEN json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+                          THEN TRY_CAST(props->>'k' AS INTEGER) END END AS prop_k
+            FROM events
+        )
+        WHERE prop_k >= 50
     """,
     description="JSON line parsing via from_json (sensor-record ingest path)",
     tags=("scan", "json"),

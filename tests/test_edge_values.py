@@ -258,6 +258,43 @@ KEYS = [
     "q_tpch_q22",
     "q_subquery_scalar",
     "q_subquery_correlated",
+    # scans/sinks/samples/merge re-write and re-read the hostile rows
+    # through every format (csv/orc/json/text-lines incl. the \\N null
+    # sentinel), and the UDF surface crosses them through Arrow.
+    "q_scan_parquet",
+    "q_scan_csv_json",
+    "q_scan_csv_file",
+    "q_scan_text_lines",
+    "q_scan_orc",
+    "q_scan_json_corrupt",
+    "q_sink_sorted",
+    "q_sink_zorder",
+    "q_sink_compact",
+    "q_sink_partitioned",
+    "q_join_dpp",
+    "q_join_bucketed",
+    "q_join_skew_salted",
+    "q_merge_scd2",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_udf_row_scalar",
+    "q_udf_pandas_scalar",
+    "q_udf_iter_pandas",
+    "q_udf_grouped_agg",
+    "q_udf_grouped_map",
+    "q_udf_map_in_arrow",
+    "q_udf_udtf",
+    # the streaming rig replayed over the hostile events table
+    # (batch-equivalence oracles, same as the driver's check)
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_stateful_alerts",
+    "q_stream_corpus_ingest",
+    "q_stream_foreach_upsert",
 ]
 
 
