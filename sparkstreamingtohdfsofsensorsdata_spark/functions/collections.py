@@ -90,14 +90,27 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAP_SCHEMA = T.MapType(T.StringType(), T.IntegerType())
 
+# The one DuckDB-side spelling of "the typed INT32 field $.k, NULL for
+# malformed/non-integer/overflowing input" — shared by the q_fn_json
+# oracle and the JSON ingest oracle (operators/scans.py), so the
+# validity domain has a single definition. Caveat it documents: DuckDB
+# json_valid (yyjson) is LAXER than Spark's parser — it accepts
+# trailing commas and NaN/Infinity literals Spark rejects — so
+# lax-but-not-strict JSON documents are OUTSIDE the stated input
+# contract (props is NULL, malformed-for-both, or strict JSON).
+JSON_K_INT_SQL = """CASE WHEN coalesce(json_valid(props), false) THEN
+                 CASE WHEN json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+                      THEN TRY_CAST(props->>'k' AS INTEGER) END END"""
+
 
 @query(
     "q_fn_map",
     oracle="""
-        -- is_obj mirrors Spark's typed map parse domain: the parse
-        -- returns NULL (not an empty/partial map) for anything that is
-        -- not a JSON OBJECT. The nested CASE keeps json_type() off
-        -- malformed input, where it raises instead of returning NULL.
+        -- The nested json_valid-then-json_type='OBJECT' CASEs mirror
+        -- Spark's typed map parse domain: the parse returns NULL (not
+        -- an empty/partial map) for anything that is not a JSON
+        -- OBJECT, and the outer CASE keeps json_type() off malformed
+        -- input, where it raises instead of returning NULL.
         SELECT event_id,
                CASE WHEN coalesce(json_valid(props), false) THEN
                  CASE WHEN json_type(props) = 'OBJECT'
@@ -144,7 +157,7 @@ PROPS_STRUCT = T.StructType([T.StructField("k", T.IntegerType())])
 
 @query(
     "q_fn_json",
-    oracle="""
+    oracle=f"""
         SELECT event_id,
                CASE WHEN coalesce(json_valid(props), false)
                     THEN props->>'k' END                        AS k_raw,
@@ -152,10 +165,7 @@ PROPS_STRUCT = T.StructType([T.StructField("k", T.IntegerType())])
                -- (json_type: UBIGINT positive, BIGINT negative) —
                -- mirroring Spark's typed from_json, which nulls a
                -- wrong-typed field instead of coercing '3.7'/'"7"'.
-               CASE WHEN coalesce(json_valid(props), false) THEN
-                 CASE WHEN json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
-                      THEN TRY_CAST(props->>'k' AS INTEGER) END END
-                                                                AS k_typed,
+               {JSON_K_INT_SQL}                                 AS k_typed,
                coalesce(CAST(json_valid(props) AS INTEGER), 0)  AS is_valid_json,
                -- TRY_CAST, twice: an int64-range k overflows INT32 —
                -- Spark's typed parse nulls it, a plain CAST raises.
@@ -163,7 +173,7 @@ PROPS_STRUCT = T.StructType([T.StructField("k", T.IntegerType())])
                CASE WHEN coalesce(json_valid(props), false) THEN
                  CASE WHEN json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
                        AND TRY_CAST(props->>'k' AS INTEGER) IS NOT NULL
-                      THEN '{"k":' || (props->>'k') || '}' END END
+                      THEN '{{"k":' || (props->>'k') || '}}' END END
                                                                 AS rebuilt_json
         FROM events
         WHERE event_id % 9 = 4
@@ -178,7 +188,10 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL`` read every malformed row as valid. The rebuilt document is
     emitted only when the typed field exists — ``to_json`` drops NULL
     fields, which would render '{}' where the oracle's string concat
-    yields NULL."""
+    yields NULL. Input contract (see JSON_K_INT_SQL): props is NULL,
+    malformed-for-both-parsers, or STRICT JSON — lax documents DuckDB's
+    yyjson accepts but Spark rejects (trailing commas, NaN/Infinity
+    literals) are outside it."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 4)
     parsed = ev.withColumn("p", F.from_json("props", PROPS_STRUCT))
     return parsed.select(

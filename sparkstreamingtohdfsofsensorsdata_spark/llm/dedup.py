@@ -505,10 +505,15 @@ def _block_pair_topk(key, pdf, k: int):
     # the top k (>= the kth-largest dot, so boundary ties all
     # survive to the deterministic sort), then order just those.
     flat = scores.ravel()
+    # NaN dots (a NaN embedding) rank as "no similarity", not as
+    # threshold poison: np.partition would otherwise land the kth
+    # threshold ON a NaN, every `>= NaN` compare is False, and one bad
+    # vector silently empties the whole block pair's output.
+    flat = np.where(np.isnan(flat), -np.inf, flat)
     kth = min(k, flat.size)
     thresh = np.partition(flat, flat.size - kth)[flat.size - kth]
     cand = np.flatnonzero(flat >= thresh)
-    cand = cand[np.isfinite(flat[cand])]  # masked -inf when thresh=-inf
+    cand = cand[np.isfinite(flat[cand])]  # masked/NaN -inf when thresh=-inf
     ii, jj = np.unravel_index(cand, scores.shape)
     if ba == bb:
         lo, hi = ids_a[ii], ids_b[jj]
@@ -528,9 +533,13 @@ def _block_pair_topk(key, pdf, k: int):
     "q_llm_embed_neardup",
     oracle="""
         WITH v AS (
+            -- len > 0: NULL/empty vectors are outside the similarity
+            -- family's boundary (np.stack over a batch with None would
+            -- crash the kernel; nothing meaningful to score)
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
+            WHERE len(embedding) > 0
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_dot_product(a.e, b.e), 6) AS cosine
@@ -565,7 +574,13 @@ def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     k = 20
     nb = NEARDUP_BLOCKS
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        # same boundary as similarity._as_double (oracle has the
+        # matching len > 0): NULL/empty vectors never reach np.stack
+        .filter(F.size("embedding") > 0)
+        .select("vec_id", "embedding")
+    )
     blk = emb.withColumn(
         "blk", F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int")
     )

@@ -76,6 +76,11 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 @query(
     "q_llm_multimodal",
     oracle="""
+        -- coalesce: a NULL document carries the EMPTY payload (the
+        -- document family's stated NULL-text semantics).
+        WITH d AS (
+            SELECT doc_id, coalesce(text, '') AS text FROM documents
+        )
         SELECT doc_id,
                octet_length(encode(text))       AS n_bytes,
                -- first BYTE of the UTF-8 payload (what the pandas side
@@ -91,7 +96,7 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                END                              AS head_byte,
                64 + doc_id % 512                AS width,
                64 + (doc_id // 7) % 512         AS height
-        FROM documents
+        FROM d
         WHERE doc_id % 4 = 0
     """,
     description="Multimodal columns: binary payload + metadata struct -> mapInPandas feature extraction",
@@ -101,7 +106,10 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
     modal = docs.select(
         "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
+        # NULL text -> empty payload (the document family's stated
+        # NULL-text semantics): an unguarded NULL payload makes
+        # .str.len() yield NaN and the int64 cast crash the task.
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
         (F.lit(64) + F.col("doc_id") % 512).alias("meta_width"),
         (F.lit(64) + F.expr("doc_id div 7") % 512).alias("meta_height"),
     )
@@ -162,7 +170,7 @@ def _sample_frames(batches):
     oracle=f"""
         WITH vids AS (
             SELECT doc_id,
-                   octet_length(encode(text)) AS n_bytes,
+                   octet_length(encode(coalesce(text, ''))) AS n_bytes,
                    1 + doc_id % 30            AS duration_s
             FROM documents
             WHERE doc_id % 5 = 0
@@ -192,7 +200,7 @@ def q_llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     vids = docs.select(
         "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
         (F.lit(1) + F.col("doc_id") % 30).alias("duration_s"),
     )
     return vids.mapInPandas(_sample_frames, FRAME_SCHEMA)
@@ -249,7 +257,7 @@ def _audio_windows(batches):
     oracle=f"""
         WITH clips AS (
             SELECT doc_id,
-                   octet_length(encode(text))            AS n_bytes,
+                   octet_length(encode(coalesce(text, ''))) AS n_bytes,
                    ({AUDIO_SR} // 2) * (1 + doc_id % 8)  AS n_samples
             FROM documents
             WHERE doc_id % 6 = 0
@@ -277,7 +285,7 @@ def q_llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
     clips = docs.select(
         "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
         ((AUDIO_SR // 2) * (F.lit(1) + F.col("doc_id") % 8)).alias("n_samples"),
     )
     return clips.mapInPandas(_audio_windows, AUDIO_SCHEMA)

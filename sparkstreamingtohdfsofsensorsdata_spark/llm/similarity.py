@@ -37,7 +37,15 @@ LSH_SEED = 42
 
 
 def _as_double(df: DataFrame) -> DataFrame:
-    return df.select(
+    """Widen to float64 AND drop degenerate rows: a NULL or empty
+    embedding would crash every numpy path downstream (np.vstack over a
+    batch with None raises) and is meaningless to score. Every
+    similarity query enters through here, so "vectors are non-null and
+    non-empty" is the family's input boundary; dim-UNIFORMITY across
+    rows remains the caller's contract (embedding tables are fixed-dim
+    by construction — a ragged table is corrupt input, not an edge
+    case)."""
+    return df.filter(F.size("embedding") > 0).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
 
@@ -101,8 +109,11 @@ def _recall_at_k(exact: DataFrame, approx: DataFrame, name: str) -> DataFrame:
     "q_llm_sim_topk",
     oracle=f"""
         WITH v AS (
+            -- len > 0 mirrors _as_double's input boundary: NULL/empty
+            -- vectors are not scored
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
+            WHERE len(embedding) > 0
         ),
         q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % {QUERY_STRIDE} = 0)
         SELECT qid, vec_id AS neighbor, rk,
@@ -190,9 +201,11 @@ def q_llm_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     buckets = _buckets_udf()
-    v = _as_double(emb).join(
-        emb.select("vec_id", buckets("embedding").alias("buckets")), "vec_id"
-    )
+    # Buckets are computed on the GUARDED double side (_as_double drops
+    # NULL/empty vectors): hashing the raw column would hand np.vstack
+    # a batch containing None and crash the UDF. f32 widens to f64
+    # exactly, so the sign bits — hence the buckets — are identical.
+    v = _as_double(emb).withColumn("buckets", buckets("e"))
     q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("qe"),
@@ -377,13 +390,18 @@ def q_llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_embed_quantize",
     oracle="""
         WITH v AS (
+            -- len > 0: degenerate (NULL/empty) vectors are outside the
+            -- similarity family's input boundary (see _as_double); the
+            -- nullif leaves a ZERO vector as a NULL-scale row instead
+            -- of a divide-by-zero (which raises on Spark under ANSI).
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
+            WHERE len(embedding) > 0
         ),
         scaled AS (
             SELECT vec_id, e,
-                   127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+                   127.0 / nullif(list_max(list_transform(e, x -> abs(x))), 0) AS scale
             FROM v
         ),
         q AS (
@@ -413,14 +431,23 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(scale*1e6 + 0.5)) because `round()` on arbitrary doubles is
     the one operation Spark and DuckDB disagree on (see q_merge_scd2).
     """
-    v = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x AS double))").alias("e"),
+    v = (
+        load(spark, sf_dir, "embeddings")
+        # same boundary as _as_double: NULL/empty vectors are out
+        .filter(F.size("embedding") > 0)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x AS double))").alias("e"),
+        )
     )
     scaled = v.select(
         "vec_id",
         "e",
-        F.expr("127.0 / array_max(transform(e, x -> abs(x)))").alias("scale"),
+        # try_divide: the ZERO vector has no scale (NULL row), not an
+        # ANSI divide-by-zero task failure
+        F.expr(
+            "try_divide(127.0, nullif(array_max(transform(e, x -> abs(x))), 0d))"
+        ).alias("scale"),
     )
     q = scaled.select(
         "vec_id",
@@ -445,8 +472,13 @@ QUANT_CAND = 30  # stage-1 candidate pool per query (3x final k)
     "q_llm_sim_topk_quant",
     oracle=f"""
         WITH v AS (
+            -- boundary: degenerate (NULL/empty) vectors per _as_double,
+            -- and the ZERO vector besides — it has no quantization
+            -- scale (127/0) and a cosine of 0 against everything.
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
+            WHERE len(embedding) > 0
+              AND list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
         ),
         z AS (
             SELECT vec_id, e,
@@ -500,10 +532,15 @@ def q_llm_sim_topk_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles: queries broadcast, both rankings window over the
     (query-bounded) scored side.
     """
-    z = _as_double(load(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        "e",
-        F.expr("127.0 / array_max(transform(e, x -> abs(x)))").alias("s"),
+    z = (
+        _as_double(load(spark, sf_dir, "embeddings"))
+        # zero vectors are out (oracle note): no quant scale, cosine 0
+        .filter(F.expr("array_max(transform(e, x -> abs(x))) > 0"))
+        .select(
+            "vec_id",
+            "e",
+            F.expr("127.0 / array_max(transform(e, x -> abs(x)))").alias("s"),
+        )
     )
     z = z.withColumn(
         "qv", F.expr("transform(e, x -> cast(floor(x * s + 0.5d) AS bigint))")

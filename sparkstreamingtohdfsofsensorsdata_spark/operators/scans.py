@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.collections import JSON_K_INT_SQL
 from ..registry import query
 from ..tables import load
 
@@ -36,17 +37,17 @@ PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
 
 @query(
     "q_scan_csv_json",
-    oracle="""
+    oracle=f"""
         -- guard mirrors the query's declared ingest semantics
         -- ("malformed records become nulls instead of failures"):
         -- bare ->> RAISES on malformed JSON, and a wrong-typed or
         -- int32-overflowing k must null like Spark's typed parse.
+        -- (JSON_K_INT_SQL is the shared single definition — see
+        -- functions/collections.py.)
         SELECT event_id, event_type, prop_k
         FROM (
             SELECT event_id, event_type,
-                   CASE WHEN coalesce(json_valid(props), false) THEN
-                     CASE WHEN json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
-                          THEN TRY_CAST(props->>'k' AS INTEGER) END END AS prop_k
+                   {JSON_K_INT_SQL} AS prop_k
             FROM events
         )
         WHERE prop_k >= 50

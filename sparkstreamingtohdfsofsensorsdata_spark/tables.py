@@ -146,7 +146,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     CHANGE of sf_dir needs a re-register; same-dir repeats are no-ops.
     """
     if getattr(spark, "_views_registered_for", None) == os.path.abspath(sf_dir):
-        return
+        # The memo can go stale if a caller drops or shadows one of the
+        # views; a cheap catalog existence check catches that without
+        # re-reading any parquet footers. (A view REPLACED with other
+        # content at the same name is the caller's deliberate act and
+        # stays theirs to manage.)
+        if all(spark.catalog.tableExists(name) for name in TABLES):
+            return
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
     spark._views_registered_for = os.path.abspath(sf_dir)

@@ -127,16 +127,22 @@ SUPPLIER = [
     (3, "S3", 9, 1e7),
 ]
 
-# embeddings: vec_id % 5 == 0 (q_fn_array). Empty and NULL arrays, a
-# 3-dim vector (the query must index size-relative, never a hardcoded
-# fixture dim), an all-negative vector (pos_sum must be 0, not NULL).
-# Values are exactly f32-representable so the f32->f64 widening both
-# engines do stays bit-exact.
+# embeddings: vec_id % 5 == 0 (q_fn_array), % 50 == 0 marks the
+# similarity query set. Empty and NULL arrays (outside the similarity
+# family's boundary — must be dropped, not crash np.vstack), a ZERO
+# vector (no quantization scale), an all-negative vector (pos_sum must
+# be 0, not NULL), 3-dim throughout (the sim family's dim-uniformity
+# contract; q_fn_array additionally must index size-relative, never a
+# hardcoded fixture dim). Values are exactly f32-representable so the
+# f32->f64 widening both engines do stays bit-exact.
 EMBEDDINGS = [
     (0, [], 0),
     (5, None, 1),
     (10, [0.5, -1.25, 3.0], 2),
-    (15, [-1.0, -2.0], 3),
+    (15, [-1.0, -2.0, -0.5], 3),
+    (20, [0.0, 0.0, 0.0], 4),
+    (25, [1.0, 0.0, 0.0], 5),
+    (50, [0.0, 1.0, 0.0], 6),
 ]
 
 SCHEMAS = {
@@ -284,6 +290,13 @@ KEYS = [
     "q_udf_grouped_map",
     "q_udf_map_in_arrow",
     "q_udf_udtf",
+    # the exact-tier similarity family over the degenerate-vector
+    # corpus (NULL/empty dropped at the family boundary, zero vector
+    # quantizes to a NULL scale instead of dividing by zero)
+    "q_llm_sim_topk",
+    "q_llm_embed_neardup",
+    "q_llm_embed_quantize",
+    "q_llm_sim_topk_quant",
     # the streaming rig replayed over the hostile events table
     # (batch-equivalence oracles, same as the driver's check)
     "q_stream_tumbling",

@@ -522,3 +522,29 @@ def test_block_pair_topk_matches_bruteforce(vecs, k, diagonal):
     got = _block_pair_topk(key, pdf, k)
     want = sorted(valid, key=lambda p: (-p[2], p[0], p[1]))[:k]
     assert list(zip(got["id_a"], got["id_b"], got["dot"])) == want
+
+
+def test_block_pair_topk_nan_embedding_does_not_poison():
+    # One all-NaN vector among the A-rows produces >= k NaN dots; the
+    # threshold select must rank them as no-similarity instead of
+    # landing the kth threshold on NaN (every >= NaN compare is False),
+    # which silently emptied the whole block pair's output.
+    import numpy as np
+    import pandas as pd
+
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import _block_pair_topk
+
+    ids = list(range(1, 27))
+    vecs = [np.array([1.0, 0.0, 0.0]) for _ in ids]
+    vecs[0] = np.array([np.nan, np.nan, np.nan])
+    pdf = pd.DataFrame(
+        {
+            "operand": [0] * len(ids) + [1] * len(ids),
+            "vec_id": ids + ids,
+            "embedding": vecs + vecs,
+        }
+    )
+    got = _block_pair_topk((2, 2), pdf, 20)
+    assert len(got) == 20
+    assert not got["dot"].isna().any()
+    assert 1 not in set(got["id_a"]) | set(got["id_b"])

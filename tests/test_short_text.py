@@ -109,6 +109,7 @@ def test_short_text_matches_oracle(spark, short_sf_dir, short_duck, name):
 # chosen so every row passes at least one modality's slice filter
 # (% 4 / % 5 / % 6 == 0).
 MODAL_DOCS = [
+    (120, None, "en", "web", 0),  # NULL text: empty payload, not a crash
     (0, "", "en", "web", 0),
     (12, "école est belle", "fr", "web", 15),
     (20, "€ price list", "en", "wiki", 12),
