@@ -42,7 +42,11 @@ def _normalize(value):
     if isinstance(value, decimal.Decimal):
         return float(value)
     if isinstance(value, float):
-        return round(value, 9)
+        # round(9) absorbs sub-nanoscale representation noise only —
+        # every query rounds its float outputs (<= 6 dp) on BOTH sides,
+        # so this is a no-op for real columns; + 0.0 canonicalizes -0.0
+        # (the driver's exact value-hash would distinguish it).
+        return round(value, 9) + 0.0
     if isinstance(value, datetime.datetime):
         if value.tzinfo is not None:
             # canonicalize aware instants to UTC wall time — stripping a
@@ -66,15 +70,48 @@ def rows_key(columns, rows):
     return sorted(columns), out
 
 
-def assert_cells_close(left, right, rel=1e-6):
+def _floats_boundary_equal(lval: float, rval: float) -> bool:
+    """The two ways a correctly-rounded float column can still differ
+    across engines, and ONLY those:
+
+    - few-ulp adjacency (<= 4 ulps): at magnitudes where the rounding
+      grid approaches float64 resolution, the engines' round()
+      implementations place "the same" decimal on slightly different
+      doubles (measured at sf0.1: Spark's 2 dp round of a 2.8e9 sum
+      lands 2-3 ulps below DuckDB's nearest-double — a ~1e-15 relative
+      representation artifact, not a value difference);
+    - a single step in the last rounded digit (10^-k, k = 0..6): a
+      value landing within an ulp of a .xx5 boundary flips differently
+      under Spark's shortest-decimal HALF_UP vs DuckDB's raw-binary
+      round (the percent_rank class, SCALE.md).
+
+    Anything larger is a REAL divergence and fails. This replaces the
+    earlier rel=1e-6 comparison, which was scale-RELATIVE — at
+    1e6-magnitude sums it silently tolerated a full 0.01 rounding-step
+    error, hiding exactly the class it should catch."""
+    if math.isnan(lval) and math.isnan(rval):
+        return True
+    diff = abs(lval - rval)
+    ulp = max(math.ulp(lval), math.ulp(rval))
+    if diff <= 4 * ulp:
+        return True
+    # step match up to subtraction noise: |a - b| for values near 43.18
+    # deviates from an exact 1e-6 step by a few ulps of the VALUES, so
+    # the margin must scale with them, not with the step
+    return any(
+        abs(diff - 10.0**-k) <= 8 * ulp for k in range(7)
+    )
+
+
+def assert_cells_close(left, right):
+    """Cell equality with the driver's exactness, modulo the two
+    documented float boundary classes (_floats_boundary_equal)."""
     assert len(left) == len(right)
     for lrow, rrow in zip(left, right):
         assert len(lrow) == len(rrow)
         for lval, rval in zip(lrow, rrow):
             if isinstance(lval, float) and isinstance(rval, float):
-                if math.isnan(lval) and math.isnan(rval):
-                    continue
-                assert lval == pytest.approx(rval, rel=rel, abs=1e-9), (lrow, rrow)
+                assert _floats_boundary_equal(lval, rval), (lrow, rrow)
             else:
                 assert lval == rval, (lrow, rrow)
 
