@@ -89,15 +89,33 @@ def _stdout_line(payload: dict) -> dict:
     otherwise rank as the CHEAPEST keys, vanish from the kept map first,
     and leave a lower total that reads as a speedup — so they ride a
     dedicated always-present field instead of the ranked map.
+
+    Self-containment (VERDICT r4 ask #4): the full 138-key map cannot
+    fit as a named JSON object (the key names alone exceed the window),
+    but it DOES fit as a value-only centisecond array over the sorted
+    key order — ``t_cs[i]`` is the timing of ``sorted(queries)[i]`` in
+    centiseconds (-1 = failed). ``t_keys_sha`` (sha256 of the
+    newline-joined sorted keys, first 8 hex) pins the order against the
+    committed registry so an auditor can detect key-set drift without
+    ``bench_last.json``. The named ``queries`` map still carries the
+    slowest keys by name for at-a-glance regression reads.
     """
+    import hashlib
+
     failed = sorted(k for k, v in payload["queries"].items() if v < 0)
     ranked = sorted(
         ((k, v) for k, v in payload["queries"].items() if v >= 0),
         key=lambda kv: -kv[1],
     )
+    skeys = sorted(payload["queries"])
+    t_cs = [
+        -1 if payload["queries"][k] < 0 else int(round(payload["queries"][k] * 100))
+        for k in skeys
+    ]
+    t_sha = hashlib.sha256("\n".join(skeys).encode()).hexdigest()[:8]
 
-    def build(keep: int, keep_failed: int) -> dict:
-        return {
+    def build(keep: int, keep_failed: int, with_t: bool = True) -> dict:
+        line = {
             "metric": payload["metric"],
             "value": payload["value"],
             "unit": payload["unit"],
@@ -109,24 +127,37 @@ def _stdout_line(payload: dict) -> dict:
             "queries_full": "bench_last.json",
             "queries": dict(sorted(ranked[:keep])),
         }
+        if with_t:
+            line["t_unit"] = "cs"
+            line["t_order"] = "sorted_keys"
+            line["t_keys_sha"] = t_sha
+            line["t_cs"] = t_cs
+        return line
 
     def fits(line: dict) -> bool:
         return len(json.dumps(line, separators=(",", ":"))) <= _STDOUT_BUDGET
 
-    # Shrink timings first (failures are the more important signal)…
+    # Shrink the named timings first (failures and the full compact
+    # array are the more important signals)…
     for keep in range(len(ranked), -1, -1):
         line = build(keep, len(failed))
         if fits(line):
             return line
     # …then, in a mass-failure run, the failed-name list itself — the
-    # count survives even when the names cannot all fit.
+    # count survives even when the names cannot all fit…
     for keep_failed in range(len(failed), -1, -1):
         line = build(0, keep_failed)
         if fits(line):
             return line
+    # …and only as a last resort the compact array (a sub-700-byte
+    # budget, never the driver's observed window).
+    for keep_failed in range(len(failed), -1, -1):
+        line = build(0, keep_failed, with_t=False)
+        if fits(line):
+            return line
     # Only reachable if a caller shrank the budget below ~200 bytes;
     # emit the headline anyway — numbers beat nothing.
-    return build(0, 0)
+    return build(0, 0, with_t=False)
 
 
 def main() -> None:

@@ -535,11 +535,18 @@ def _block_pair_topk(key, pdf, k: int):
         WITH v AS (
             -- len > 0: NULL/empty vectors are outside the similarity
             -- family's boundary (np.stack over a batch with None would
-            -- crash the kernel; nothing meaningful to score)
+            -- crash the kernel; nothing meaningful to score).
+            -- NaN/NULL ELEMENTS are likewise outside it, symmetrically:
+            -- DuckDB sorts NaN above all values, so a NaN dot would top
+            -- the oracle's top-20 while the Spark kernel drops it
+            -- (NaN -> -inf) — a guaranteed one-sided divergence unless
+            -- both engines exclude such vectors up front (ADVICE r4).
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
             WHERE len(embedding) > 0
+              AND len(list_filter(embedding,
+                        x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_dot_product(a.e, b.e), 6) AS cosine
@@ -577,8 +584,12 @@ def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         load(spark, sf_dir, "embeddings")
         # same boundary as similarity._as_double (oracle has the
-        # matching len > 0): NULL/empty vectors never reach np.stack
+        # matching len > 0): NULL/empty vectors never reach np.stack.
+        # NaN/NULL elements are excluded SYMMETRICALLY with the oracle:
+        # the kernel ranks a NaN dot as -inf (dropped) while DuckDB
+        # sorts NaN first, so such vectors must not reach either side.
         .filter(F.size("embedding") > 0)
+        .filter(~F.exists("embedding", lambda x: x.isNull() | F.isnan(x)))
         .select("vec_id", "embedding")
     )
     blk = emb.withColumn(

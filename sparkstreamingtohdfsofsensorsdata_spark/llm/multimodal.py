@@ -33,12 +33,28 @@ from ..tables import load
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real codec hook — requires an image library not present here.
+    """Real codec hook: decode an image payload to a PIL image.
+
+    Wired to pillow when it is installed (importorskip-gated tests in
+    tests/test_multimodal_codecs.py cover that path on machines that
+    have it); in a codec-less environment it keeps the documented
+    NotImplementedError contract, and the deterministic feature
+    stand-in (_extract_features) remains the tested execution path.
 
     >>> decode_image(b"...")  # doctest: +SKIP
     NotImplementedError: install PIL/pillow to decode image payloads
     """
-    raise NotImplementedError("install PIL/pillow to decode image payloads")
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "install PIL/pillow to decode image payloads"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    img.load()  # force the decode now — surface corrupt payloads here
+    return img
 
 
 FEATURE_SCHEMA = T.StructType(
@@ -131,8 +147,24 @@ FRAME_SCHEMA = T.StructType(
 
 
 def decode_video_frame(payload: bytes, frame_idx: int) -> "object":
-    """Real codec hook — requires ffmpeg/pyav, not present here."""
-    raise NotImplementedError("install pyav/ffmpeg to decode video frames")
+    """Real codec hook: decode frame ``frame_idx`` of a video payload
+    to an RGB ndarray. Wired to pyav when installed (importorskip-gated
+    tests); NotImplementedError otherwise — the deterministic per-frame
+    feature (_sample_frames) remains the tested path here."""
+    try:
+        import av
+    except ImportError as exc:
+        raise NotImplementedError(
+            "install pyav/ffmpeg to decode video frames"
+        ) from exc
+    import io
+
+    with av.open(io.BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        for i, frame in enumerate(container.decode(stream)):
+            if i == frame_idx:
+                return frame.to_ndarray(format="rgb24")
+    raise ValueError(f"frame {frame_idx} past end of stream")
 
 
 def _sample_frames(batches):
@@ -221,8 +253,20 @@ AUDIO_SCHEMA = T.StructType(
 
 
 def decode_audio(payload: bytes) -> "object":
-    """Real codec hook — requires soundfile/ffmpeg, not present here."""
-    raise NotImplementedError("install soundfile/ffmpeg to decode audio payloads")
+    """Real codec hook: decode an audio payload to (samples ndarray,
+    sample_rate). Wired to soundfile when installed (importorskip-gated
+    tests); NotImplementedError otherwise — the deterministic window
+    energy (_audio_windows) remains the tested path here."""
+    try:
+        import soundfile as sf
+    except ImportError as exc:
+        raise NotImplementedError(
+            "install soundfile/ffmpeg to decode audio payloads"
+        ) from exc
+    import io
+
+    samples, sample_rate = sf.read(io.BytesIO(payload))
+    return samples, sample_rate
 
 
 def _audio_windows(batches):

@@ -77,20 +77,105 @@ def query(
 
 # External harnesses may verify only a prefix of the registry (observed:
 # 50 keys/round). Listing keys here pins them to the front so every key
-# accumulates a verdict across rounds. Round-4 session-3 rotation:
-# changed code outranks stale-but-unchanged, so window 1 leads with the
-# keys whose implementation or oracle materially changed this session
-# (the hostile-value hardening: domain guards in the scalar/collection/
-# statistical families, NULL-text semantics in the document family, the
-# similarity family's vector boundary, the memory-sink runner path
-# every streaming key flows through), then the oldest still-unchanged
-# round-1 verdicts (joins/windows/sorts from before the pyspark-4.1.2
-# ns-timestamp fix). Every changed key was locally parity-verified at
-# sf0.001/0.01/0.1 by scripts/parity_sweep.py this session (zero
-# failures); the driver verdict is the independent confirmation.
-# Displaced keys lead round 5's window.
+# accumulates a verdict across rounds. Round-5 rotation (VERDICT r4 ask
+# #1): clear the stale-verdict backlog — window 1 is exactly the 50 keys
+# whose latest DRIVER verdict predates the r3 ns-timestamp fix and
+# session rework (the 23 r1-latest keys + 27 r2-latest keys: the UDF
+# family and the r2 LLM cohort). All 50 were sweep-green under current
+# code in the r4 session; this window makes the driver's own record
+# catch up. Round 6 takes the remainder (r3-latest cohort, listed as
+# window 2) plus re-checks of anything this round changes.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- window 1 (50): this session's changed keys ---
+    # --- window 1 (50): r1-latest driver verdicts (23) ---
+    "q_project",
+    "q_filter_compare",
+    "q_filter_in_between_like",
+    "q_filter_null",
+    "q_distinct",
+    "q_set_union",
+    "q_set_union_distinct",
+    "q_set_except",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_pivot",
+    "q_agg_collect",
+    "q_agg_grouping_sets",
+    "q_agg_hll_union",
+    "q_join_cross",
+    "q_subquery_scalar",
+    "q_subquery_correlated",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_sink_partitioned",
+    "q_limit",
+    "q_agg_approx_distinct",
+    # --- window 1 cont.: r2-latest driver verdicts (27) ---
+    "q_udf_pandas_scalar",
+    "q_udf_row_scalar",
+    "q_udf_grouped_agg",
+    "q_udf_iter_pandas",
+    "q_udf_udtf",
+    "q_udf_grouped_map",
+    "q_udf_map_in_arrow",
+    "q_llm_exact_dedup",
+    "q_llm_minhash_lsh",
+    "q_llm_simhash",
+    "q_llm_simhash_banded",
+    "q_llm_dedup_clusters",
+    "q_llm_text_stats",
+    "q_llm_quality",
+    "q_llm_lang_id",
+    "q_llm_tfidf",
+    "q_llm_fingerprint",
+    "q_llm_corpus_prep",
+    "q_llm_repetition",
+    "q_llm_tokenize_vocab",
+    "q_llm_bpe_train",
+    "q_llm_chunk",
+    "q_llm_pack",
+    "q_llm_contamination",
+    "q_llm_split_leakage",
+    "q_llm_sim_topk_lsh",
+    "q_llm_domain_stats",
+    # --- window 2 (round 6): r3-latest cohort, oldest after window 1 ---
+    "q_scan_text_lines",
+    "q_sink_compact",
+    "q_join_dpp",
+    "q_scan_orc",
+    "q_scan_csv_file",
+    "q_sink_sorted",
+    "q_scan_json_corrupt",
+    "q_sink_zorder",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_join_skew_salted",
+    "q_join_bucketed",
+    "q_win_value_family",
+    "q_merge_scd2",
+    "q_set_intersect",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_cond",
+    "q_fn_struct",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q16",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_ts_gapfill",
+    "q_ts_ohlc",
+    "q_ts_sessionize",
+    "q_ts_funnel",
+    "q_ts_session_window",
+    "q_ts_retention",
+    "q_llm_dedup_keep",
+    "q_llm_mix_sample",
+    "q_stream_foreach_upsert",
+    # --- r4-latest verdicts (freshest; tail of the rotation) ---
     "q_agg_stats",
     "q_agg_corr",
     "q_agg_histogram",
@@ -109,10 +194,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_multimodal_audio",
     "q_llm_sim_topk",
     "q_llm_sim_topk_quant",
+    "q_llm_sim_topk_ivf",
     "q_llm_embed_quantize",
     "q_llm_embed_neardup",
-    # streaming keys: the run_to_memory result path changed (sink-table
-    # drop + localCheckpoint hand-back)
     "q_stream_tumbling",
     "q_stream_sliding",
     "q_stream_session",
@@ -121,7 +205,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_stream_stream_join",
     "q_stream_stateful_alerts",
     "q_stream_corpus_ingest",
-    # --- oldest unchanged r1 verdicts (pre ns-timestamp fix) ---
     "q_scan_parquet",
     "q_join_inner_equi",
     "q_join_broadcast",
@@ -144,65 +227,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_win_topk_group",
     "q_sort_multi",
     "q_topk_global",
-    # --- window 2 (round 5): displaced r1/r2 cohort + r3/r4-verified ---
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_pivot",
-    "q_agg_collect",
-    "q_subquery_scalar",
-    "q_subquery_correlated",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_sink_partitioned",
-    "q_project",
-    "q_filter_compare",
-    "q_filter_in_between_like",
-    "q_filter_null",
-    "q_set_union_distinct",
-    "q_set_intersect",
-    "q_set_except",
-    "q_distinct",
-    "q_limit",
-    "q_agg_approx_distinct",
-    "q_join_cross",
-    "q_set_union",
-    "q_udf_row_scalar",
-    "q_udf_pandas_scalar",
-    "q_udf_iter_pandas",
-    "q_udf_grouped_agg",
-    "q_udf_grouped_map",
-    "q_udf_map_in_arrow",
-    "q_udf_udtf",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_cond",
-    "q_fn_struct",
-    "q_llm_exact_dedup",
-    "q_llm_simhash",
-    "q_llm_sim_topk_lsh",
-    "q_llm_text_stats",
-    "q_llm_lang_id",
-    "q_llm_tfidf",
-    "q_llm_domain_stats",
-    "q_llm_tokenize_vocab",
-    "q_llm_chunk",
-    "q_llm_pack",
-    "q_llm_contamination",
-    "q_llm_split_leakage",
-    "q_llm_quality",
-    "q_llm_corpus_prep",
-    "q_scan_text_lines",
-    "q_llm_dedup_keep",
-    "q_llm_bpe_train",
-    "q_llm_simhash_banded",
-    "q_llm_minhash_lsh",
-    "q_llm_fingerprint",
-    "q_llm_repetition",
-    "q_llm_sim_topk_ivf",
-    "q_llm_dedup_clusters",
-    "q_stream_foreach_upsert",
+    "q_stream_sink",
 )
 
 

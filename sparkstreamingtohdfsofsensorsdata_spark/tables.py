@@ -136,16 +136,36 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
+def _dir_fingerprint(sf_dir: str) -> tuple:
+    """Cheap identity of the fixture files under ``sf_dir``: (size,
+    mtime_ns) per table path — 10 stat calls, no parquet I/O. A temp
+    view pins the file listing resolved at registration time, so a
+    caller that REWRITES fixtures in place under the same path must be
+    able to invalidate the memo (ADVICE r4); comparing this fingerprint
+    does that without re-reading any footers.
+    """
+    out = []
+    for name in TABLES:
+        try:
+            st = os.stat(table_path(sf_dir, name))
+            out.append((name, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((name, None, None))
+    return tuple(out)
+
+
+def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
     """Register every fixture table as a temp view for the SQL entry point.
 
-    Memoized on the LAST registered sf_dir per live session: every
-    golden/SQL query calls this, and re-registering costs 10 driver-side
-    parquet footer reads per call (~130 redundant reads per full
-    registry sweep). The views are global to the session, so only a
-    CHANGE of sf_dir needs a re-register; same-dir repeats are no-ops.
+    Memoized on the LAST registered (sf_dir, file fingerprint) per live
+    session: every golden/SQL query calls this, and re-registering costs
+    10 driver-side parquet footer reads per call (~130 redundant reads
+    per full registry sweep). The views are global to the session, so a
+    re-register happens only on a CHANGE of sf_dir, a change of the
+    files under it (size/mtime fingerprint), or ``force=True``.
     """
-    if getattr(spark, "_views_registered_for", None) == os.path.abspath(sf_dir):
+    key = (os.path.abspath(sf_dir), _dir_fingerprint(sf_dir))
+    if not force and getattr(spark, "_views_registered_for", None) == key:
         # The memo can go stale if a caller drops or shadows one of the
         # views; a cheap catalog existence check catches that without
         # re-reading any parquet footers. (A view REPLACED with other
@@ -155,4 +175,4 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             return
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
-    spark._views_registered_for = os.path.abspath(sf_dir)
+    spark._views_registered_for = key

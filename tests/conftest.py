@@ -89,17 +89,29 @@ def _floats_boundary_equal(lval: float, rval: float) -> bool:
     earlier rel=1e-6 comparison, which was scale-RELATIVE — at
     1e6-magnitude sums it silently tolerated a full 0.01 rounding-step
     error, hiding exactly the class it should catch."""
+    if lval == rval:
+        # Exact equality — including equal infinities, where the diff
+        # below would be NaN and spuriously fail (ADVICE r4).
+        return True
     if math.isnan(lval) and math.isnan(rval):
         return True
     diff = abs(lval - rval)
     ulp = max(math.ulp(lval), math.ulp(rval))
     if diff <= 4 * ulp:
         return True
-    # step match up to subtraction noise: |a - b| for values near 43.18
+    # Step match up to subtraction noise: |a - b| for values near 43.18
     # deviates from an exact 1e-6 step by a few ulps of the VALUES, so
-    # the margin must scale with them, not with the step
+    # the margin must scale with them, not with the step. A step is only
+    # plausible as "the last rounded digit" when it is small RELATIVE to
+    # the value — without the magnitude guard this branch accepted 0.0
+    # vs 1.0 and 0.5 vs 0.6 as equal (ADVICE r4), gutting parity exactly
+    # where recall fractions and correlations live. 10^-k must be
+    # <= 1e-4 * magnitude, i.e. the column keeps >= ~4 significant
+    # digits past the flipped digit; larger diffs are real divergences.
+    scale = max(abs(lval), abs(rval))
     return any(
-        abs(diff - 10.0**-k) <= 8 * ulp for k in range(7)
+        abs(diff - 10.0**-k) <= 8 * ulp and 10.0**-k <= scale * 1e-4
+        for k in range(7)
     )
 
 

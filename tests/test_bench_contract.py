@@ -82,6 +82,34 @@ def test_stdout_line_surfaces_failures():
     assert len(line) <= bench._STDOUT_BUDGET
 
 
+def test_stdout_line_compact_array_is_self_contained():
+    # VERDICT r4 ask #4: the stdout line alone must carry ALL per-key
+    # timings. Named maps can't fit 138 keys, so they ride a value-only
+    # centisecond array over the sorted key order, pinned by a key-list
+    # sha — decode it and recover every timing to 5 ms.
+    import hashlib
+
+    payload = _payload(138)
+    worst = max(payload["queries"], key=payload["queries"].get)
+    payload["queries"][worst] = -1.0
+    out = bench._stdout_line(payload)
+    assert out["t_unit"] == "cs"
+    assert out["t_order"] == "sorted_keys"
+    skeys = sorted(payload["queries"])
+    assert (
+        out["t_keys_sha"]
+        == hashlib.sha256("\n".join(skeys).encode()).hexdigest()[:8]
+    )
+    assert len(out["t_cs"]) == 138
+    for key, cs in zip(skeys, out["t_cs"]):
+        if payload["queries"][key] < 0:
+            assert cs == -1
+        else:
+            assert abs(cs / 100 - payload["queries"][key]) <= 0.005
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= bench._STDOUT_BUDGET
+
+
 def test_stdout_line_mass_failure_still_fits():
     # Every query failing must still yield a line inside the tail
     # window: the failed-name list shrinks but its count survives.

@@ -1,0 +1,100 @@
+"""Session-attached memo hygiene (VERDICT r4 ask #5).
+
+The CC-label and SimHash-pair memos (llm/dedup.py) carry materialized
+localCheckpoint handles across queries in one session — exactly the
+kind of state that silently poisons a cross-scale run if the keying or
+lifetime is wrong. Pin the two contracts:
+
+- keyed per sf_dir: two scales back-to-back in ONE session each get
+  fresh labels, and each result hash-matches a memo-cold recompute;
+- scoped per session OBJECT: a sibling `newSession()` does not see the
+  handles (they die with the session that owns the checkpoint blocks).
+
+Also pins the register_views fingerprint (ADVICE r4): rewriting a
+fixture file in place must invalidate the view memo.
+"""
+
+from __future__ import annotations
+
+from sparkstreamingtohdfsofsensorsdata_spark import registry
+from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import _cc_labels
+from sparkstreamingtohdfsofsensorsdata_spark.tables import _dir_fingerprint
+
+SF_A = "/root/testdata/sf0.001"
+SF_B = "/root/testdata/sf0.01"
+
+
+def _clear_memos(spark) -> None:
+    getattr(spark, "_cc_labels_memo", {}).clear()
+    getattr(spark, "_simhash_pairs_memo", {}).clear()
+
+
+def _labels(spark, sf_dir):
+    return sorted(tuple(r) for r in _cc_labels(spark, sf_dir).collect())
+
+
+def test_cc_memo_keyed_per_sf_dir(spark):
+    _clear_memos(spark)
+    warm_a = _labels(spark, SF_A)
+    warm_b = _labels(spark, SF_B)
+    # two scales -> two distinct memo entries, not one overwritten slot
+    assert len(spark._cc_labels_memo) == 2
+    assert len(spark._simhash_pairs_memo) == 2
+    # sf0.01 has ~10x the docs; identical label sets would mean the
+    # second call was served the first scale's handle
+    assert warm_a != warm_b
+
+    # memo-cold recompute of BOTH scales hash-matches the memoized runs
+    _clear_memos(spark)
+    assert _labels(spark, SF_A) == warm_a
+    _clear_memos(spark)
+    assert _labels(spark, SF_B) == warm_b
+    _clear_memos(spark)
+
+
+def test_memos_die_with_the_session_object(spark):
+    _clear_memos(spark)
+    _cc_labels(spark, SF_A)
+    assert spark._cc_labels_memo
+    # A sibling session object (shared SparkContext, fresh state) must
+    # not inherit the handles: the memo rides the session attribute,
+    # never a module global.
+    sibling = spark.newSession()
+    assert getattr(sibling, "_cc_labels_memo", None) is None
+    assert getattr(sibling, "_simhash_pairs_memo", None) is None
+    _clear_memos(spark)
+
+
+def test_register_views_fingerprint_tracks_file_changes(tmp_path):
+    # Pure-fingerprint check (no Spark): same dir, same files -> equal;
+    # a rewritten table file -> different. register_views keys its memo
+    # on this, so rewriting fixtures in place invalidates the views.
+    import os
+    import shutil
+
+    for name in ("region", "nation"):
+        shutil.copy(f"{SF_A}/{name}.parquet", tmp_path / f"{name}.parquet")
+    fp1 = _dir_fingerprint(str(tmp_path))
+    fp2 = _dir_fingerprint(str(tmp_path))
+    assert fp1 == fp2
+    # rewrite one file with different content (size and/or mtime moves)
+    src = tmp_path / "region.parquet"
+    data = src.read_bytes()
+    src.write_bytes(data + b"\x00")
+    os.utime(src)
+    assert _dir_fingerprint(str(tmp_path)) != fp1
+
+
+def test_registry_window_is_the_stale_cohort():
+    # Round-5 rotation contract: the driver verifies a 50-key prefix;
+    # that prefix must be exactly the keys whose latest driver verdict
+    # is r1/r2 (VERDICT r4 ask #1). Spot-pin the boundary so a future
+    # reorder cannot silently push a stale key out of the window.
+    front = list(registry.load_all())[:50]
+    assert "q_project" in front
+    assert "q_limit" in front
+    assert "q_udf_pandas_scalar" in front
+    assert "q_llm_domain_stats" in front
+    # freshly r4-verified keys must NOT occupy window slots
+    assert "q_agg_stats" not in front
+    assert "q_llm_embed_neardup" not in front
