@@ -52,20 +52,76 @@ def _warmup(spark, sf_dir: str) -> None:
     spark.range(1_000_000).repartition(32).localCheckpoint().count()
 
 
-def _run_one(spec, spark, sf_dir: str, cold: bool = False) -> float:
-    if cold:
-        # Rerun-phase honesty: the CC-label memo (llm/dedup._cc_labels)
-        # legitimately carries across the sequential first pass — that
-        # is the production "persist labels once" shape, and the first
-        # dedup query pays the full cost. But a RERUN of that first
-        # query must not get credited a warm-cache time; clear the memo
-        # so min(first, rerun) compares two honest cold runs. The
-        # caller passes cold=True ONLY for the dedup key that ran
-        # cache-cold in the first pass — clearing for the downstream
-        # consumer would make ITS rerun pay a cold recompute its
-        # first-pass number never paid (guaranteed-useless rerun).
+# The SimHash dedup family shares two memoized intermediates
+# (llm/dedup): the banded-pair table (_simhash_banded_pairs, ~2s cold at
+# sf0.1) and the CC label table built on it (_cc_labels, ~5s cold) — the
+# production "persist once, read downstream" shape. Under a naive
+# sequential pass, whichever family member happens to run FIRST in
+# registry order pays the one-time materializations, so per-key times
+# (and the committed floors) silently re-attribute whenever the
+# verification rotation reorders the family. Pin each cost to a
+# canonical payer instead: the pair build to the pair query, the label
+# propagation to the CC query. Before any OTHER member runs against a
+# cold memo, the intermediate is materialized outside that member's
+# timed region and the cost is charged to its payer's slot — every
+# rotation order yields the same per-key numbers (pair payer ≈ cold
+# build, label payer ≈ propagation, q_llm_dedup_keep ≈ its own
+# marginal broadcast-drop scan).
+CC_PAYER_PAIRS = "q_llm_simhash_banded"
+CC_PAYER_LABELS = "q_llm_dedup_clusters"
+CC_FAMILY = ("q_llm_simhash_banded", "q_llm_dedup_clusters", "q_llm_dedup_keep")
+CC_LABEL_CONSUMERS = ("q_llm_dedup_clusters", "q_llm_dedup_keep")
+
+
+def _cc_pairs_cold(spark) -> bool:
+    return not getattr(spark, "_simhash_pairs_memo", None)
+
+
+def _cc_labels_cold(spark) -> bool:
+    return not getattr(spark, "_cc_labels_memo", None)
+
+
+def _cc_materialize_pairs(spark, sf_dir: str) -> float:
+    """Build the shared banded-pair table now; return the wall-clock
+    cost (charged to CC_PAYER_PAIRS's slot by the caller)."""
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import (
+        _simhash_banded_pairs,
+    )
+
+    start = time.perf_counter()
+    _simhash_banded_pairs(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.perf_counter() - start
+
+
+def _cc_materialize_labels(spark, sf_dir: str) -> float:
+    """Run the CC label propagation now (assumes the pair table is
+    already warm); return the wall-clock cost (charged to
+    CC_PAYER_LABELS's slot by the caller)."""
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import _cc_labels
+
+    start = time.perf_counter()
+    _cc_labels(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def _run_one(spec, spark, sf_dir: str, cold: str | None = None) -> float:
+    # Rerun-phase honesty: the pair/label memos legitimately carry
+    # across the sequential first pass, but a RERUN of a payer must not
+    # get credited a warm-cache time; clear what that payer's first-pass
+    # number was charged for, so min(first, rerun) compares two honest
+    # runs. "pairs" (CC_PAYER_PAIRS) drops both memos — its charged
+    # number is the from-scratch pair build; "labels" (CC_PAYER_LABELS)
+    # drops only the label memo — its charged number is propagation over
+    # an already-warm pair table. Clearing for q_llm_dedup_keep would
+    # make ITS rerun pay a cold recompute its first-pass number never
+    # paid (guaranteed-useless rerun), so it stays warm.
+    if cold == "pairs":
         getattr(spark, "_cc_labels_memo", {}).clear()
         getattr(spark, "_simhash_pairs_memo", {}).clear()
+    elif cold == "labels":
+        getattr(spark, "_cc_labels_memo", {}).clear()
     start = time.perf_counter()
     df = spec.fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
@@ -173,12 +229,25 @@ def main() -> None:
     _warmup(spark, sf_dir)
     specs = load_all()
     timings: dict[str, float] = {}
+    # intermediate costs fronted for their canonical payers (see above)
+    prepaid = {CC_PAYER_PAIRS: 0.0, CC_PAYER_LABELS: 0.0}
     for name, spec in specs.items():
         try:
+            if name in CC_FAMILY and name != CC_PAYER_PAIRS and _cc_pairs_cold(spark):
+                prepaid[CC_PAYER_PAIRS] += _cc_materialize_pairs(spark, sf_dir)
+            if (
+                name in CC_LABEL_CONSUMERS
+                and name != CC_PAYER_LABELS
+                and _cc_labels_cold(spark)
+            ):
+                prepaid[CC_PAYER_LABELS] += _cc_materialize_labels(spark, sf_dir)
             timings[name] = round(_run_one(spec, spark, sf_dir), 3)
         except Exception as exc:  # a failing query must not sink the run
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
+    for payer, cost in prepaid.items():
+        if cost and timings.get(payer, -1.0) >= 0:
+            timings[payer] = round(timings[payer] + cost, 3)
 
     # This host's CPU budget swings ~10x on a multi-second cadence
     # (measured: 81..890 fixed-size GEMMs per 5s window), so a single
@@ -209,20 +278,10 @@ def main() -> None:
             for n, t in timings.items()
             if n in floor and floor[n] > 0 and t > 1.8 * floor[n]
         }
-        # The dedup key that ran cache-cold in the sequential first
-        # pass (first of the family in registry order) is the only one
-        # whose rerun must also start cold — see _run_one.
-        cc_family = [
-            n
-            for n in specs
-            if n
-            in (
-                "q_llm_simhash_banded",
-                "q_llm_dedup_clusters",
-                "q_llm_dedup_keep",
-            )
-        ]
-        cc_cold_first = cc_family[0] if cc_family else None
+        # Each payer carries its intermediate's cost regardless of
+        # registry order (see the attribution block above), so a payer
+        # rerun must start correspondingly cold — see _run_one.
+        cold_mode = {CC_PAYER_PAIRS: "pairs", CC_PAYER_LABELS: "labels"}
         # Biggest absolute excess over the proven floor first: a 7s key
         # 2s over floor outranks a 0.5s key 0.3s over, and the cheap
         # tail of small noisy keys still fits before the deadline.
@@ -239,7 +298,7 @@ def main() -> None:
                             specs[name],
                             spark,
                             sf_dir,
-                            cold=(name == cc_cold_first),
+                            cold=cold_mode.get(name),
                         ),
                     ),
                     3,

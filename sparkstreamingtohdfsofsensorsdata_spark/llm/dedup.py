@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, spread
+from ..tables import _dir_fingerprint, load, spread
 
 N_MINHASH = 12  # 4 bands x 3 rows
 N_BANDS = 4
@@ -412,7 +412,10 @@ def _simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cache is None:
         cache = {}
         spark._simhash_pairs_memo = cache
-    key = os.path.abspath(sf_dir)
+    # Keyed on (path, file fingerprint) like register_views: an
+    # in-place fixture rewrite under the same path must not serve a
+    # stale checkpointed pair handle (ADVICE r5).
+    key = (os.path.abspath(sf_dir), _dir_fingerprint(sf_dir))
     if key in cache:
         return cache[key]
     pairs = _simhash_banded_pairs_plan(spark, sf_dir).localCheckpoint(eager=False)
@@ -718,7 +721,9 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cache is None:
         cache = {}
         spark._cc_labels_memo = cache
-    key = os.path.abspath(sf_dir)
+    # Same (path, fingerprint) key as _simhash_pairs_memo / the view
+    # memo: rewritten fixtures invalidate the label handle (ADVICE r5).
+    key = (os.path.abspath(sf_dir), _dir_fingerprint(sf_dir))
     if key in cache:
         return cache[key]
 

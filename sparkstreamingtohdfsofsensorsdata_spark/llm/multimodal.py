@@ -151,6 +151,11 @@ def decode_video_frame(payload: bytes, frame_idx: int) -> "object":
     to an RGB ndarray. Wired to pyav when installed (importorskip-gated
     tests); NotImplementedError otherwise — the deterministic per-frame
     feature (_sample_frames) remains the tested path here."""
+    if frame_idx < 0:
+        # Argument error regardless of codec availability — without
+        # this, a negative index falls through the decode loop to the
+        # misleading 'past end of stream' error (ADVICE r5).
+        raise ValueError(f"frame_idx must be >= 0, got {frame_idx}")
     try:
         import av
     except ImportError as exc:
@@ -160,6 +165,8 @@ def decode_video_frame(payload: bytes, frame_idx: int) -> "object":
     import io
 
     with av.open(io.BytesIO(payload)) as container:
+        if not container.streams.video:
+            raise ValueError("payload has no video stream")
         stream = container.streams.video[0]
         for i, frame in enumerate(container.decode(stream)):
             if i == frame_idx:

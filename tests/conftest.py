@@ -95,6 +95,13 @@ def _floats_boundary_equal(lval: float, rval: float) -> bool:
         return True
     if math.isnan(lval) and math.isnan(rval):
         return True
+    if math.isinf(lval) or math.isinf(rval):
+        # One-sided (or opposite-sign) infinity is never a rounding
+        # artifact: ulp(inf) is inf, so the ulp branch below would read
+        # `inf <= inf -> True` and silently mask an engine overflowing
+        # to inf against a finite oracle value (ADVICE r5). Equal
+        # infinities already returned via the == short-circuit.
+        return False
     diff = abs(lval - rval)
     ulp = max(math.ulp(lval), math.ulp(rval))
     if diff <= 4 * ulp:
@@ -108,9 +115,18 @@ def _floats_boundary_equal(lval: float, rval: float) -> bool:
     # where recall fractions and correlations live. 10^-k must be
     # <= 1e-4 * magnitude, i.e. the column keeps >= ~4 significant
     # digits past the flipped digit; larger diffs are real divergences.
+    # Near zero the magnitude guard alone would reject the genuine
+    # last-rounded-digit flip of a k-dp-rounded column straddling a
+    # boundary (round(cosine, 6) giving 0.0 vs 1e-6 — ADVICE r5), so
+    # the acceptance threshold is floored at the finest rounding steps
+    # the engine emits (<= 1e-5): those are always plausible last-digit
+    # flips, while coarser steps (1e-4 .. 1) still require >= ~4
+    # significant digits of magnitude — 0.0 vs 1.0 and 0.5 vs 0.6 stay
+    # real divergences.
     scale = max(abs(lval), abs(rval))
     return any(
-        abs(diff - 10.0**-k) <= 8 * ulp and 10.0**-k <= scale * 1e-4
+        abs(diff - 10.0**-k) <= 8 * ulp
+        and 10.0**-k <= max(scale * 1e-4, 1e-5)
         for k in range(7)
     )
 

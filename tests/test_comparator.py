@@ -1,0 +1,91 @@
+"""Unit pins for the parity float comparator (_floats_boundary_equal).
+
+The comparator is the parity suite's trust anchor: it must accept
+EXACTLY the two documented cross-engine rounding classes (few-ulp
+adjacency, a single last-rounded-digit step) and nothing else. These
+pins encode the r5 ADVICE findings so neither hole can reopen:
+
+- infinities: inf vs any finite value (and inf vs -inf) must FAIL —
+  ulp(inf) is inf, so without the explicit guard the ulp branch reads
+  `inf <= inf -> True` and masks an engine overflow;
+- near-zero rounded steps: a 6-dp-rounded metric straddling a rounding
+  boundary (0.0 vs 1e-6) must PASS even though the magnitude guard's
+  scale*1e-4 term is below the step there.
+"""
+
+from __future__ import annotations
+
+import math
+
+from conftest import _floats_boundary_equal as eq
+
+
+# --- exactness and the NaN/inf lattice --------------------------------
+
+def test_exact_equality_and_nan():
+    assert eq(1.5, 1.5)
+    assert eq(0.0, -0.0)
+    assert eq(float("nan"), float("nan"))
+    assert not eq(float("nan"), 0.0)
+    assert not eq(0.0, float("nan"))
+
+
+def test_equal_infinities_pass():
+    assert eq(float("inf"), float("inf"))
+    assert eq(float("-inf"), float("-inf"))
+
+
+def test_one_sided_or_opposite_infinities_fail():
+    # ADVICE r5 (medium): an engine overflowing to inf against a finite
+    # oracle value must be a real divergence, not a masked pass.
+    assert not eq(float("inf"), 1.0)
+    assert not eq(1.0, float("inf"))
+    assert not eq(float("inf"), 1e308)
+    assert not eq(float("-inf"), -1e308)
+    assert not eq(float("inf"), float("-inf"))
+
+
+# --- the two tolerated classes ----------------------------------------
+
+def test_few_ulp_adjacency_passes():
+    x = 2.8e9 / 3.0
+    assert eq(x, math.nextafter(math.nextafter(x, math.inf), math.inf))
+
+
+def test_last_rounded_digit_step_passes_at_magnitude():
+    # the percent_rank class: same decimal, HALF_UP vs binary round
+    assert eq(43.181818, 43.181819)
+    assert eq(0.333333, 0.333334)
+
+
+def test_near_zero_rounded_step_passes():
+    # ADVICE r5 (low): round(cosine, 6) straddling a boundary gives
+    # 0.0 vs 1e-6 — the tolerated class, despite the tiny magnitude.
+    assert eq(0.0, 1e-6)
+    assert eq(1e-6, 0.0)
+    assert eq(0.0, 1e-5)
+    assert eq(1e-6, 2e-6)
+
+
+# --- real divergences stay failures -----------------------------------
+
+def test_large_steps_near_zero_still_fail():
+    # The floor only admits the finest steps (<= 1e-5); coarser steps
+    # without magnitude are genuine divergences, not last-digit flips.
+    assert not eq(0.0, 1.0)
+    assert not eq(0.0, 0.1)
+    assert not eq(0.0, 1e-4)
+    assert not eq(0.5, 0.6)
+    assert not eq(0.01, 0.02)
+
+
+def test_non_step_diffs_fail():
+    assert not eq(1.0, 1.0000005)  # half a step: not a digit flip
+    assert not eq(100.0, 100.2)    # two steps
+    assert not eq(1e6, 1e6 + 2.0)  # two units: beyond any digit flip
+
+
+def test_unit_step_at_magnitude_passes():
+    # an integer-rounded (k=0) metric straddling .5 at 1e6 magnitude is
+    # the same tolerated class: 1e-6 relative, >= 4 sig digits kept
+    assert eq(1e6, 1e6 + 1.0)

@@ -16,6 +16,8 @@ fixture file in place must invalidate the view memo.
 
 from __future__ import annotations
 
+import os
+
 from sparkstreamingtohdfsofsensorsdata_spark import registry
 from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import _cc_labels
 from sparkstreamingtohdfsofsensorsdata_spark.tables import _dir_fingerprint
@@ -85,16 +87,34 @@ def test_register_views_fingerprint_tracks_file_changes(tmp_path):
     assert _dir_fingerprint(str(tmp_path)) != fp1
 
 
+def test_dedup_memos_keyed_on_file_fingerprint(spark):
+    # ADVICE r5: the dedup memos must share register_views' (path,
+    # fingerprint) keying, so an in-place fixture rewrite under the
+    # SAME path cannot serve a stale checkpointed pair/label handle.
+    _clear_memos(spark)
+    _cc_labels(spark, SF_A)
+    fp = _dir_fingerprint(SF_A)
+    assert list(spark._cc_labels_memo) == [(os.path.abspath(SF_A), fp)]
+    assert list(spark._simhash_pairs_memo) == [(os.path.abspath(SF_A), fp)]
+    # a changed fingerprint (what a rewrite produces) misses the memo
+    stale_key = (os.path.abspath(SF_A), ())
+    assert stale_key not in spark._cc_labels_memo
+    _clear_memos(spark)
+
+
 def test_registry_window_is_the_stale_cohort():
-    # Round-5 rotation contract: the driver verifies a 50-key prefix;
-    # that prefix must be exactly the keys whose latest driver verdict
-    # is r1/r2 (VERDICT r4 ask #1). Spot-pin the boundary so a future
+    # Round-6 rotation contract: the driver verifies a 50-key prefix;
+    # after r5 cleared the r1/r2 backlog, the stalest verdicts are the
+    # r3-latest cohort plus the oldest r4 keys (incl. the multimodal
+    # family this round touched). Spot-pin the boundary so a future
     # reorder cannot silently push a stale key out of the window.
     front = list(registry.load_all())[:50]
-    assert "q_project" in front
-    assert "q_limit" in front
-    assert "q_udf_pandas_scalar" in front
-    assert "q_llm_domain_stats" in front
-    # freshly r4-verified keys must NOT occupy window slots
-    assert "q_agg_stats" not in front
-    assert "q_llm_embed_neardup" not in front
+    assert "q_scan_text_lines" in front
+    assert "q_llm_dedup_keep" in front
+    assert "q_stream_foreach_upsert" in front
+    assert "q_llm_multimodal_frames" in front
+    assert "q_llm_pii_redact" in front
+    # freshly r5-verified keys must NOT occupy window slots
+    assert "q_project" not in front
+    assert "q_udf_pandas_scalar" not in front
+    assert "q_llm_domain_stats" not in front

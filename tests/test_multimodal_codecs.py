@@ -39,6 +39,15 @@ def test_hook_raises_notimplemented_without_codec(monkeypatch, hook, module):
         hook()
 
 
+def test_decode_video_frame_rejects_negative_index():
+    # Argument validation precedes the codec import, so this contract
+    # holds in every environment (ADVICE r5): a negative index must not
+    # fall through to the misleading 'past end of stream' error — nor
+    # to NotImplementedError on codec-less machines.
+    with pytest.raises(ValueError, match="frame_idx"):
+        multimodal.decode_video_frame(b"x", -1)
+
+
 # --- real decodes: skip unless the codec is installed -----------------
 
 def test_decode_image_roundtrip():
@@ -69,6 +78,18 @@ def test_decode_audio_roundtrip():
     assert rate == sr
     assert len(samples) == len(tone)
     assert abs(float(samples[10]) - float(tone[10])) < 1e-3
+
+
+def test_decode_video_frame_rejects_streamless_payload():
+    av = pytest.importorskip("av")
+    sf = pytest.importorskip("soundfile")
+    np = pytest.importorskip("numpy")
+    # An audio-only container demuxes fine but has no video stream; the
+    # hook must say so instead of raising IndexError (ADVICE r5).
+    buf = io.BytesIO()
+    sf.write(buf, np.zeros(1600, dtype="float32"), 16000, format="WAV")
+    with pytest.raises(ValueError, match="no video stream"):
+        multimodal.decode_video_frame(buf.getvalue(), 0)
 
 
 def test_decode_video_frame_roundtrip():
