@@ -416,3 +416,53 @@ def test_simhash_pair_gen_single_join_no_rejoin(spark):
     assert n_joins == 1, f"expected exactly one bucket join, saw {n_joins}"
     join_line = next(l for l in text.splitlines() if "Join" in l)
     assert "bit_count" in join_line, "hamming filter not inside the join"
+
+
+def test_asof_join_is_one_exchange_no_join(spark):
+    # The as-of is the union-window form: ONE shuffle on user_id into a
+    # single Window, and no join operator at all — the shape that keeps
+    # it linear at 100 TB where a range self-join would explode.
+    text = inspect.plan_str(q(spark, "q_join_asof"))
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in text, f"asof must not contain {op}"
+    exchanges = [l for l in text.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1, f"expected one shuffle, saw {len(exchanges)}"
+    assert "user_id" in exchanges[0]
+
+
+def test_range_join_stays_keyed(spark):
+    # The 10-minute band condition must ride a KEYED join on user_id as
+    # a residual filter; a planner that falls back to a nested-loop or
+    # cartesian product is quadratic in events and dead at scale.
+    text = inspect.plan_str(q(spark, "q_join_range"))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    keyed = sum(
+        text.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert keyed >= 1, "expected a keyed equi join with range residual"
+
+
+def test_minhash_candidate_shuffle_is_narrow(spark):
+    # The band candidate join must shuffle only (doc_id, band_key);
+    # the 12-element signatures come back via TWO broadcast rejoins
+    # (carrying them through the candidate explosion multiplied shuffle
+    # width ~50x and OOMed at sf0.1 — dedup.py docstring).
+    text = inspect.plan_str(q(spark, "q_llm_minhash_lsh"))
+    assert text.count("BroadcastHashJoin") >= 2, "signature rejoins must broadcast"
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    # The only hash shuffle allowed is the narrow pair-dedup on
+    # (id_a, id_b); at sf0.001 the band join itself goes broadcast (at
+    # scale it becomes an SMJ/SHJ keyed on band_key — still narrow).
+    hash_exchanges = [
+        l for l in text.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert hash_exchanges, "expected the narrow pair-dedup shuffle"
+    for line in hash_exchanges:
+        assert "sig" not in line, f"signature rides a shuffle: {line}"
+        assert "id_a" in line and "id_b" in line, (
+            f"unexpected wide shuffle: {line}"
+        )
