@@ -89,3 +89,35 @@ def test_unit_step_at_magnitude_passes():
     # an integer-rounded (k=0) metric straddling .5 at 1e6 magnitude is
     # the same tolerated class: 1e-6 relative, >= 4 sig digits kept
     assert eq(1e6, 1e6 + 1.0)
+
+
+# --- metamorphic properties (hypothesis) ------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_floats = st.floats(allow_nan=True, allow_infinity=True, width=64)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_floats)
+def test_reflexive(x):
+    assert eq(x, x)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_floats, _floats)
+def test_symmetric(x, y):
+    assert eq(x, y) == eq(y, x)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=True, width=64))
+def test_infinity_never_equals_finite_or_opposite(x):
+    inf = float("inf")
+    if math.isinf(x):
+        assert eq(x, inf) == (x == inf)
+        assert eq(x, -inf) == (x == -inf)
+    else:
+        assert not eq(x, inf)
+        assert not eq(x, -inf)
