@@ -73,12 +73,19 @@ CC_FAMILY = ("q_llm_simhash_banded", "q_llm_dedup_clusters", "q_llm_dedup_keep")
 CC_LABEL_CONSUMERS = ("q_llm_dedup_clusters", "q_llm_dedup_keep")
 
 
-def _cc_pairs_cold(spark) -> bool:
-    return not getattr(spark, "_simhash_pairs_memo", None)
+def _cc_pairs_cold(spark, sf_dir: str) -> bool:
+    # Warmth via dedup's own (path, fingerprint) key — a truthiness
+    # check on the dict would read a stale-fingerprint entry as warm
+    # and let the rebuild land inside a consumer's timed region.
+    from sparkstreamingtohdfsofsensorsdata_spark.llm import dedup
+
+    return not dedup.pairs_warm(spark, sf_dir)
 
 
-def _cc_labels_cold(spark) -> bool:
-    return not getattr(spark, "_cc_labels_memo", None)
+def _cc_labels_cold(spark, sf_dir: str) -> bool:
+    from sparkstreamingtohdfsofsensorsdata_spark.llm import dedup
+
+    return not dedup.labels_warm(spark, sf_dir)
 
 
 def _cc_materialize_pairs(spark, sf_dir: str) -> float:
@@ -109,19 +116,22 @@ def _cc_materialize_labels(spark, sf_dir: str) -> float:
 def _run_one(spec, spark, sf_dir: str, cold: str | None = None) -> float:
     # Rerun-phase honesty: the pair/label memos legitimately carry
     # across the sequential first pass, but a RERUN of a payer must not
-    # get credited a warm-cache time; clear what that payer's first-pass
-    # number was charged for, so min(first, rerun) compares two honest
-    # runs. "pairs" (CC_PAYER_PAIRS) drops both memos — its charged
-    # number is the from-scratch pair build; "labels" (CC_PAYER_LABELS)
-    # drops only the label memo — its charged number is propagation over
-    # an already-warm pair table. Clearing for q_llm_dedup_keep would
-    # make ITS rerun pay a cold recompute its first-pass number never
-    # paid (guaranteed-useless rerun), so it stays warm.
+    # get credited a warm-cache time; clear EXACTLY what that payer's
+    # first-pass number was charged for, so min(first, rerun) compares
+    # two honest runs. "pairs" (CC_PAYER_PAIRS) drops the pair memo
+    # only — its charged number is the pair build, and it never reads
+    # labels, so dropping the label memo too would force a later
+    # q_llm_dedup_keep rerun to pay a cold label recompute its
+    # first-pass number never paid (guaranteed-useless rerun, burning
+    # rerun-deadline budget). "labels" (CC_PAYER_LABELS) drops only the
+    # label memo — its charged number is propagation over an
+    # already-warm pair table. q_llm_dedup_keep stays warm.
+    from sparkstreamingtohdfsofsensorsdata_spark.llm import dedup
+
     if cold == "pairs":
-        getattr(spark, "_cc_labels_memo", {}).clear()
-        getattr(spark, "_simhash_pairs_memo", {}).clear()
+        dedup.clear_pair_memo(spark)
     elif cold == "labels":
-        getattr(spark, "_cc_labels_memo", {}).clear()
+        dedup.clear_label_memo(spark)
     start = time.perf_counter()
     df = spec.fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
@@ -232,22 +242,42 @@ def main() -> None:
     # intermediate costs fronted for their canonical payers (see above)
     prepaid = {CC_PAYER_PAIRS: 0.0, CC_PAYER_LABELS: 0.0}
     for name, spec in specs.items():
+        # The payer-charged materializations sit OUTSIDE the consumer's
+        # try: a pair/label build failure must not mark the CONSUMER
+        # failed (its own query never ran) — the consumer's timed run
+        # below then simply pays the cost itself, which is also the
+        # honest attribution when the shared build is broken.
         try:
-            if name in CC_FAMILY and name != CC_PAYER_PAIRS and _cc_pairs_cold(spark):
+            if name in CC_FAMILY and name != CC_PAYER_PAIRS and _cc_pairs_cold(
+                spark, sf_dir
+            ):
                 prepaid[CC_PAYER_PAIRS] += _cc_materialize_pairs(spark, sf_dir)
             if (
                 name in CC_LABEL_CONSUMERS
                 and name != CC_PAYER_LABELS
-                and _cc_labels_cold(spark)
+                and _cc_labels_cold(spark, sf_dir)
             ):
                 prepaid[CC_PAYER_LABELS] += _cc_materialize_labels(spark, sf_dir)
+        except Exception as exc:
+            print(f"bench: prepay for {name} failed: {exc}", file=sys.stderr)
+        try:
             timings[name] = round(_run_one(spec, spark, sf_dir), 3)
         except Exception as exc:  # a failing query must not sink the run
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
     for payer, cost in prepaid.items():
-        if cost and timings.get(payer, -1.0) >= 0:
+        if not cost:
+            continue
+        if timings.get(payer, -1.0) >= 0:
             timings[payer] = round(timings[payer] + cost, 3)
+        else:
+            # The build cost was really paid but its payer's own query
+            # failed; say so instead of silently shrinking the total.
+            print(
+                f"bench: {cost:.3f}s of prepaid intermediate build is "
+                f"unreported ({payer} failed)",
+                file=sys.stderr,
+            )
 
     # This host's CPU budget swings ~10x on a multi-second cadence
     # (measured: 81..890 fixed-size GEMMs per 5s window), so a single

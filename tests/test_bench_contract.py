@@ -127,19 +127,24 @@ def test_cc_payer_attribution_is_rotation_independent(spark):
     # rotation puts first: a consumer hitting a cold memo triggers the
     # payer-charged materialization, after which the memo is warm and
     # every member (payers included) runs marginal.
+    from sparkstreamingtohdfsofsensorsdata_spark.llm import dedup
+
     sf_dir = "/root/testdata/sf0.001"
-    getattr(spark, "_cc_labels_memo", {}).clear()
-    getattr(spark, "_simhash_pairs_memo", {}).clear()
-    assert bench._cc_pairs_cold(spark)
-    assert bench._cc_labels_cold(spark)
+    dedup.clear_pair_memo(spark)
+    dedup.clear_label_memo(spark)
+    assert bench._cc_pairs_cold(spark, sf_dir)
+    assert bench._cc_labels_cold(spark, sf_dir)
     assert bench._cc_materialize_pairs(spark, sf_dir) > 0
-    assert not bench._cc_pairs_cold(spark)
-    assert bench._cc_labels_cold(spark)  # pairs alone leave labels cold
+    assert not bench._cc_pairs_cold(spark, sf_dir)
+    assert bench._cc_labels_cold(spark, sf_dir)  # pairs alone leave labels cold
     assert bench._cc_materialize_labels(spark, sf_dir) > 0
-    assert not bench._cc_labels_cold(spark)
+    assert not bench._cc_labels_cold(spark, sf_dir)
+    # warmth is fingerprint-exact: another sf_dir is still cold even
+    # though the memo dict is non-empty (the stale-entry trap)
+    assert bench._cc_pairs_cold(spark, "/root/testdata/sf0.01")
     assert bench.CC_PAYER_PAIRS == "q_llm_simhash_banded"
     assert bench.CC_PAYER_LABELS == "q_llm_dedup_clusters"
     assert set(bench.CC_LABEL_CONSUMERS) < set(bench.CC_FAMILY)
     assert bench.CC_PAYER_PAIRS in bench.CC_FAMILY
-    getattr(spark, "_cc_labels_memo", {}).clear()
-    getattr(spark, "_simhash_pairs_memo", {}).clear()
+    dedup.clear_pair_memo(spark)
+    dedup.clear_label_memo(spark)

@@ -102,6 +102,27 @@ def test_dedup_memos_keyed_on_file_fingerprint(spark):
     _clear_memos(spark)
 
 
+def test_dedup_memos_evict_superseded_same_path_entries(spark):
+    # A fingerprint miss must REPLACE the same-path entry, not pile a
+    # new handle on top of it: a session rewriting fixtures in place N
+    # times would otherwise leak N materialized checkpoint handles
+    # (review r6). Simulate the rewrite by planting a stale-fingerprint
+    # entry under the same path and recomputing.
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import memo_key
+
+    _clear_memos(spark)
+    _cc_labels(spark, SF_A)
+    path = os.path.abspath(SF_A)
+    for memo in (spark._cc_labels_memo, spark._simhash_pairs_memo):
+        live = memo[memo_key(SF_A)]
+        memo.clear()
+        memo[(path, ("stale-fingerprint",))] = live
+    _cc_labels(spark, SF_A)
+    assert list(spark._cc_labels_memo) == [memo_key(SF_A)]
+    assert list(spark._simhash_pairs_memo) == [memo_key(SF_A)]
+    _clear_memos(spark)
+
+
 def test_registry_window_is_the_stale_cohort():
     # Round-6 rotation contract: the driver verifies a 50-key prefix;
     # after r5 cleared the r1/r2 backlog, the stalest verdicts are the

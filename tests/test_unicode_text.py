@@ -23,8 +23,13 @@ DuckDB's unicode handling can legitimately diverge:
   codepoints (length, substring/chunk boundaries) diverges from DuckDB
   here.
 
-All exotic codepoints are spelled as ``\\uXXXX`` escapes so the corpus
-is exact regardless of editor/VCS normalization. Every query runs
+Invisible codepoints (ZWSP/ZWJ/NBSP/ideographic space, the non-BMP
+block) are spelled as ``\\uXXXX`` escapes, the NFD rows are decomposed
+at runtime with ``unicodedata.normalize``, and
+``test_corpus_codepoints_intact`` pins the visible-but-normalizable
+rest (ligatures, full-width forms) — so an editor/formatter/VCS
+normalization pass cannot silently strip the hostile codepoints while
+the differential keeps passing on the blunted corpus. Every query runs
 end-to-end against the SAME DuckDB oracle the driver uses; a pass means
 bit-identical results (modulo the two documented float classes).
 """
@@ -38,10 +43,10 @@ import pytest
 
 from conftest import run_parity
 
-ZWSP = "​"
-ZWJ = "‍"
-NBSP = " "
-IDEO_SP = "　"
+ZWSP = "\u200b"
+ZWJ = "\u200d"
+NBSP = "\u00a0"
+IDEO_SP = "\u3000"
 
 # ZWJ family (man+woman+girl+boy) and a skin-toned astronaut
 FAMILY = "\U0001F468" + ZWJ + "\U0001F469" + ZWJ + "\U0001F467" + ZWJ + "\U0001F466"
@@ -124,6 +129,31 @@ def uni_duck(uni_sf_dir):
     )
     yield con
     con.close()
+
+
+def test_corpus_codepoints_intact():
+    # The tier is only as hostile as its codepoints: if a formatter or
+    # VCS normalization pass (NFC/NFKC) ever blunts the corpus, the
+    # differential would keep passing on the neutered rows with no
+    # signal. Pin the load-bearing codepoints by ordinal.
+    # (expected values spelled as escapes — the pins must not be
+    # normalizable by the same pass they guard against)
+    texts = {i: t for (i, t, _l, _s) in _TEXTS}
+    assert "\u0301" in texts[1] and "\u00e9" not in texts[1]  # NFD acute
+    assert "\u0130" in texts[3] and "\u0131" in texts[3]  # İ and ı
+    assert "\u00df" in texts[4]  # ß
+    assert "\u03c2" in texts[5]  # final sigma
+    assert texts[9].count(ZWSP) == 2
+    assert texts[10].count(ZWJ) == 4
+    assert "\uff26" in texts[12] and "\uff10" in texts[12]  # full-width F, 0
+    assert "\U0001d578" in texts[13] and "\U00020e0e" in texts[13]
+    assert texts[15].count("\t") == 2
+    assert NBSP in texts[16] and IDEO_SP in texts[16]
+    assert "\ufb01" in texts[18] and "\ufb03" in texts[18]  # fi, ffi
+    assert "\u0301" in texts[26] and "\u00e9" not in texts[26]  # NFD
+    # and the schema n_chars column counts codepoints of exactly these
+    for i, t, _l, _s, n in DOCS:
+        assert n == len(t)
 
 
 @pytest.mark.parametrize("name", KEYS)
