@@ -1,0 +1,78 @@
+"""Scale-ramp measurement: headline queries timed at sf0.001/0.01/0.1.
+
+The fixtures span 100x in data volume; this script times a
+representative query per family at each tier and prints seconds plus
+the time ratio against the 100x data ratio. A ratio far below the data
+ratio means the plan is overhead-bound (scheduling, session fixed
+costs) at these sizes — i.e. the distributed plan has headroom, which
+is the property that matters for the 100 TB target. A ratio AT or
+ABOVE the data ratio at these tiny sizes would flag a super-linear
+plan (the thing the plan gates exist to prevent).
+
+Usage: python scripts/scale_ramp.py   (~3-4 min, one Spark session)
+Prints one JSON line per query and a markdown table for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from sparkstreamingtohdfsofsensorsdata_spark.registry import load_all
+from sparkstreamingtohdfsofsensorsdata_spark.session import build_session
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+# one per family: flagship agg, narrow-shuffle LSH dedup, vector top-k,
+# windowed streaming replay, keyed equi join with range residual
+RAMP_KEYS = [
+    "q_agg_group",
+    "q_llm_minhash_lsh",
+    "q_llm_sim_topk",
+    "q_stream_tumbling",
+    "q_join_range",
+]
+
+
+def main() -> None:
+    spark = build_session(app_name="scale-ramp")
+    specs = load_all()
+    # warm the session once (JVM pipelines, parquet reader, UDF workers)
+    spark.read.parquet(f"{SFS[0]}/nation.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    rows = []
+    for key in RAMP_KEYS:
+        times = []
+        for sf_dir in SFS:
+            best = float("inf")
+            for _ in range(2):  # min of 2 to shed host-load stalls
+                start = time.perf_counter()
+                specs[key].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - start)
+                spark.catalog.clearCache()
+                for attr in ("_cc_labels_memo", "_simhash_pairs_memo"):
+                    getattr(spark, attr, {}).clear()
+            times.append(round(best, 3))
+        ratio = round(times[2] / times[0], 2) if times[0] > 0 else None
+        rows.append({"key": key, "sf0.001": times[0], "sf0.01": times[1],
+                     "sf0.1": times[2], "t_ratio_100x_data": ratio})
+        print(json.dumps(rows[-1]))
+    spark.stop()
+    print()
+    print("| key | sf0.001 s | sf0.01 s | sf0.1 s | time ratio over 100x data |")
+    print("| --- | --- | --- | --- | --- |")
+    for r in rows:
+        print(
+            f"| `{r['key']}` | {r['sf0.001']} | {r['sf0.01']} | "
+            f"{r['sf0.1']} | {r['t_ratio_100x_data']}x |"
+        )
+
+
+if __name__ == "__main__":
+    main()
