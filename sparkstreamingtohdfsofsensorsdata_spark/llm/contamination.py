@@ -30,12 +30,34 @@ from ..tables import load
 
 NGRAM = 8
 
+
+def ngram_md5_expr(n: int, toks: str = "toks") -> str:
+    """Spark-side distinct token-n-gram md5 shingle set over a token
+    array column, with the too-short guard (a sub-n-gram document
+    yields exactly one truncated shingle, never a fabricated one).
+    THE canonical template — q_llm_contamination (n=8) and
+    q_llm_boilerplate (n=6) both build from it, so a guard-semantics
+    fix lands in every consumer at once (review r6)."""
+    return (
+        "array_distinct(transform("
+        f"  sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
+        f"  i -> md5(array_join(slice({toks}, i, {n}), ' '))))"
+    )
+
+
+def ngram_md5_sql(n: int, toks: str = "t") -> str:
+    """DuckDB mirror of ngram_md5_expr, 1:1 semantics (range is
+    end-exclusive where sequence is inclusive; list slicing is
+    end-inclusive where slice takes a length)."""
+    return (
+        "list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> md5(array_to_string({toks}[i : i + {n - 1}], ' '))))"
+    )
+
+
 # One md5 per token 8-gram. Mirrored 1:1 in the DuckDB oracle.
-_SHINGLE_EXPR = (
-    "array_distinct(transform("
-    f"  sequence(1, greatest(size(toks) - {NGRAM - 1}, 1)),"
-    f"  i -> md5(array_join(slice(toks, i, {NGRAM}), ' '))))"
-)
+_SHINGLE_EXPR = ngram_md5_expr(NGRAM)
 
 
 @query(
@@ -47,10 +69,7 @@ _SHINGLE_EXPR = (
         ),
         sh AS (
             SELECT doc_id, source,
-                   unnest(list_distinct(list_transform(
-                       range(1, greatest(len(t) - {NGRAM - 1}, 1) + 1),
-                       i -> md5(array_to_string(t[i : i + {NGRAM - 1}], ' ')))))
-                                                              AS h
+                   unnest({ngram_md5_sql(NGRAM)}) AS h
             FROM toks
         ),
         bench AS (
@@ -144,7 +163,11 @@ DUP_ID_SHIFT = 1_000_000
                    count(*) AS group_sz,
                    count(DISTINCT split_by_id)      AS id_splits,
                    count(DISTINCT split_by_content) AS content_splits
-            FROM d GROUP BY h HAVING count(*) > 1
+            -- h IS NOT NULL: NULL-text docs never participate in content
+            -- dedup (family rule, same as q_llm_exact_dedup) — GROUP BY
+            -- treats NULLs as equal on both engines, so without the
+            -- guard two contentless docs read as one dup group
+            FROM d WHERE h IS NOT NULL GROUP BY h HAVING count(*) > 1
         )
         SELECT method, n_train, n_val, n_test, n_dup_groups, n_leaked_groups
         FROM (
@@ -179,10 +202,16 @@ def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sample_hash, so splits are reproducible on any cluster layout
     and the scan-side predicate pushes down.
 
-    Shape: one pass computes both assignments per row; the audit
-    aggregates duplicate content-hash groups (the exact-dedup shuffle)
-    and counts groups straddling split boundaries under each method —
-    on the duplicate-injected corpus, by_id leaks (> 0 groups),
+    Shape: ONE corpus scan, ONE shuffle. The per-row assignments feed a
+    single groupBy(h) that carries BOTH the per-group split tallies
+    (summed up to the global train/val/test counts — sums of per-group
+    counts equal the row counts) and the audit's distinct-split
+    counters; a second 1-row aggregation over the (tiny) per-hash table
+    derives all twelve output numbers, and the two output rows explode
+    from that single row. The previous form re-executed the corpus-wide
+    md5/split projection once for the audit and once per method branch
+    (review r6) — pure wasted scan I/O at 100 TB, identical output.
+    On the duplicate-injected corpus, by_id leaks (> 0 groups),
     by_content provably cannot (gated in tests, not just asserted
     here).
     """
@@ -200,43 +229,53 @@ def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(SPLIT_CASE.format(key="md5(text)")).alias("split_by_content"),
     )
-    leaks = (
-        d.groupBy("h")
-        .agg(
-            F.count("*").alias("group_sz"),
-            F.countDistinct("split_by_id").alias("id_splits"),
-            F.countDistinct("split_by_content").alias("content_splits"),
-        )
-        .filter(F.col("group_sz") > 1)
-        .agg(
-            F.count("*").alias("n_dup_groups"),
-            F.coalesce(
-                F.sum((F.col("id_splits") > 1).cast("long")), F.lit(0)
-            ).alias("id_leaks"),
-            F.coalesce(
-                F.sum((F.col("content_splits") > 1).cast("long")), F.lit(0)
-            ).alias("content_leaks"),
-        )
+
+    def _tally(col: str, val: str, name: str):
+        return F.sum((F.col(col) == val).cast("long")).alias(name)
+
+    per_h = d.groupBy("h").agg(
+        F.count("*").alias("group_sz"),
+        _tally("split_by_id", "train", "id_train"),
+        _tally("split_by_id", "val", "id_val"),
+        _tally("split_by_id", "test", "id_test"),
+        _tally("split_by_content", "train", "ct_train"),
+        _tally("split_by_content", "val", "ct_val"),
+        _tally("split_by_content", "test", "ct_test"),
+        F.countDistinct("split_by_id").alias("id_splits"),
+        F.countDistinct("split_by_content").alias("content_splits"),
+    )
+    # h IS NOT NULL on the audit terms only: NULL-text docs never
+    # participate in content dedup (family rule, q_llm_exact_dedup),
+    # but their rows still count in the split totals.
+    is_dup = F.col("h").isNotNull() & (F.col("group_sz") > 1)
+    combined = per_h.agg(
+        F.sum("id_train").alias("id_train"),
+        F.sum("id_val").alias("id_val"),
+        F.sum("id_test").alias("id_test"),
+        F.sum("ct_train").alias("ct_train"),
+        F.sum("ct_val").alias("ct_val"),
+        F.sum("ct_test").alias("ct_test"),
+        F.sum(is_dup.cast("long")).alias("n_dup_groups"),
+        F.sum((is_dup & (F.col("id_splits") > 1)).cast("long")).alias(
+            "id_leaks"
+        ),
+        F.sum((is_dup & (F.col("content_splits") > 1)).cast("long")).alias(
+            "content_leaks"
+        ),
     )
 
-    def counts(col: str, method: str, leak_col: str):
-        return (
-            d.agg(
-                F.sum((F.col(col) == "train").cast("long")).alias("n_train"),
-                F.sum((F.col(col) == "val").cast("long")).alias("n_val"),
-                F.sum((F.col(col) == "test").cast("long")).alias("n_test"),
-            )
-            .crossJoin(F.broadcast(leaks))
-            .select(
-                F.lit(method).alias("method"),
-                "n_train",
-                "n_val",
-                "n_test",
-                "n_dup_groups",
-                F.col(leak_col).alias("n_leaked_groups"),
-            )
+    def row(method: str, prefix: str, leak_col: str):
+        return F.struct(
+            F.lit(method).alias("method"),
+            F.col(f"{prefix}_train").alias("n_train"),
+            F.col(f"{prefix}_val").alias("n_val"),
+            F.col(f"{prefix}_test").alias("n_test"),
+            F.col("n_dup_groups"),
+            F.col(leak_col).alias("n_leaked_groups"),
         )
 
-    return counts("split_by_id", "by_id", "id_leaks").unionAll(
-        counts("split_by_content", "by_content", "content_leaks")
-    )
+    return combined.select(
+        F.explode(
+            F.array(row("by_id", "id", "id_leaks"), row("by_content", "ct", "content_leaks"))
+        ).alias("r")
+    ).select("r.*")

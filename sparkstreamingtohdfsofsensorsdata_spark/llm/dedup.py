@@ -74,9 +74,13 @@ MIN_EXPR = (
     oracle="""
         SELECT source,
                count(*)                                        AS n_docs,
-               count(DISTINCT md5(lower(trim(text))))          AS n_unique,
+               count(DISTINCT md5(lower(trim(text))))
+                 + CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)                             AS n_unique,
                CAST(count(*) AS BIGINT)
-                 - count(DISTINCT md5(lower(trim(text))))      AS n_dup_rows,
+                 - count(DISTINCT md5(lower(trim(text))))
+                 - CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)                             AS n_dup_rows,
                min(doc_id)                                     AS first_doc
         FROM documents
         GROUP BY source
@@ -85,15 +89,23 @@ MIN_EXPR = (
     tags=("llm", "dedup"),
 )
 def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-text rule (family-wide, same as q_llm_split_leakage): a
+    document with no content cannot be a duplicate of anything, so each
+    NULL-text row counts as its own unique doc. countDistinct skips
+    NULL hashes, so without the explicit NULL term every NULL-text row
+    inflated n_dup_rows even when nothing was duplicated (review r6)."""
     docs = load(spark, sf_dir, "documents")
     h = F.md5(F.lower(F.trim(F.col("text"))))
+    n_null = F.sum(F.col("h").isNull().cast("long"))
     return (
         docs.select("source", "doc_id", h.alias("h"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("h").alias("n_unique"),
-            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dup_rows"),
+            (F.countDistinct("h") + n_null).alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("h") - n_null).alias(
+                "n_dup_rows"
+            ),
             F.min("doc_id").alias("first_doc"),
         )
     )
@@ -546,11 +558,16 @@ def _block_pair_topk(key, pdf, k: int):
         # bookkeeping.)
         scores[ids_a[:, None] >= ids_b[None, :]] = -np.inf
     # Group-local top-k WITHOUT materializing per-pair index arrays
-    # for all n^2 entries (the previous nonzero+full-lexsort did,
-    # and sorting n^2 candidates for k winners is the task's peak
-    # memory): threshold-select every entry that can still reach
-    # the top k (>= the kth-largest dot, so boundary ties all
-    # survive to the deterministic sort), then order just those.
+    # for all n^2 entries: threshold-select every entry that can still
+    # reach the top k (>= the kth-largest dot, so boundary ties all
+    # survive to the deterministic sort). On a duplicate-heavy block —
+    # the NORMAL case for a dedup corpus — every dot can EQUAL the
+    # threshold, so the tie set itself is O(n^2); the candidate scan
+    # therefore walks the flat score array in bounded chunks and
+    # compacts to the running top-k as it goes (review r6). Peak extra
+    # memory is O(chunk + k) triples regardless of how many entries
+    # tie, on top of the GEMM's own score matrix (whose size is what
+    # NEARDUP_BLOCKS is chosen to bound).
     flat = scores.ravel()
     # NaN dots (a NaN embedding) rank as "no similarity", not as
     # threshold poison: np.partition would otherwise land the kth
@@ -559,20 +576,49 @@ def _block_pair_topk(key, pdf, k: int):
     flat = np.where(np.isnan(flat), -np.inf, flat)
     kth = min(k, flat.size)
     thresh = np.partition(flat, flat.size - kth)[flat.size - kth]
-    cand = np.flatnonzero(flat >= thresh)
-    cand = cand[np.isfinite(flat[cand])]  # masked/NaN -inf when thresh=-inf
-    ii, jj = np.unravel_index(cand, scores.shape)
-    if ba == bb:
-        lo, hi = ids_a[ii], ids_b[jj]
-    else:
-        # Distinct blocks: each unordered pair appears exactly once;
-        # orient it by id regardless of which block hashed lower.
-        lo = np.minimum(ids_a[ii], ids_b[jj])
-        hi = np.maximum(ids_a[ii], ids_b[jj])
-    dots = flat[cand]
-    order = np.lexsort((hi, lo, -dots))[:k]
+    chunk = 1 << 20
+    acc_lo: list = []
+    acc_hi: list = []
+    acc_dot: list = []
+
+    def _compact() -> None:
+        # merge accumulated candidates down to the current top-k under
+        # the deterministic (dot desc, id_a, id_b) order
+        lo_c = np.concatenate(acc_lo)
+        hi_c = np.concatenate(acc_hi)
+        dot_c = np.concatenate(acc_dot)
+        order = np.lexsort((hi_c, lo_c, -dot_c))[:k]
+        acc_lo[:] = [lo_c[order]]
+        acc_hi[:] = [hi_c[order]]
+        acc_dot[:] = [dot_c[order]]
+
+    for start in range(0, flat.size, chunk):
+        seg = flat[start : start + chunk]
+        idx = np.flatnonzero(seg >= thresh) + start
+        idx = idx[np.isfinite(flat[idx])]  # masked/NaN -inf when thresh=-inf
+        if not idx.size:
+            continue
+        ii, jj = np.unravel_index(idx, scores.shape)
+        if ba == bb:
+            lo_s, hi_s = ids_a[ii], ids_b[jj]
+        else:
+            # Distinct blocks: each unordered pair appears exactly
+            # once; orient it by id regardless of which block hashed
+            # lower.
+            lo_s = np.minimum(ids_a[ii], ids_b[jj])
+            hi_s = np.maximum(ids_a[ii], ids_b[jj])
+        acc_lo.append(lo_s)
+        acc_hi.append(hi_s)
+        acc_dot.append(flat[idx])
+        if sum(a.size for a in acc_lo) > max(4 * k, 1024):
+            _compact()
+    if not acc_lo:
+        return pd.DataFrame({"id_a": [], "id_b": [], "dot": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "dot": "float64"}
+        )
+    _compact()
     return pd.DataFrame(
-        {"id_a": lo[order], "id_b": hi[order], "dot": dots[order]}
+        {"id_a": acc_lo[0], "id_b": acc_hi[0], "dot": acc_dot[0]}
     )
 
 

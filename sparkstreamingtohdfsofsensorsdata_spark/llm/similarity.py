@@ -36,17 +36,37 @@ LSH_TABLES = 12
 LSH_SEED = 42
 
 
+# DuckDB-side mirror of the _as_double boundary, for every oracle in
+# the family: NULL/empty vectors AND vectors with NaN/NULL elements are
+# outside it (see _as_double).
+VEC_BOUNDARY_SQL = (
+    "len(embedding) > 0 AND len(list_filter(embedding, "
+    "x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0"
+)
+
+
 def _as_double(df: DataFrame) -> DataFrame:
     """Widen to float64 AND drop degenerate rows: a NULL or empty
     embedding would crash every numpy path downstream (np.vstack over a
-    batch with None raises) and is meaningless to score. Every
-    similarity query enters through here, so "vectors are non-null and
-    non-empty" is the family's input boundary; dim-UNIFORMITY across
-    rows remains the caller's contract (embedding tables are fixed-dim
-    by construction — a ragged table is corrupt input, not an edge
+    batch with None raises) and is meaningless to score. Vectors with
+    NaN or NULL ELEMENTS are excluded too, symmetrically with every
+    oracle (VEC_BOUNDARY_SQL): NaN poisons dot products into NaN, which
+    DuckDB sorts ABOVE all values while numpy kernels rank it -inf and
+    ANSI casts of NaN->int raise or wrap — each a guaranteed one-sided
+    divergence (review r6; same class ADVICE r4 fixed for
+    q_llm_embed_neardup). Every similarity query enters through here,
+    so "vectors are non-null, non-empty, finite-or-±inf-free of NULL
+    holes" is the family's input boundary; dim-UNIFORMITY across rows
+    remains the caller's contract (embedding tables are fixed-dim by
+    construction — a ragged table is corrupt input, not an edge
     case)."""
-    return df.filter(F.size("embedding") > 0).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    return (
+        df.filter(F.size("embedding") > 0)
+        .filter(~F.exists("embedding", lambda x: x.isNull() | F.isnan(x)))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
     )
 
 
@@ -109,11 +129,11 @@ def _recall_at_k(exact: DataFrame, approx: DataFrame, name: str) -> DataFrame:
     "q_llm_sim_topk",
     oracle=f"""
         WITH v AS (
-            -- len > 0 mirrors _as_double's input boundary: NULL/empty
-            -- vectors are not scored
+            -- mirrors _as_double's input boundary (VEC_BOUNDARY_SQL):
+            -- NULL/empty vectors and NaN/NULL elements are not scored
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
-            WHERE len(embedding) > 0
+            WHERE {VEC_BOUNDARY_SQL}
         ),
         q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % {QUERY_STRIDE} = 0)
         SELECT qid, vec_id AS neighbor, rk,
@@ -388,16 +408,18 @@ def q_llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_embed_quantize",
-    oracle="""
+    oracle=f"""
         WITH v AS (
-            -- len > 0: degenerate (NULL/empty) vectors are outside the
-            -- similarity family's input boundary (see _as_double); the
-            -- nullif leaves a ZERO vector as a NULL-scale row instead
-            -- of a divide-by-zero (which raises on Spark under ANSI).
+            -- the similarity family's input boundary (VEC_BOUNDARY_SQL
+            -- / _as_double): NULL/empty vectors and NaN/NULL elements
+            -- are out — NaN*scale floors to a value ANSI-casts wrap
+            -- while DuckDB raises (review r6). The nullif leaves a
+            -- ZERO vector as a NULL-scale row instead of a
+            -- divide-by-zero (which raises on Spark under ANSI).
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
-            WHERE len(embedding) > 0
+            WHERE {VEC_BOUNDARY_SQL}
         ),
         scaled AS (
             SELECT vec_id, e,
@@ -433,8 +455,10 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = (
         load(spark, sf_dir, "embeddings")
-        # same boundary as _as_double: NULL/empty vectors are out
+        # same boundary as _as_double: NULL/empty vectors and NaN/NULL
+        # elements are out (symmetric with the oracle — review r6)
         .filter(F.size("embedding") > 0)
+        .filter(~F.exists("embedding", lambda x: x.isNull() | F.isnan(x)))
         .select(
             "vec_id",
             F.expr("transform(embedding, x -> cast(x AS double))").alias("e"),
@@ -472,12 +496,13 @@ QUANT_CAND = 30  # stage-1 candidate pool per query (3x final k)
     "q_llm_sim_topk_quant",
     oracle=f"""
         WITH v AS (
-            -- boundary: degenerate (NULL/empty) vectors per _as_double,
-            -- and the ZERO vector besides — it has no quantization
-            -- scale (127/0) and a cosine of 0 against everything.
+            -- boundary: degenerate (NULL/empty/NaN/NULL-element)
+            -- vectors per _as_double (VEC_BOUNDARY_SQL), and the ZERO
+            -- vector besides — it has no quantization scale (127/0)
+            -- and a cosine of 0 against everything.
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
-            WHERE len(embedding) > 0
+            WHERE {VEC_BOUNDARY_SQL}
               AND list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
         ),
         z AS (

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
+from .contamination import ngram_md5_expr, ngram_md5_sql
 
 # Tiny deterministic language profiles: marker tokens a real n-gram
 # language identifier would learn from training text. On the synthetic
@@ -163,10 +164,22 @@ def _lang_score_sql(lang: str) -> str:
             FROM documents
         ),
         pred AS (
+            -- zero evidence (no marker hit, no CJK script) predicts
+            -- 'und', not whichever branch 0 == 0 matches first: the
+            -- CASE ordering put every empty/whitespace/emoji-only doc
+            -- in the zh cell as an artifact (review r6)
             SELECT labeled,
-                   CASE greatest(s_en, s_de, s_es, s_fr, s_zh)
-                        WHEN s_zh THEN 'zh' WHEN s_en THEN 'en'
-                        WHEN s_de THEN 'de' WHEN s_es THEN 'es' ELSE 'fr'
+                   CASE WHEN coalesce(greatest(s_en, s_de, s_es, s_fr, s_zh), 0) = 0
+                             THEN 'und'
+                        WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = s_zh
+                             THEN 'zh'
+                        WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = s_en
+                             THEN 'en'
+                        WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = s_de
+                             THEN 'de'
+                        WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = s_es
+                             THEN 'es'
+                        ELSE 'fr'
                    END AS predicted
             FROM scores
         )
@@ -199,9 +212,13 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("zh").alias("s_zh"),
     )
     best = F.greatest("s_en", "s_de", "s_es", "s_fr", "s_zh")
+    # zero evidence -> 'und' (review r6): without the guard the zh
+    # branch matched first on 0 == 0 and every empty/whitespace/
+    # emoji-only doc landed in the zh confusion cell as an artifact
     pred = scores.select(
         "labeled",
-        F.when(best == F.col("s_zh"), "zh")
+        F.when(best.isNull() | (best == 0), "und")
+        .when(best == F.col("s_zh"), "zh")
         .when(best == F.col("s_en"), "en")
         .when(best == F.col("s_de"), "de")
         .when(best == F.col("s_es"), "es")
@@ -664,11 +681,7 @@ BOILER_MIN_DF = 2  # fixture-calibrated; real corpora use a DF fraction (e.g. 0.
         ),
         sh AS (
             SELECT doc_id, source,
-                   unnest(list_distinct(list_transform(
-                       range(1, greatest(len(string_split(text, ' ')) - {BOILER_NGRAM - 1}, 1) + 1),
-                       i -> md5(array_to_string(
-                                string_split(text, ' ')[i : i + {BOILER_NGRAM - 1}],
-                                ' ')))))                  AS h
+                   unnest({ngram_md5_sql(BOILER_NGRAM, "string_split(text, ' ')")})                  AS h
             FROM src
         ),
         hot AS (
@@ -714,13 +727,9 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "source",
-        F.explode(
-            F.expr(
-                "array_distinct(transform("
-                f"  sequence(1, greatest(size(toks) - {BOILER_NGRAM - 1}, 1)),"
-                f"  i -> md5(array_join(slice(toks, i, {BOILER_NGRAM}), ' '))))"
-            )
-        ).alias("h"),
+        # shared template with q_llm_contamination (ngram_md5_expr):
+        # one definition of the too-short-guard shingle semantics
+        F.explode(F.expr(ngram_md5_expr(BOILER_NGRAM))).alias("h"),
     )
     hot = (
         # (doc_id, h) is unique by construction (array_distinct within

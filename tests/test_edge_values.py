@@ -143,6 +143,14 @@ EMBEDDINGS = [
     (20, [0.0, 0.0, 0.0], 4),
     (25, [1.0, 0.0, 0.0], 5),
     (50, [0.0, 1.0, 0.0], 6),
+    # NaN / NULL ELEMENTS: outside the similarity family's boundary
+    # (VEC_BOUNDARY_SQL / _as_double) — must be excluded symmetrically
+    # on both engines, never scored (NaN dots rank first in DuckDB,
+    # -inf in the kernels; NaN*scale ANSI-floors wrap where DuckDB
+    # raises — review r6). ids avoid % 5 == 0 (q_fn_array's slice) and
+    # % 50 == 0 (the query set) so they sit on the corpus side.
+    (31, [float("nan"), 1.0, 0.0], 7),
+    (36, [1.0, None, 2.0], 8),
 ]
 
 SCHEMAS = {

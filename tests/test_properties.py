@@ -548,3 +548,29 @@ def test_block_pair_topk_nan_embedding_does_not_poison():
     assert len(got) == 20
     assert not got["dot"].isna().any()
     assert 1 not in set(got["id_a"]) | set(got["id_b"])
+
+
+def test_block_pair_topk_all_tied_block_is_bounded_and_correct():
+    # The dedup-corpus worst case: every vector identical, so every
+    # pairwise dot EQUALS the kth threshold and the tie set is O(n^2).
+    # The chunked candidate scan must still return exactly the k
+    # smallest-(id_a, id_b) pairs — and do it without materializing the
+    # full tie set (review r6; bounded-compaction contract).
+    import numpy as np
+    import pandas as pd
+
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import _block_pair_topk
+
+    n, k = 400, 5  # ~80k tied pairs on the diagonal block
+    ids = list(range(1, n + 1))
+    vecs = [np.array([1.0, 0.0, 0.0]) for _ in ids]
+    pdf = pd.DataFrame(
+        {
+            "operand": [0] * n + [1] * n,
+            "vec_id": ids + ids,
+            "embedding": vecs + vecs,
+        }
+    )
+    got = _block_pair_topk((3, 3), pdf, k)
+    want = [(1, b, 1.0) for b in range(2, 2 + k)]
+    assert list(zip(got["id_a"], got["id_b"], got["dot"])) == want
