@@ -152,6 +152,10 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# THE Spark-side typed-parse schema for events.props — single
+# definition shared with operators/scans.py (q_scan_csv_json), the
+# same way JSON_K_INT_SQL is the shared DuckDB half of the contract
+# (review r6): widening k or adding a field lands everywhere at once.
 PROPS_STRUCT = T.StructType([T.StructField("k", T.IntegerType())])
 
 

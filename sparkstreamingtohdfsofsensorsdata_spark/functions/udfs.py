@@ -76,7 +76,15 @@ def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_udf_row_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.udf(T.StringType())
     def tag(prio: str, total: float) -> str:
-        return f"{prio}#{int(total)}"
+        # NULL-propagate like the oracle's || (int(None) raised, and a
+        # NULL priority rendered as the string 'None' — review r6);
+        # floor, not int(): int() truncates toward zero, so -5.5 tagged
+        # '#-5' where the oracle floors to -6.
+        import math
+
+        if prio is None or total is None:
+            return None
+        return f"{prio}#{math.floor(total)}"
 
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
     return orders.select(
@@ -99,7 +107,13 @@ def q_udf_row_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("double")
     def wavg(price: pd.Series, disc: pd.Series) -> float:
-        return float((price * disc).sum() / price.sum())
+        # zero denominator -> NULL like the oracle's sum/sum (DuckDB
+        # double x/0 is NULL); pandas 0.0/0.0 is NaN, which Arrow
+        # ships as a NaN value, not a NULL (review r6)
+        den = price.sum()
+        if den == 0 or pd.isna(den):
+            return None
+        return float((price * disc).sum() / den)
 
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -139,8 +153,13 @@ def q_udf_iter_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, u.pos AS pos, u.term AS term
         FROM (
             SELECT doc_id,
+                   -- coalesce around len, INSIDE the least: a NULL
+                   -- document emits ZERO rows (matching the UDTF's
+                   -- None guard). DuckDB's least() IGNORES a NULL
+                   -- argument — least(len(NULL), 5) is 5, which
+                   -- fabricated five NULL-term rows (review r6).
                    unnest(list_transform(
-                       range(1, least(len(toks), 5) + 1),
+                       range(1, least(coalesce(len(toks), 0), 5) + 1),
                        i -> struct_pack(pos := i - 1, term := toks[i]))) AS u
             FROM (
                 SELECT doc_id, string_split(text, ' ') AS toks
@@ -158,6 +177,10 @@ def q_udf_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, term string")
     class LeadingTokens:
         def eval(self, text: str):
+            # NULL document -> zero rows, matching the oracle's
+            # string_split(NULL) unnest (None.split raised — review r6)
+            if text is None:
+                return
             for pos, term in enumerate(text.split(" ")[:5]):
                 yield pos, term
 
@@ -191,14 +214,27 @@ ZSCORE_SCHEMA = T.StructType(
 )
 def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         mean = pdf["o_totalprice"].mean()
         std = pdf["o_totalprice"].std(ddof=1)
         out = pdf[pdf["o_orderkey"] % 20 == 0]
+        # Degenerate groups yield NULL like the oracle: a single-row
+        # group's stddev_samp is NULL in SQL but NaN in pandas, and a
+        # zero-variance group divides by zero (NULL in DuckDB, inf/NaN
+        # here) — Arrow ships NaN/inf as VALUES, not NULLs, so the
+        # divergence must be folded to real nulls (review r6). The
+        # nullable Float64 astype maps NaN (incl. a NULL price's
+        # element-wise NaN) to <NA>.
+        if not np.isfinite(std) or std == 0:
+            z = pd.array([None] * len(out), dtype="Float64")
+        else:
+            z = ((out["o_totalprice"] - mean) / std).round(6).astype("Float64")
         return pd.DataFrame(
             {
                 "o_orderkey": out["o_orderkey"],
                 "o_orderpriority": out["o_orderpriority"],
-                "zscore": ((out["o_totalprice"] - mean) / std).round(6),
+                "zscore": z,
             }
         )
 

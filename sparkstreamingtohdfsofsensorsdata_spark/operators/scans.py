@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.collections import JSON_K_INT_SQL
+from ..functions.collections import JSON_K_INT_SQL, PROPS_STRUCT
 from ..registry import query
 from ..tables import load
 
@@ -32,7 +32,9 @@ def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem")
 
 
-PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
+# typed-parse schema for events.props: the single shared definition
+# lives in functions/collections.py next to its DuckDB half
+PROPS_SCHEMA = PROPS_STRUCT
 
 
 @query(
@@ -651,12 +653,21 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
             F.lit(lim),
         ).alias("ua8"),
+        # try_divide + coalesce(0): an all-equal value column has a
+        # zero range, which raised DIVIDE_BY_ZERO under ANSI instead of
+        # degrading to a single bin (review r6; same degenerate class
+        # q_agg_histogram guards with v1 > v0 — the user_id dimension
+        # dodges it structurally via the +1).
         F.least(
-            F.floor(
-                (F.col("value") - F.col("v0"))
-                / (F.col("v1") - F.col("v0"))
-                * (1 << ZORDER_BITS)
-            ).cast("int"),
+            F.coalesce(
+                F.floor(
+                    F.expr(
+                        "try_divide(value - v0, v1 - v0)"
+                    )
+                    * (1 << ZORDER_BITS)
+                ).cast("int"),
+                F.lit(0),
+            ),
             F.lit(lim),
         ).alias("vb8"),
     )

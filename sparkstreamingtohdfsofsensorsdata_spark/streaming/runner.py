@@ -95,38 +95,46 @@ def run_to_memory(
     # later batch query in a long-lived session.
     q = None
     try:
-        q = (
-            result.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q.awaitTermination(timeout_s)
-        if not finished:
-            # A silently-partial memory table would surface later as a
-            # baffling parity mismatch — fail loudly at the source.
-            raise TimeoutError(
-                f"streaming query {name!r} still running after {timeout_s}s; "
-                "refusing to return a partial memory table"
+        try:
+            q = (
+                result.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-    finally:
-        if q is not None and q.isActive:
-            q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-        result.sparkSession.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    spark = result.sparkSession
-    sink = spark.table(name)
-    try:
+            finished = q.awaitTermination(timeout_s)
+            if not finished:
+                # A silently-partial memory table would surface later
+                # as a baffling parity mismatch — fail loudly at the
+                # source.
+                raise TimeoutError(
+                    f"streaming query {name!r} still running after "
+                    f"{timeout_s}s; refusing to return a partial memory "
+                    "table"
+                )
+        finally:
+            if q is not None and q.isActive:
+                q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+            result.sparkSession.conf.set(
+                "spark.sql.shuffle.partitions", prev_parts
+            )
+        spark = result.sparkSession
+        sink = spark.table(name)
         # Eager localCheckpoint decouples the result from the sink's
         # catalog entry JVM-side (no driver<->Python roundtrip), and
         # unlike the pinned temp view its blocks are released by the
         # ContextCleaner once the caller drops the returned DataFrame.
-        out = sink.localCheckpoint(eager=True)
+        return sink.localCheckpoint(eager=True)
     finally:
-        spark.catalog.dropTempView(name)
-    return out
+        # The drop runs on EVERY exit — a timeout/start failure used to
+        # skip it and leave the partially-filled memory table pinned on
+        # the driver heap for the session's lifetime, the exact leak
+        # this function's docstring exists to prevent (review r6).
+        # dropTempView on a never-registered name is a harmless False.
+        result.sparkSession.catalog.dropTempView(name)
 
 
 def write_file_sink(

@@ -46,6 +46,17 @@ ORDERS = [
     (572, 3, "O", 500000.0, None, "2-HIGH"),
     (715, 3, "F", 460000.0, _TS(2099, 12, 31), "3-MEDIUM"),
     (-143, 4, "P", -5.0, _TS(1970, 1, 1), "4-NOT SPECIFIED"),
+    # UDF-filter residues (review r6): the hostile classes existed
+    # above but every row dodged the % 100 (q_udf_row_scalar) and % 20
+    # (q_udf_grouped_map) slices, leaving the NULL/negative/degenerate
+    # divergences latent. 700: NULL price AND NULL priority through
+    # both slices (tag must be NULL, not 'None#...'; zscore NULL).
+    # -500: negative price through both (floor(-5.5) = -6, never
+    # int()'s -5). 220: a single-row priority group (stddev_samp NULL
+    # -> zscore NULL, where pandas std is NaN).
+    (700, 4, "O", None, _TS(2024, 3, 1), None),
+    (-500, 4, "P", -5.5, _TS(2024, 3, 2), "4-NOT SPECIFIED"),
+    (220, 1, "O", 123.45, _TS(2024, 3, 3), "9-SOLO"),
 ]
 
 # lineitem: l_orderkey % 17 == 0 (q_fn_math). Zero/negative quantity
@@ -64,6 +75,12 @@ LINEITEM = [
     (85, 3, 3, 2, 5.0, 30.0, 0.02, 0.0, "Z", "O", _TS(2024, 1, 6)),
     (102, 4, 4, 1, 3.0, 10.0, 0.03, 0.0, "Y", "F", _TS(2024, 1, 7)),
     (119, 4, 4, 2, 3.0, 20.0, 0.04, 0.0, "Y", "F", _TS(2024, 1, 8)),
+    # "W": prices summing to exactly 0 — q_udf_grouped_agg's weighted
+    # avg has a zero denominator, which must be NULL on both engines
+    # (pandas 0/0 is a NaN VALUE through Arrow — review r6). Keys stay
+    # off % 17 == 0 (q_fn_math's slice).
+    (3, 5, 5, 1, 1.0, 50.0, 0.1, 0.0, "W", "O", _TS(2024, 1, 9)),
+    (5, 5, 5, 2, 1.0, -50.0, 0.2, 0.0, "W", "O", _TS(2024, 1, 10)),
 ]
 
 # customer: c_name ~ \d\d$ AND c_custkey % 7 == 0 (q_fn_regexp). A
@@ -114,6 +131,10 @@ EVENTS = [
 DOCUMENTS = [
     (0, "a small document", "en", "web", 16),
     (1, "", "en", "wiki", 0),
+    # doc_id % 40 == 0 with NULL text: q_udf_udtf must emit zero rows
+    # for it like the oracle's string_split(NULL) unnest, never crash
+    # on None.split (review r6).
+    (40, None, "en", "web", 0),
 ]
 
 # dims: an empty region name, unicode nation, orphan foreign keys (a
@@ -379,5 +400,26 @@ def test_histogram_on_constant_values(spark, const_sf_dir):
             spark, const_sf_dir
         ).collect()
         assert [(r["bin"], r["n"]) for r in rows] == [(0, 20)]
+    finally:
+        con.close()
+
+
+def test_zorder_on_constant_values(spark, const_sf_dir):
+    # Same degenerate class as the histogram: an all-equal value column
+    # collapses the z-order value dimension's range to zero, which
+    # raised DIVIDE_BY_ZERO under ANSI instead of degrading to one bin
+    # (review r6). The layout degrades; the read-back aggregates must
+    # still be exact.
+    import duckdb as _duckdb
+
+    from sparkstreamingtohdfsofsensorsdata_spark import registry
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{const_sf_dir}/events.parquet/*.parquet')"
+    )
+    try:
+        run_parity(spark, con, "q_sink_zorder", const_sf_dir)
     finally:
         con.close()
