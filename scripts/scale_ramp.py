@@ -16,10 +16,11 @@ Prints one JSON line per query and a markdown table for SCALE.md.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from sparkstreamingtohdfsofsensorsdata_spark.registry import load_all
 from sparkstreamingtohdfsofsensorsdata_spark.session import build_session
@@ -56,8 +57,12 @@ def main() -> None:
                 ).save()
                 best = min(best, time.perf_counter() - start)
                 spark.catalog.clearCache()
-                for attr in ("_cc_labels_memo", "_simhash_pairs_memo"):
-                    getattr(spark, attr, {}).clear()
+                # dedup owns its memo surface — private attr names here
+                # would silently stop clearing on a rename (review r6)
+                from sparkstreamingtohdfsofsensorsdata_spark.llm import dedup
+
+                dedup.clear_pair_memo(spark)
+                dedup.clear_label_memo(spark)
             times.append(round(best, 3))
         ratio = round(times[2] / times[0], 2) if times[0] > 0 else None
         rows.append({"key": key, "sf0.001": times[0], "sf0.01": times[1],

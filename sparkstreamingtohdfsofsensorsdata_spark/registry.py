@@ -70,7 +70,12 @@ def query(
             description=description or doc_first,
             tags=tuple(tags),
         )
-        return fn
+        # Return the WRAPPED callable, so the module-level name carries
+        # the same UTC-pin + package-ship guarantees as the registry
+        # entry: a consumer importing golden.q_tpch_q3 directly on a
+        # non-UTC session used to bypass both and silently diverge from
+        # the oracle (review r6).
+        return wrapped
 
     return decorate
 

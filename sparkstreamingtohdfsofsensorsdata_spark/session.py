@@ -66,6 +66,24 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     app = f"{sc.applicationId}-{sc.startTime}"
     if app in _SHIPPED_APPS:
         return
+    sc.addPyFile(_package_zip())
+    # _SHIPPED_APPS holds one short string per SparkContext ever seen in
+    # this process — bounded by session restarts, never data volume.
+    _SHIPPED_APPS.add(app)
+
+
+_PKG_ZIP: str | None = None
+
+
+def _package_zip() -> str:
+    """Build the package zip ONCE per process and reuse it for every
+    SparkContext: the package source cannot change under a running
+    process, so the per-context rebuild (a fresh mkdtemp + full os.walk
+    each time) was pure rework that also leaked one orphan pkgship_*
+    dir per session restart (review r6)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is not None and os.path.exists(_PKG_ZIP):
+        return _PKG_ZIP
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
@@ -79,8 +97,8 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
                 if fname.endswith(".py"):
                     full = os.path.join(dirpath, fname)
                     z.write(full, os.path.relpath(full, root))
-    sc.addPyFile(zpath)
-    _SHIPPED_APPS.add(app)
+    _PKG_ZIP = zpath
+    return zpath
 
 
 def build_session(
@@ -95,6 +113,17 @@ def build_session(
     set here once so every entry point (batch, SQL, streaming, bench)
     runs under the same execution profile.
     """
+    # getOrCreate returns any live session UNCHANGED — per-call knobs
+    # (shuffle_partitions, extra_conf, master) never applied to it, and
+    # building the config still evaluated scratch_dir(), leaking one
+    # orphan spark_local_* tmpfs dir per call in long-lived processes
+    # (review r6). Short-circuit explicitly: same semantics, no side
+    # effects. Callers needing different knobs use a fresh process (as
+    # the sweep/bench/ramp scripts do) or set runtime confs themselves.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
     cores = default_parallelism()
     if master is None:
         master = f"local[{cores}]"

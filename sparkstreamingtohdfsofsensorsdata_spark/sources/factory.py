@@ -40,12 +40,26 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-# The pristine fixture file: ts is TIMESTAMP(NANOS); Spark 4.1+ reads
-# it as TIMESTAMP_NTZ truncated to us (the only supported mapping — the
-# legacy raw-ns-long conf is ignored by this runtime).
-EVENTS_RAW_SCHEMA = _events_schema(T.TimestampNTZType())
 # Files we re-write ourselves (replay chunks): ts is a normal us timestamp.
 EVENTS_TS_SCHEMA = _events_schema(T.TimestampType())
+
+
+def _events_raw_schema(spark: SparkSession) -> T.StructType:
+    """Declared stream schema for the PRISTINE fixture file (ts is
+    TIMESTAMP(NANOS)), branched on the runtime exactly like the batch
+    loader (tables.load): Spark >= 4.1 reads NANOS natively as
+    TIMESTAMP_NTZ (us-truncated); older readers need the legacy
+    nanosAsLong conf and deliver raw int64 ns. A hardcoded NTZ schema
+    silently dropped the pre-4.1 support the batch side carries — one
+    runtime downgrade away from every q_stream_* key failing at stream
+    start while batch kept working (review r6). _normalize_ts lands
+    both shapes on TimestampType."""
+    from ..tables import _spark_version_tuple
+
+    if _spark_version_tuple(spark) < (4, 1):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return _events_schema(T.LongType())
+    return _events_schema(T.TimestampNTZType())
 
 
 def _finish_events(df: DataFrame) -> DataFrame:
@@ -72,7 +86,9 @@ def stream_source(
     ``raw_ns=True`` reads the pristine fixture file (TIMESTAMP(NANOS)
     -> NTZ us -> normalized to TimestampType); the default expects
     files this engine wrote itself (normal us timestamps)."""
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA if raw_ns else EVENTS_TS_SCHEMA)
+    reader = spark.readStream.schema(
+        _events_raw_schema(spark) if raw_ns else EVENTS_TS_SCHEMA
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(path)
@@ -97,11 +113,27 @@ def make_replay_dir(
     Reuse is gated on a ``_COMPLETE`` marker written after the LAST
     chunk, not on "any chunk exists": a generation that died midway
     would otherwise leave a partial directory that every later caller
-    silently replays as the whole table. A partial dir is rebuilt from
-    scratch."""
+    silently replays as the whole table. The marker also records WHAT
+    was built — the chunk count and the source file's identity — and a
+    caller requesting a different n_chunks or a rewritten fixture
+    rebuilds instead of silently replaying the stale layout (review
+    r6: a 4-chunk dir served a caller expecting 8 micro-batches).
+    A partial or mismatched dir is rebuilt from scratch."""
+    src = table_path(sf_dir, "events")
+    try:
+        st = os.stat(src)
+        src_id = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        src_id = src
+    stamp = f"{n_chunks}|{src_id}\n"
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
-        return out_dir
+        try:
+            with open(marker) as fh:
+                if fh.read() == stamp:
+                    return out_dir
+        except OSError:
+            pass
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -134,7 +166,7 @@ def make_replay_dir(
         os.replace(part, os.path.join(out_dir, f"chunk_{i:03d}.parquet"))
         shutil.rmtree(tmp)
     with open(marker, "w") as fh:
-        fh.write(f"{n_chunks}\n")
+        fh.write(stamp)
     return out_dir
 
 
