@@ -216,11 +216,20 @@ def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     here).
     """
     docs = load(spark, sf_dir, "documents")
-    corpus = docs.select("doc_id", "text").unionAll(
-        docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + DUP_ID_SHIFT).alias("doc_id"), "text"
-        )
+    # Duplicate injection via a row-local explode, not a self-union: the
+    # union form read the documents file TWICE (base + slice); this is
+    # one scan with a 1-or-2-element array fan-out per row.
+    base = F.struct(F.col("doc_id"), F.col("text"))
+    shifted = F.struct(
+        (F.col("doc_id") + DUP_ID_SHIFT).alias("doc_id"), F.col("text")
     )
+    corpus = docs.select(
+        F.explode(
+            F.when(F.col("doc_id") % 10 == 0, F.array(base, shifted)).otherwise(
+                F.array(base)
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
     d = corpus.select(
         "doc_id",
         F.md5("text").alias("h"),
@@ -241,8 +250,13 @@ def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tally("split_by_content", "train", "ct_train"),
         _tally("split_by_content", "val", "ct_val"),
         _tally("split_by_content", "test", "ct_test"),
-        F.countDistinct("split_by_id").alias("id_splits"),
-        F.countDistinct("split_by_content").alias("content_splits"),
+        # size(collect_set) not countDistinct: two distinct aggregates
+        # in one groupBy trigger the Expand/double-shuffle rewrite
+        # (corpus-volume rows through TWO exchanges); a collect_set of
+        # a column with <= 3 values is a bounded map-side set and the
+        # whole per-hash table builds in the ONE groupBy(h) shuffle.
+        F.size(F.collect_set("split_by_id")).alias("id_splits"),
+        F.size(F.collect_set("split_by_content")).alias("content_splits"),
     )
     # h IS NOT NULL on the audit terms only: NULL-text docs never
     # participate in content dedup (family rule, q_llm_exact_dedup),

@@ -466,3 +466,15 @@ def test_minhash_candidate_shuffle_is_narrow(spark):
         assert "id_a" in line and "id_b" in line, (
             f"unexpected wide shuffle: {line}"
         )
+
+
+def test_split_leakage_single_scan_single_wide_shuffle(spark):
+    # The duplicate-injected corpus must come from ONE documents scan
+    # (explode fan-out, not a self-union that reads the file twice),
+    # and the only row-volume shuffle is the groupBy(h) — the global
+    # 1-row rollup after it is free.
+    text = inspect.plan_str(q(spark, "q_llm_split_leakage"))
+    scans = [l for l in text.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, f"expected one documents scan, saw {len(scans)}"
+    wide = [l for l in text.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(wide) == 1, f"expected one wide shuffle, saw {len(wide)}"
