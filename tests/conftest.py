@@ -21,15 +21,31 @@ def spark():
     spark.stop()
 
 
+def make_duck_views(sf_dir: str, tables=TABLES):
+    """DuckDB connection with the given tables registered as views —
+    THE one registration convention for every oracle fixture (the six
+    hand-rolled copies drifted on the dir-vs-file glob — review r6).
+    Handles both layouts: a bare parquet file (the driver fixtures) and
+    a Spark-written directory (test corpora), which DuckDB needs the
+    /*.parquet glob for."""
+    import os
+
+    con = duckdb.connect()
+    for name in tables:
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
 @pytest.fixture(scope="session")
 def duck():
     """DuckDB connection with fixture tables registered as views,
     mirroring the driver's oracle setup."""
-    con = duckdb.connect()
-    for name in TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(SF_DIR, name)}')"
-        )
+    con = make_duck_views(SF_DIR)
     yield con
     con.close()
 
@@ -60,13 +76,32 @@ def _normalize(value):
     return value
 
 
+def _coarse(value):
+    """Float cells quantized for SORTING only (4 dp): both engines'
+    tolerated flips (<= one last-rounded-digit step, <= 1e-5 absolute
+    near zero) land on the same coarse key, so a flip in a sort-leading
+    float column cannot reorder the two engines' canonical rows
+    differently and cross-pair unrelated rows in the positional
+    compare (review r6 — sorting by EXACT repr was internally
+    inconsistent with the tolerant cell compare). Comparison still uses
+    the exact values; only the sort key is coarsened."""
+    if isinstance(value, float):
+        return round(value, 4)
+    if isinstance(value, tuple):
+        return tuple(_coarse(v) for v in value)
+    return value
+
+
 def rows_key(columns, rows):
-    """Order-insensitive, column-name-sorted canonical form of a result."""
+    """Order-insensitive, column-name-sorted canonical form of a result.
+
+    Rows sort by the coarse key first (float-flip-stable), exact repr
+    as the deterministic tiebreak among coarse-equal rows."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for row in rows:
         out.append(tuple(_normalize(row[i]) for i in order))
-    out.sort(key=repr)
+    out.sort(key=lambda r: (repr(_coarse(r)), repr(r)))
     return sorted(columns), out
 
 
@@ -108,40 +143,51 @@ def _floats_boundary_equal(lval: float, rval: float) -> bool:
         return True
     # Step match up to subtraction noise: |a - b| for values near 43.18
     # deviates from an exact 1e-6 step by a few ulps of the VALUES, so
-    # the margin must scale with them, not with the step. A step is only
-    # plausible as "the last rounded digit" when it is small RELATIVE to
-    # the value — without the magnitude guard this branch accepted 0.0
-    # vs 1.0 and 0.5 vs 0.6 as equal (ADVICE r4), gutting parity exactly
-    # where recall fractions and correlations live. 10^-k must be
-    # <= 1e-4 * magnitude, i.e. the column keeps >= ~4 significant
-    # digits past the flipped digit; larger diffs are real divergences.
-    # Near zero the magnitude guard alone would reject the genuine
-    # last-rounded-digit flip of a k-dp-rounded column straddling a
-    # boundary (round(cosine, 6) giving 0.0 vs 1e-6 — ADVICE r5), so
-    # the acceptance threshold is floored at the finest rounding steps
-    # the engine emits (<= 1e-5): those are always plausible last-digit
-    # flips, while coarser steps (1e-4 .. 1) still require >= ~4
-    # significant digits of magnitude — 0.0 vs 1.0 and 0.5 vs 0.6 stay
-    # real divergences.
+    # the margin must scale with them, not with the step. A step is
+    # only plausible as "the last rounded digit" when it is TINY
+    # relative to the value: the observed flip classes are 6-dp rounds
+    # (percent_rank, window averages — step 1e-6 at 1..1e2 magnitude)
+    # and 2-dp sums at >= 1e6 magnitude, both <= 1e-7 of the value. The
+    # earlier 1e-4 bound accepted 1234.5 vs 1234.6 — TEN 2-dp rounding
+    # steps, a real divergence — because the comparator cannot know a
+    # column's rounding precision (review r6); 1e-7 keeps every
+    # documented class while rejecting multi-step drift at any
+    # magnitude. Near zero the relative guard alone would reject the
+    # genuine flip of a 5/6-dp column straddling a boundary
+    # (round(cosine, 6) giving 0.0 vs 1e-6 — ADVICE r5), so acceptance
+    # is floored at the finest steps the engine emits (<= 1e-5): those
+    # are always plausible last-digit flips, while coarser steps
+    # (1e-4 .. 1) require the full >= 7-significant-digit magnitude.
     scale = max(abs(lval), abs(rval))
     return any(
         abs(diff - 10.0**-k) <= 8 * ulp
-        and 10.0**-k <= max(scale * 1e-4, 1e-5)
+        and 10.0**-k <= max(scale * 1e-7, 1e-5)
         for k in range(7)
     )
 
 
+def _cell_close(lval, rval) -> bool:
+    if isinstance(lval, float) and isinstance(rval, float):
+        return _floats_boundary_equal(lval, rval)
+    if isinstance(lval, tuple) and isinstance(rval, tuple):
+        # collected arrays carry the same float classes element-wise —
+        # exact == here hard-failed the documented-tolerated scalar
+        # flips whenever they sat inside an ArrayType column (review r6)
+        return len(lval) == len(rval) and all(
+            _cell_close(a, b) for a, b in zip(lval, rval)
+        )
+    return lval == rval
+
+
 def assert_cells_close(left, right):
     """Cell equality with the driver's exactness, modulo the two
-    documented float boundary classes (_floats_boundary_equal)."""
+    documented float boundary classes (_floats_boundary_equal) —
+    applied recursively inside collected arrays."""
     assert len(left) == len(right)
     for lrow, rrow in zip(left, right):
         assert len(lrow) == len(rrow)
         for lval, rval in zip(lrow, rrow):
-            if isinstance(lval, float) and isinstance(rval, float):
-                assert _floats_boundary_equal(lval, rval), (lrow, rrow)
-            else:
-                assert lval == rval, (lrow, rrow)
+            assert _cell_close(lval, rval), (lrow, rrow)
 
 
 def run_parity(spark, duck, name: str, sf_dir: str = SF_DIR):

@@ -132,19 +132,24 @@ def test_cc_payer_attribution_is_rotation_independent(spark):
     sf_dir = "/root/testdata/sf0.001"
     dedup.clear_pair_memo(spark)
     dedup.clear_label_memo(spark)
-    assert bench._cc_pairs_cold(spark, sf_dir)
-    assert bench._cc_labels_cold(spark, sf_dir)
-    assert bench._cc_materialize_pairs(spark, sf_dir) > 0
-    assert not bench._cc_pairs_cold(spark, sf_dir)
-    assert bench._cc_labels_cold(spark, sf_dir)  # pairs alone leave labels cold
-    assert bench._cc_materialize_labels(spark, sf_dir) > 0
-    assert not bench._cc_labels_cold(spark, sf_dir)
-    # warmth is fingerprint-exact: another sf_dir is still cold even
-    # though the memo dict is non-empty (the stale-entry trap)
-    assert bench._cc_pairs_cold(spark, "/root/testdata/sf0.01")
-    assert bench.CC_PAYER_PAIRS == "q_llm_simhash_banded"
-    assert bench.CC_PAYER_LABELS == "q_llm_dedup_clusters"
-    assert set(bench.CC_LABEL_CONSUMERS) < set(bench.CC_FAMILY)
-    assert bench.CC_PAYER_PAIRS in bench.CC_FAMILY
-    dedup.clear_pair_memo(spark)
-    dedup.clear_label_memo(spark)
+    try:
+        assert bench._cc_pairs_cold(spark, sf_dir)
+        assert bench._cc_labels_cold(spark, sf_dir)
+        assert bench._cc_materialize_pairs(spark, sf_dir) > 0
+        assert not bench._cc_pairs_cold(spark, sf_dir)
+        # pairs alone leave labels cold
+        assert bench._cc_labels_cold(spark, sf_dir)
+        assert bench._cc_materialize_labels(spark, sf_dir) > 0
+        assert not bench._cc_labels_cold(spark, sf_dir)
+        # warmth is fingerprint-exact: another sf_dir is still cold even
+        # though the memo dict is non-empty (the stale-entry trap)
+        assert bench._cc_pairs_cold(spark, "/root/testdata/sf0.01")
+        assert bench.CC_PAYER_PAIRS == "q_llm_simhash_banded"
+        assert bench.CC_PAYER_LABELS == "q_llm_dedup_clusters"
+        assert set(bench.CC_LABEL_CONSUMERS) < set(bench.CC_FAMILY)
+        assert bench.CC_PAYER_PAIRS in bench.CC_FAMILY
+    finally:
+        # the session-scoped fixture outlives this test: a mid-test
+        # assertion failure must not leave warm handles for later tests
+        dedup.clear_pair_memo(spark)
+        dedup.clear_label_memo(spark)

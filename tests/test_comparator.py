@@ -56,6 +56,8 @@ def test_last_rounded_digit_step_passes_at_magnitude():
     # the percent_rank class: same decimal, HALF_UP vs binary round
     assert eq(43.181818, 43.181819)
     assert eq(0.333333, 0.333334)
+    # a 2-dp sum flip at large magnitude (cent tie): 1e-8 relative
+    assert eq(2.8e9, 2.8e9 + 0.01)
 
 
 def test_near_zero_rounded_step_passes():
@@ -85,10 +87,17 @@ def test_non_step_diffs_fail():
     assert not eq(1e6, 1e6 + 2.0)  # two units: beyond any digit flip
 
 
-def test_unit_step_at_magnitude_passes():
-    # an integer-rounded (k=0) metric straddling .5 at 1e6 magnitude is
-    # the same tolerated class: 1e-6 relative, >= 4 sig digits kept
-    assert eq(1e6, 1e6 + 1.0)
+def test_multi_step_drift_at_magnitude_fails():
+    # The r6 tightening (relative bound 1e-4 -> 1e-7): the comparator
+    # cannot know a column's rounding precision, so a 0.1 step against
+    # a 2-dp-rounded column is TEN rounding steps of real drift — it
+    # must fail even though it is a clean power-of-ten difference at
+    # 4-significant-digit magnitude.
+    assert not eq(1234.5, 1234.6)
+    assert not eq(123456.78, 123457.78)
+    # a unit step needs >= 1e7 magnitude to be a plausible tie flip now
+    assert not eq(1e6, 1e6 + 1.0)
+    assert eq(1e8, 1e8 + 1.0)
 
 
 # --- metamorphic properties (hypothesis) ------------------------------

@@ -17,10 +17,9 @@ from __future__ import annotations
 
 import datetime
 
-import duckdb
 import pytest
 
-from conftest import run_parity
+from conftest import make_duck_views, run_parity
 
 _TS = datetime.datetime
 
@@ -352,12 +351,7 @@ def edge_sf_dir(spark, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def edge_duck(edge_sf_dir):
-    con = duckdb.connect()
-    for table in SCHEMAS:
-        con.execute(
-            f"CREATE VIEW {table} AS SELECT * FROM "
-            f"read_parquet('{edge_sf_dir}/{table}.parquet/*.parquet')"
-        )
+    con = make_duck_views(edge_sf_dir, tables=list(SCHEMAS))
     yield con
     con.close()
 
@@ -385,15 +379,9 @@ def const_sf_dir(spark, tmp_path_factory):
 
 
 def test_histogram_on_constant_values(spark, const_sf_dir):
-    import duckdb as _duckdb
-
     from sparkstreamingtohdfsofsensorsdata_spark import registry
 
-    con = _duckdb.connect()
-    con.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{const_sf_dir}/events.parquet/*.parquet')"
-    )
+    con = make_duck_views(const_sf_dir, tables=["events"])
     try:
         run_parity(spark, con, "q_agg_histogram", const_sf_dir)
         rows = registry.load_all()["q_agg_histogram"].fn(
@@ -410,15 +398,7 @@ def test_zorder_on_constant_values(spark, const_sf_dir):
     # raised DIVIDE_BY_ZERO under ANSI instead of degrading to one bin
     # (review r6). The layout degrades; the read-back aggregates must
     # still be exact.
-    import duckdb as _duckdb
-
-    from sparkstreamingtohdfsofsensorsdata_spark import registry
-
-    con = _duckdb.connect()
-    con.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{const_sf_dir}/events.parquet/*.parquet')"
-    )
+    con = make_duck_views(const_sf_dir, tables=["events"])
     try:
         run_parity(spark, con, "q_sink_zorder", const_sf_dir)
     finally:

@@ -247,7 +247,10 @@ def test_sessionize_single_window_exchange(spark):
     # lag() and the running session-id sum share one window spec —
     # the plan must pay exactly one exchange on user_id for both.
     text = inspect.plan_str(q(spark, "q_ts_sessionize"))
-    assert text.count("hashpartitioning(user_id") <= 2  # window + rollup
+    # the plan pays exactly ONE user_id shuffle today; <= 2 would let a
+    # regression to divergent window specs (a second corpus-volume
+    # exchange — the defect this gate exists for) pass green (review r6)
+    assert text.count("hashpartitioning(user_id") == 1
 
 
 def test_zorder_layout_skips_both_dimensions(spark):

@@ -12,10 +12,9 @@ oracle the driver uses.
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 
-from conftest import run_parity
+from conftest import make_duck_views, run_parity
 from sparkstreamingtohdfsofsensorsdata_spark import registry
 
 # doc_ids chosen to pass every query's slice filter (doc_id < 60 for
@@ -84,11 +83,7 @@ def short_sf_dir(spark, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def short_duck(short_sf_dir):
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{short_sf_dir}/documents.parquet/*.parquet')"
-    )
+    con = make_duck_views(short_sf_dir, tables=["documents"])
     yield con
     con.close()
 
@@ -137,11 +132,7 @@ def modal_sf_dir(spark, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def modal_duck(modal_sf_dir):
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{modal_sf_dir}/documents.parquet/*.parquet')"
-    )
+    con = make_duck_views(modal_sf_dir, tables=["documents"])
     yield con
     con.close()
 

@@ -137,17 +137,29 @@ def _run_with_ckpt(spark, df, ckpt: str, name: str, output_mode: str = "complete
         _prepare_streaming_session,
     )
 
-    _prepare_streaming_session(df)
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(300), "streaming pass did not finish"
-    return spark.table(name)
+    prev_parts = _prepare_streaming_session(df)
+    q = None
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "streaming pass did not finish"
+        return spark.table(name)
+    finally:
+        # A timed-out/failed pass must not leak a live query: it keeps
+        # the durable checkpoint locked (the SECOND pass in the restart
+        # tests reuses it) and keeps mutating the memory sink for the
+        # session's lifetime — the exact trap test_canary documents
+        # (review r6). Restore the shuffle-partition override too, per
+        # _prepare_streaming_session's contract.
+        if q is not None and q.isActive:
+            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def test_windowed_agg_restart_recovery(spark, tmp_path):

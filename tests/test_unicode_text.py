@@ -38,10 +38,9 @@ from __future__ import annotations
 
 import unicodedata
 
-import duckdb
 import pytest
 
-from conftest import run_parity
+from conftest import make_duck_views, run_parity
 
 ZWSP = "\u200b"
 ZWJ = "\u200d"
@@ -122,11 +121,7 @@ def uni_sf_dir(spark, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def uni_duck(uni_sf_dir):
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{uni_sf_dir}/documents.parquet/*.parquet')"
-    )
+    con = make_duck_views(uni_sf_dir, tables=["documents"])
     yield con
     con.close()
 
