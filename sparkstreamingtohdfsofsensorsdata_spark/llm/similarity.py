@@ -34,6 +34,11 @@ QUERY_STRIDE = 50  # vec_id % stride == 0 -> query set
 LSH_PLANES = 5
 LSH_TABLES = 12
 LSH_SEED = 42
+# Mean-recall@k floor both ANN tiers assert IN their output (hash-gated
+# via the oracle, VERDICT r7 item 2) and that tests/test_similarity.py
+# re-asserts. Loose because the fixture embeddings are uniform random —
+# the hardest case for space-partitioning ANN.
+RECALL_FLOOR = 0.25
 
 
 # DuckDB-side mirror of the _as_double boundary, for every oracle in
@@ -202,10 +207,42 @@ def _buckets_udf():
     return buckets
 
 
+def _bound_asserted(recall: DataFrame) -> DataFrame:
+    """Map a (qid, recall_at_k) frame to the hash-gated contract shape
+    both ANN tiers share: one row per query, plus a corpus-wide
+    ``mean_recall_ok`` boolean asserting mean recall@k >= RECALL_FLOOR.
+
+    The seeded-numpy estimates themselves are not SQL-expressible, but
+    the CLAIM — "the query set is exactly the boundary-passing strided
+    vectors, and the measured mean recall clears the floor" — is: the
+    oracle derives the same qid set relationally and asserts the
+    boolean literally true, so a recall collapse now breaks the hash
+    compare instead of hiding behind a rows-only verdict. The floor is
+    on the MEAN, not per-query: on uniform-random fixtures individual
+    queries legitimately land at 0 recall.
+
+    The 1-row bound side rides a broadcast nested-loop join — the
+    repo's standard scalar-bound shape (q_agg_histogram), no shuffle.
+    """
+    bound = recall.agg(
+        (F.avg("recall_at_k") >= F.lit(RECALL_FLOOR)).alias("mean_recall_ok")
+    )
+    return recall.crossJoin(F.broadcast(bound)).select("qid", "mean_recall_ok")
+
+
+# Shared by both ANN oracles: the qid set is relational even though the
+# recall estimate is not.
+_ANN_ORACLE = f"""
+    SELECT vec_id AS qid, TRUE AS mean_recall_ok
+    FROM embeddings
+    WHERE {VEC_BOUNDARY_SQL} AND vec_id % {QUERY_STRIDE} = 0
+"""
+
+
 @query(
     "q_llm_sim_topk_lsh",
-    oracle=None,  # seeded-numpy hyperplanes are not SQL-expressible
-    description="ANN similarity: multi-table random-hyperplane LSH (pandas UDF), recall@k vs exact",
+    oracle=_ANN_ORACLE,
+    description="ANN similarity: multi-table random-hyperplane LSH (pandas UDF), mean recall@k floor-asserted vs exact",
     tags=("llm", "similarity", "lsh", "ann"),
 )
 def q_llm_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,6 +256,12 @@ def q_llm_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at all — candidates are found by an array_contains probe against
     each corpus row's own L bucket ids.
     """
+    return _bound_asserted(_lsh_recall(spark, sf_dir))
+
+
+def _lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query (qid, recall_at_k) for the LSH tier — the measured
+    frame q_llm_sim_topk_lsh floor-asserts and tests consume raw."""
     emb = load(spark, sf_dir, "embeddings")
     buckets = _buckets_udf()
     # Buckets are computed on the GUARDED double side (_as_double drops
@@ -330,12 +373,20 @@ def _recompute_centroids(assigned: DataFrame) -> DataFrame:
 
 @query(
     "q_llm_sim_topk_ivf",
-    oracle=None,  # approximate (recall < 1 by design) -> rows-only; recall is asserted in tests
-    description="IVF ANN: unsupervised spherical-k-means quantizer (seeded init + distributed Lloyd) + nprobe inverted-list search",
+    oracle=_ANN_ORACLE,
+    description="IVF ANN: unsupervised spherical-k-means quantizer (seeded init + distributed Lloyd) + nprobe inverted-list search, mean recall@k floor-asserted",
     tags=("llm", "similarity", "ann", "ivf"),
 )
 def q_llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-file ANN, the other production scale path next to LSH.
+    Output is the shared bound-asserted contract (see _bound_asserted);
+    the raw per-query recall frame lives in _ivf_recall.
+    """
+    return _bound_asserted(_ivf_recall(spark, sf_dir))
+
+
+def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file ANN, per-query (qid, recall_at_k).
 
     1. Coarse quantizer: unsupervised spherical k-means. Init = the
        IVF_NLIST corpus vectors with the smallest xxhash64(vec_id, seed)

