@@ -104,6 +104,12 @@ def main() -> int:
         "failed_keys": sorted(k for k, v in results.items() if v["status"] == "FAIL"),
     }
     print(json.dumps(summary), flush=True)
+    # Persisted for scripts/round_close.py's freshness check: a round
+    # may not close without a green full-registry sweep newer than the
+    # last source change.
+    out = os.path.join(os.path.dirname(__file__), "..", "sweep_last.json")
+    with open(out, "w") as fh:
+        json.dump(summary, fh, indent=1)
     spark.stop()
     return 1 if n_fail else 0
 

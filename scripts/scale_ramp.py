@@ -28,13 +28,17 @@ from sparkstreamingtohdfsofsensorsdata_spark.session import build_session
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 # one per family: flagship agg, narrow-shuffle LSH dedup, vector top-k,
-# windowed streaming replay, keyed equi join with range residual
+# windowed streaming replay, keyed equi join with range residual — plus
+# the iterative CC pipeline (the bench ceiling), whose rounds grow with
+# graph diameter, not data volume; its curve is the one worth watching
+# at 100x (VERDICT r7 item 7).
 RAMP_KEYS = [
     "q_agg_group",
     "q_llm_minhash_lsh",
     "q_llm_sim_topk",
     "q_stream_tumbling",
     "q_join_range",
+    "q_llm_dedup_clusters",
 ]
 
 

@@ -47,6 +47,7 @@ _Q3 = """
 
 @query(
     "q_tpch_q3",
+    float_dp={"revenue": 2},
     oracle=_Q3,
     description="TPC-H Q3 (shipping priority, adapted): 3-way join + agg + top-10",
     tags=("golden", "sql", "tpch"),
@@ -73,6 +74,7 @@ _Q5 = """
 
 @query(
     "q_tpch_q5",
+    float_dp={"revenue": 2},
     oracle=_Q5,
     description="TPC-H Q5 (local supplier volume, adapted): 6-way join, dims broadcast",
     tags=("golden", "sql", "tpch"),
@@ -101,6 +103,7 @@ _Q10 = """
 
 @query(
     "q_tpch_q10",
+    float_dp={"revenue": 2},
     oracle=_Q10,
     description="TPC-H Q10 (returned items, adapted): 4-way join + agg + top-20",
     tags=("golden", "sql", "tpch"),
@@ -169,6 +172,7 @@ _Q6 = """
 
 @query(
     "q_tpch_q6",
+    float_dp={"revenue": 2},
     oracle=_Q6,
     description="TPC-H Q6 (revenue forecast): pure scan-filter-agg, every predicate pushed to parquet",
     tags=("golden", "sql", "tpch"),
@@ -205,6 +209,7 @@ _Q7 = """
 
 @query(
     "q_tpch_q7",
+    float_dp={"revenue": 2},
     oracle=_Q7,
     description="TPC-H Q7 (volume shipping, adapted): nation self-join pair filter + per-year agg",
     tags=("golden", "sql", "tpch"),
@@ -231,6 +236,7 @@ _Q14 = """
 
 @query(
     "q_tpch_q14",
+    float_dp={"promo_pct": 4},
     oracle=_Q14,
     description="TPC-H Q14 (promo effect): conditional agg ratio over a part join",
     tags=("golden", "sql", "tpch"),
@@ -262,6 +268,7 @@ _Q18 = """
 
 @query(
     "q_tpch_q18",
+    float_dp={"total_qty": 2},
     oracle=_Q18,
     description="TPC-H Q18 (large-volume customers, adapted): IN over a grouped HAVING subquery + top-100",
     tags=("golden", "sql", "tpch"),
@@ -290,6 +297,7 @@ _Q19 = """
 
 @query(
     "q_tpch_q19",
+    float_dp={"revenue": 2},
     oracle=_Q19,
     description="TPC-H Q19 (discounted revenue, adapted): disjunctive mixed-table predicate over a join",
     tags=("golden", "sql", "tpch"),
@@ -382,6 +390,7 @@ _Q22 = """
 
 @query(
     "q_tpch_q22",
+    float_dp={"totacctbal": 2},
     oracle=_Q22,
     description="TPC-H Q22 (global sales opportunity, adapted): scalar-subquery threshold + NOT EXISTS anti join",
     tags=("golden", "sql", "tpch"),

@@ -518,6 +518,7 @@ URL_HOST_RE = r"https?://([a-z0-9.-]+)/"
 
 @query(
     "q_llm_domain_stats",
+    float_dp={"avg_chars": 4},
     oracle=f"""
         WITH crawled AS (
             SELECT doc_id, text,

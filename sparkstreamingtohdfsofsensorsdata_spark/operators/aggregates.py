@@ -154,6 +154,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_stats",
+    float_dp={"var_price": 4},
     oracle="""
         SELECT l_returnflag,
                round(sd_qty, 6)                                AS sd_qty,
@@ -352,6 +353,7 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_grouping_sets",
+    float_dp={"revenue": 2},
     oracle="""
         SELECT l_returnflag, o_orderpriority,
                GROUPING(l_returnflag) * 2 + GROUPING(o_orderpriority) AS gid,
@@ -449,6 +451,7 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_corr",
+    float_dp={"cov_samp": 2, "cov_pop": 2, "slope": 5, "intercept": 2},
     oracle="""
         SELECT l_returnflag,
                CAST(n AS BIGINT)                               AS n,

@@ -341,6 +341,7 @@ N_SALT = 8
 
 @query(
     "q_join_skew_salted",
+    float_dp={"value_sum": 2},
     oracle="""
         SELECT n.n_name,
                count(*)                                 AS n_events,

@@ -24,6 +24,7 @@ from ..tables import load
 
 @query(
     "q_sample_hash",
+    float_dp={"price_sum": 2},
     oracle="""
         SELECT o_orderpriority,
                count(*)                                       AS n_sampled,
@@ -53,6 +54,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sample_stratified",
+    float_dp={"value_sum": 2},
     oracle="""
         SELECT event_type,
                count(*)                                    AS n_sampled,

@@ -383,6 +383,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_scan_orc",
+    float_dp={"sum_price": 2},
     oracle="""
         SELECT l_returnflag,
                count(*)                                       AS n,
@@ -473,6 +474,7 @@ SORTED_BLOCK_BYTES = 256 * 1024  # small row groups stand in for the
 
 @query(
     "q_sink_sorted",
+    float_dp={"value_sum": 2},
     oracle="""
         SELECT user_id,
                count(*)                                 AS n,
@@ -598,6 +600,7 @@ ZORDER_EXPR = (
 
 @query(
     "q_sink_zorder",
+    float_dp={"value_sum": 2},
     oracle="""
         SELECT 'by_user'                              AS probe,
                CAST(count(*) AS BIGINT)               AS n,

@@ -24,6 +24,7 @@ from ..tables import load
 
 @query(
     "q_ts_gapfill",
+    float_dp={"sum_value": 2},
     oracle="""
         WITH ev AS (
             SELECT date_trunc('hour', ts) AS hour, event_type, value
@@ -143,6 +144,7 @@ SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 h inactivity closes a session
 
 @query(
     "q_ts_sessionize",
+    float_dp={"sum_value": 2},
     oracle=f"""
         WITH e AS (
             SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events

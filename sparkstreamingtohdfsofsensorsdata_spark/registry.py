@@ -27,6 +27,14 @@ class QuerySpec:
     oracle: str | None
     description: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Declared rounding precision per output column (column name -> dp),
+    # for float columns the query rounds COARSER than 6 dp at magnitudes
+    # where the parity comparator's magnitude heuristic cannot infer the
+    # step (ADVICE r6, conftest._floats_boundary_equal): a declared
+    # column additionally tolerates a single 10^-dp last-digit flip at
+    # ANY magnitude. Declaration is explicit opt-in — the comparator
+    # never guesses a column's grid from data.
+    float_dp: dict[str, int] = field(default_factory=dict)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -37,6 +45,7 @@ def query(
     oracle: str | None = None,
     description: str = "",
     tags: tuple[str, ...] = (),
+    float_dp: dict[str, int] | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as the Spark implementation of query ``name``."""
 
@@ -69,6 +78,7 @@ def query(
             oracle=oracle,
             description=description or doc_first,
             tags=tuple(tags),
+            float_dp=dict(float_dp or {}),
         )
         # Return the WRAPPED callable, so the module-level name carries
         # the same UTC-pin + package-ship guarantees as the registry

@@ -120,9 +120,19 @@ def build_session(
     # (review r6). Short-circuit explicitly: same semantics, no side
     # effects. Callers needing different knobs use a fresh process (as
     # the sweep/bench/ramp scripts do) or set runtime confs themselves.
+    # getActiveSession() is thread-local — a call from a fresh thread
+    # while a default session exists would miss it, evaluate
+    # scratch_dir(), and leak one spark_local_* dir anyway (ADVICE r6).
+    # The process-global default (what the JVM calls getDefaultSession;
+    # PySpark exposes it as _instantiatedSession — getOrCreate consults
+    # exactly this) covers that thread, with getOrCreate's own liveness
+    # test so a stopped session never short-circuits a rebuild.
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
+    default = SparkSession._instantiatedSession
+    if default is not None and default._sc._jsc is not None:
+        return default
 
     cores = default_parallelism()
     if master is None:

@@ -166,28 +166,78 @@ def _floats_boundary_equal(lval: float, rval: float) -> bool:
     )
 
 
-def _cell_close(lval, rval) -> bool:
+def _declared_step_equal(lval: float, rval: float, step: float) -> bool:
+    """A single flip of the column's DECLARED last rounded digit, at any
+    magnitude. _floats_boundary_equal cannot know a column's rounding
+    precision, so its magnitude heuristic rejects a genuine 2-dp tie
+    flip on a mid-magnitude column (|value| < 1e5 — ADVICE r6). A query
+    that rounds coarser than 6 dp declares the dp in its QuerySpec
+    (float_dp), and the declared step is tolerated here EXACTLY like
+    the inferred one: one step, up to subtraction noise of the values."""
+    diff = abs(lval - rval)
+    ulp = max(math.ulp(lval), math.ulp(rval))
+    return abs(diff - step) <= 8 * ulp
+
+
+def _cell_close(lval, rval, step: float | None = None) -> bool:
     if isinstance(lval, float) and isinstance(rval, float):
-        return _floats_boundary_equal(lval, rval)
+        if _floats_boundary_equal(lval, rval):
+            return True
+        return step is not None and _declared_step_equal(lval, rval, step)
     if isinstance(lval, tuple) and isinstance(rval, tuple):
         # collected arrays carry the same float classes element-wise —
         # exact == here hard-failed the documented-tolerated scalar
         # flips whenever they sat inside an ArrayType column (review r6)
         return len(lval) == len(rval) and all(
-            _cell_close(a, b) for a, b in zip(lval, rval)
+            _cell_close(a, b, step) for a, b in zip(lval, rval)
         )
     return lval == rval
 
 
-def assert_cells_close(left, right):
+def _row_close(lrow, rrow, steps) -> bool:
+    return len(lrow) == len(rrow) and all(
+        _cell_close(lval, rval, step)
+        for lval, rval, step in zip(lrow, rrow, steps)
+    )
+
+
+def assert_cells_close(left, right, steps=None):
     """Cell equality with the driver's exactness, modulo the two
-    documented float boundary classes (_floats_boundary_equal) —
-    applied recursively inside collected arrays."""
+    documented float boundary classes (_floats_boundary_equal) and any
+    per-column declared rounding step — applied recursively inside
+    collected arrays.
+
+    ``steps`` aligns with the rows' (column-name-sorted) cell order:
+    10^-dp for columns with a declared rounding precision, None
+    otherwise.
+
+    Pairing is positional first (both sides sort by the coarse key, so
+    tolerated flips normally stay aligned), but a flip CROSSING a
+    4-dp coarse-quantization boundary can still reorder one side only
+    (ADVICE r6): the residual mismatches then get a tolerant multiset
+    re-pair — every unmatched left row must greedily find a distinct
+    cell-close unmatched right row. Real divergences still fail (no
+    tolerant pair exists); only locally-permuted tolerated flips are
+    rescued, and the re-pair is O(k^2) in the mismatch count, not the
+    row count."""
     assert len(left) == len(right)
-    for lrow, rrow in zip(left, right):
-        assert len(lrow) == len(rrow)
-        for lval, rval in zip(lrow, rrow):
-            assert _cell_close(lval, rval), (lrow, rrow)
+    if steps is None:
+        steps = (None,) * (len(left[0]) if left else 0)
+    mismatched: list[int] = [
+        i for i, (lrow, rrow) in enumerate(zip(left, right))
+        if not _row_close(lrow, rrow, steps)
+    ]
+    if not mismatched:
+        return
+    remaining_right = [right[i] for i in mismatched]
+    for i in mismatched:
+        match = next(
+            (j for j, rrow in enumerate(remaining_right)
+             if _row_close(left[i], rrow, steps)),
+            None,
+        )
+        assert match is not None, (left[i], right[i])
+        remaining_right.pop(match)
 
 
 def run_parity(spark, duck, name: str, sf_dir: str = SF_DIR):
@@ -209,5 +259,10 @@ def run_parity(spark, duck, name: str, sf_dir: str = SF_DIR):
     assert len(s_canon) == len(d_canon), (
         f"{name}: row count {len(s_canon)} vs oracle {len(d_canon)}"
     )
-    assert_cells_close(s_canon, d_canon)
+    unknown_dp = set(spec.float_dp) - set(s_cols)
+    assert not unknown_dp, f"{name}: float_dp declares absent columns {unknown_dp}"
+    steps = tuple(
+        10.0 ** -spec.float_dp[c] if c in spec.float_dp else None for c in s_cols
+    )
+    assert_cells_close(s_canon, d_canon, steps)
     return len(s_canon)

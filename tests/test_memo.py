@@ -124,18 +124,25 @@ def test_dedup_memos_evict_superseded_same_path_entries(spark):
 
 
 def test_registry_window_is_the_stale_cohort():
-    # Round-6 rotation contract: the driver verifies a 50-key prefix;
-    # after r5 cleared the r1/r2 backlog, the stalest verdicts are the
-    # r3-latest cohort plus the oldest r4 keys (incl. the multimodal
-    # family this round touched). Spot-pin the boundary so a future
-    # reorder cannot silently push a stale key out of the window.
+    # Round-8 rotation contract (VERDICT r7 item 1): the driver
+    # verifies a 50-key prefix; the r7 window re-checked the
+    # already-fresh r6 cohort, so the stalest verdicts are the 38
+    # r4-or-older keys (joins, windows, core aggs, streaming, exact
+    # similarity) plus the rows-only->oracle conversions. Spot-pin the
+    # boundary so a future reorder cannot silently push a stale key
+    # out of the window.
     front = list(registry.load_all())[:50]
-    assert "q_scan_text_lines" in front
-    assert "q_llm_dedup_keep" in front
-    assert "q_stream_foreach_upsert" in front
-    assert "q_llm_multimodal_frames" in front
-    assert "q_llm_pii_redact" in front
-    # freshly r5-verified keys must NOT occupy window slots
-    assert "q_project" not in front
-    assert "q_udf_pandas_scalar" not in front
-    assert "q_llm_domain_stats" not in front
+    assert "q_join_inner_equi" in front
+    assert "q_stream_tumbling" in front
+    assert "q_win_ranking" in front
+    assert "q_agg_group" in front
+    assert "q_stream_sink" in front
+    # the four freshly-converted bound-asserted keys need new verdicts
+    assert "q_llm_sim_topk_lsh" in front
+    assert "q_llm_sim_topk_ivf" in front
+    assert "q_agg_approx_distinct" in front
+    assert "q_agg_hll_union" in front
+    # keys the driver just greened in r7 must NOT occupy window slots
+    assert "q_scan_text_lines" not in front
+    assert "q_llm_pii_redact" not in front
+    assert "q_ts_gapfill" not in front
