@@ -843,12 +843,18 @@ def propagate_min_labels(
     against a union-find oracle on arbitrary graphs. Hitting
     ``max_iters`` without converging would mean SILENTLY wrong labels
     downstream, so it raises instead."""
+    # No distinct here (VERDICT r7 item 6): the caller contract is a
+    # DEDUPLICATED pair set with id_a != id_b (the banded pair table is
+    # id_a < id_b distinct by construction), so the two orientations
+    # cannot collide and the old `.distinct()` was a pure extra shuffle
+    # of 2x the edge set — measured 1.1-1.7 s of the 7 s sf0.1 run.
+    # Duplicate edges from a sloppier caller would only repeat min()
+    # messages (cost, never correctness): min is idempotent.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .distinct()
         .localCheckpoint()
     )
     # Init = round 1 fused: with identity labels, the first neighbor-min
