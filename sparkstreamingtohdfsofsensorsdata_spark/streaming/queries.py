@@ -151,8 +151,19 @@ def q_stream_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_sink",
-    oracle=None,  # file-sink round-trip: row-count contract
-    description="Exactly-once partitioned parquet sink (the reference's HDFS sink) + read-back",
+    # The sink round-trip IS batch-expressible: a clean exactly-once
+    # replay of the full events table must land every row exactly once,
+    # so the read-back per-date counts equal the relational counts over
+    # the source — a DUPLICATED or DROPPED row under the sink's
+    # exactly-once protocol now breaks the hash compare instead of
+    # hiding behind a rows-only verdict (was oracle=None through r7).
+    oracle="""
+        SELECT CAST(ts AS DATE) AS event_date,
+               count(*)         AS n
+        FROM events
+        GROUP BY 1
+    """,
+    description="Exactly-once partitioned parquet sink (the reference's HDFS sink) + read-back, count-parity vs source",
     tags=("streaming", "sink"),
 )
 def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
