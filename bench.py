@@ -72,6 +72,31 @@ CC_PAYER_LABELS = "q_llm_dedup_clusters"
 CC_FAMILY = ("q_llm_simhash_banded", "q_llm_dedup_clusters", "q_llm_dedup_keep")
 CC_LABEL_CONSUMERS = ("q_llm_dedup_clusters", "q_llm_dedup_keep")
 
+# Same pattern for the ANN recall ground truth (llm/similarity
+# _exact_topk_ids): both ANN tiers measure recall against ONE memoized
+# exact top-k table; pin its build to a canonical payer so rotation
+# order never re-attributes it.
+ANN_PAYER_EXACT = "q_llm_sim_topk_lsh"
+ANN_EXACT_CONSUMERS = ("q_llm_sim_topk_lsh", "q_llm_sim_topk_ivf")
+
+
+def _ann_exact_cold(spark, sf_dir: str) -> bool:
+    from sparkstreamingtohdfsofsensorsdata_spark.llm import similarity
+
+    return not similarity.exact_topk_warm(spark, sf_dir)
+
+
+def _ann_materialize_exact(spark, sf_dir: str) -> float:
+    """Build the shared exact-top-k ground truth now; return the cost
+    (charged to ANN_PAYER_EXACT's slot by the caller)."""
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.similarity import (
+        _exact_topk_ids,
+    )
+
+    start = time.perf_counter()
+    _exact_topk_ids(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
 
 def _cc_pairs_cold(spark, sf_dir: str) -> bool:
     # Warmth via dedup's own (path, fingerprint) key — a truthiness
@@ -132,6 +157,10 @@ def _run_one(spec, spark, sf_dir: str, cold: str | None = None) -> float:
         dedup.clear_pair_memo(spark)
     elif cold == "labels":
         dedup.clear_label_memo(spark)
+    elif cold == "ann_exact":
+        from sparkstreamingtohdfsofsensorsdata_spark.llm import similarity
+
+        similarity.clear_exact_memo(spark)
     start = time.perf_counter()
     df = spec.fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
@@ -240,7 +269,7 @@ def main() -> None:
     specs = load_all()
     timings: dict[str, float] = {}
     # intermediate costs fronted for their canonical payers (see above)
-    prepaid = {CC_PAYER_PAIRS: 0.0, CC_PAYER_LABELS: 0.0}
+    prepaid = {CC_PAYER_PAIRS: 0.0, CC_PAYER_LABELS: 0.0, ANN_PAYER_EXACT: 0.0}
     for name, spec in specs.items():
         # The payer-charged materializations sit OUTSIDE the consumer's
         # try: a pair/label build failure must not mark the CONSUMER
@@ -258,6 +287,12 @@ def main() -> None:
                 and _cc_labels_cold(spark, sf_dir)
             ):
                 prepaid[CC_PAYER_LABELS] += _cc_materialize_labels(spark, sf_dir)
+            if (
+                name in ANN_EXACT_CONSUMERS
+                and name != ANN_PAYER_EXACT
+                and _ann_exact_cold(spark, sf_dir)
+            ):
+                prepaid[ANN_PAYER_EXACT] += _ann_materialize_exact(spark, sf_dir)
         except Exception as exc:
             print(f"bench: prepay for {name} failed: {exc}", file=sys.stderr)
         try:
@@ -311,7 +346,11 @@ def main() -> None:
         # Each payer carries its intermediate's cost regardless of
         # registry order (see the attribution block above), so a payer
         # rerun must start correspondingly cold — see _run_one.
-        cold_mode = {CC_PAYER_PAIRS: "pairs", CC_PAYER_LABELS: "labels"}
+        cold_mode = {
+            CC_PAYER_PAIRS: "pairs",
+            CC_PAYER_LABELS: "labels",
+            ANN_PAYER_EXACT: "ann_exact",
+        }
         # Biggest absolute excess over the proven floor first: a 7s key
         # 2s over floor outranks a 0.5s key 0.3s over, and the cheap
         # tail of small noisy keys still fits before the deadline.

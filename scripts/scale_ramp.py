@@ -63,10 +63,14 @@ def main() -> None:
                 spark.catalog.clearCache()
                 # dedup owns its memo surface — private attr names here
                 # would silently stop clearing on a rename (review r6)
-                from sparkstreamingtohdfsofsensorsdata_spark.llm import dedup
+                from sparkstreamingtohdfsofsensorsdata_spark.llm import (
+                    dedup,
+                    similarity,
+                )
 
                 dedup.clear_pair_memo(spark)
                 dedup.clear_label_memo(spark)
+                similarity.clear_exact_memo(spark)
             times.append(round(best, 3))
         ratio = round(times[2] / times[0], 2) if times[0] > 0 else None
         rows.append({"key": key, "sf0.001": times[0], "sf0.01": times[1],

@@ -104,6 +104,45 @@ def _exact_scored(v: DataFrame, q: DataFrame) -> DataFrame:
     )
 
 
+def _exact_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (qid, exact_neighbor) ground-truth top-k, memoized per (live
+    session, sf_dir) exactly like the dedup family's pair/label tables
+    (same (path, fingerprint) key, same eviction): both ANN tiers
+    measure recall against the SAME baseline, so recomputing the full
+    brute-force pass per tier was pure repeat work — the production
+    shape materializes the evaluation ground truth once and scores
+    every ANN index against it. Handle is a lazy localCheckpoint: the
+    first consumer materializes, later consumers read blocks."""
+    from .dedup import _evict_same_path, _memo, memo_key
+
+    cache = _memo(spark, "_exact_topk_memo")
+    key = memo_key(sf_dir)
+    if key in cache:
+        return cache[key]
+    _evict_same_path(cache, key)
+    v = _as_double(load(spark, sf_dir, "embeddings"))
+    q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    ids = _topk_ids(_exact_scored(v, q), "exact_neighbor").localCheckpoint(
+        eager=False
+    )
+    cache[key] = ids
+    return ids
+
+
+def exact_topk_warm(spark: SparkSession, sf_dir: str) -> bool:
+    """True iff _exact_topk_ids would be served from the memo (bench
+    payer-attribution probe, mirroring dedup.pairs_warm)."""
+    from .dedup import memo_key
+
+    return memo_key(sf_dir) in getattr(spark, "_exact_topk_memo", {})
+
+
+def clear_exact_memo(spark: SparkSession) -> None:
+    getattr(spark, "_exact_topk_memo", {}).clear()
+
+
 def _recall_at_k(exact: DataFrame, approx: DataFrame, name: str) -> DataFrame:
     """Per-query recall@k: the fraction of exact top-k ids the
     approximate tier recovered. ``exact`` carries (qid,
@@ -221,13 +260,21 @@ def _bound_asserted(recall: DataFrame) -> DataFrame:
     on the MEAN, not per-query: on uniform-random fixtures individual
     queries legitimately land at 0 recall.
 
-    The 1-row bound side rides a broadcast nested-loop join — the
-    repo's standard scalar-bound shape (q_agg_histogram), no shuffle.
+    The mean rides an unpartitioned window over the per-query frame —
+    ONE pass over the recall lineage. The agg + broadcast-crossJoin
+    alternative (the q_agg_histogram shape) re-evaluates the whole ANN
+    pipeline once per branch (the recall frame is not materialized),
+    which doubled the key's bench cost; the single-partition window is
+    safe here because the frame is one row per QUERY (tiny by
+    construction), never per corpus row.
     """
-    bound = recall.agg(
-        (F.avg("recall_at_k") >= F.lit(RECALL_FLOOR)).alias("mean_recall_ok")
+    w = Window.partitionBy(F.lit(1))
+    return recall.select(
+        "qid",
+        (F.avg("recall_at_k").over(w) >= F.lit(RECALL_FLOOR)).alias(
+            "mean_recall_ok"
+        ),
     )
-    return recall.crossJoin(F.broadcast(bound)).select("qid", "mean_recall_ok")
 
 
 # Shared by both ANN oracles: the qid set is relational even though the
@@ -275,7 +322,7 @@ def _lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("buckets").alias("qbuckets"),
     )
 
-    exact = _topk_ids(_exact_scored(v, q), "exact_neighbor")
+    exact = _exact_topk_ids(spark, sf_dir)
     # Same bucket in any table: elementwise table-i comparison, OR-folded.
     collide = F.exists(
         F.zip_with("buckets", "qbuckets", lambda a, b: a == b), lambda x: x
@@ -450,10 +497,7 @@ def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_neighbor",
     )
 
-    q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
-    )
-    exact = _topk_ids(_exact_scored(v, q), "exact_neighbor")
+    exact = _exact_topk_ids(spark, sf_dir)
     return _recall_at_k(exact, approx, "ivf_neighbor")
 
 
