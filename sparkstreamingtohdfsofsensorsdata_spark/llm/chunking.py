@@ -138,3 +138,76 @@ def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+BUCKET_MIN_TOKENS = 16  # floor bucket: every shorter doc pads to 16
+
+
+@query(
+    "q_llm_length_bucket",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   greatest(CAST(ceil(length(text) / 4.0) AS BIGINT),
+                            CAST(1 AS BIGINT)) AS toks
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        b AS (
+            SELECT toks,
+                   CAST(greatest({BUCKET_MIN_TOKENS},
+                        power(2, ceil(log2(CAST(toks AS DOUBLE)))))
+                        AS BIGINT) AS bucket_len
+            FROM d
+        )
+        SELECT bucket_len,
+               count(*)                                  AS n_docs,
+               CAST(sum(toks) AS BIGINT)                 AS tokens_total,
+               CAST(count(*) * bucket_len AS BIGINT)     AS padded_total,
+               round(1.0 - sum(toks)
+                           / CAST(count(*) * bucket_len AS DOUBLE),
+                     6)                                  AS pad_waste
+        FROM b
+        GROUP BY bucket_len
+    """,
+    description="Sequence-length bucketing: power-of-two token buckets with measured padding waste per bucket",
+    tags=("llm", "batching", "tokens"),
+)
+def q_llm_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length bucketing — the batching-side complement of packing
+    (q_llm_pack): dynamic-batching trainers group sequences into
+    power-of-two length buckets so each batch pads only to its
+    bucket's length, and the measured pad_waste per bucket is the
+    number that decides the bucket grid. Empty/NULL docs are out of
+    scope (they are filtered by corpus prep long before batching);
+    every kept doc clamps to at least 1 token so log2 is defined, and
+    buckets floor at {BUCKET_MIN_TOKENS} tokens (a real grid never
+    allocates 1-token batches).
+
+    Scale shape: two row-local expressions (token estimate, bucket id)
+    and ONE map-side-combined groupBy on a ~dozen-value key — the
+    cheapest possible full-corpus statistic; no join, no window, no
+    Python anywhere."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = F.greatest(F.ceil(F.length("text") / 4.0), F.lit(1)).cast("long")
+    bucket = F.greatest(
+        F.lit(BUCKET_MIN_TOKENS),
+        F.pow(F.lit(2.0), F.ceil(F.log2(toks.cast("double")))),
+    ).cast("long")
+    return (
+        docs.select(toks.alias("toks"), bucket.alias("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("tokens_total"),
+            (F.count(F.lit(1)) * F.first("bucket_len")).alias("padded_total"),
+            F.round(
+                1.0
+                - F.sum("toks")
+                / (F.count(F.lit(1)) * F.first("bucket_len")).cast("double"),
+                6,
+            ).alias("pad_waste"),
+        )
+    )

@@ -293,3 +293,70 @@ def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(row("by_id", "id", "id_leaks"), row("by_content", "ct", "content_leaks"))
         ).alias("r")
     ).select("r.*")
+
+
+# Deterministic train/val/test assignment thresholds over the md5-uniform
+# unit fraction (the q_llm_mix_sample idiom): [0, .8) train, [.8, .9)
+# val, [.9, 1) test.
+SPLIT_TRAIN_FRAC = 0.8
+SPLIT_VAL_FRAC = 0.9
+
+
+@query(
+    "q_llm_split_assign",
+    oracle=f"""
+        WITH d AS (
+            SELECT source,
+                   CAST(ceil(length(coalesce(text, '')) / 4.0) AS BIGINT) AS toks,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                       / 65536.0 AS u
+            FROM documents
+        ),
+        tagged AS (
+            SELECT source, toks,
+                   CASE WHEN u < {SPLIT_TRAIN_FRAC} THEN 'train'
+                        WHEN u < {SPLIT_VAL_FRAC}   THEN 'val'
+                        ELSE 'test' END AS split
+            FROM d
+        )
+        SELECT split, source,
+               count(*)                     AS n_docs,
+               CAST(sum(toks) AS BIGINT)    AS tokens_total
+        FROM tagged
+        GROUP BY split, source
+    """,
+    description="Deterministic hash-based train/val/test assignment with per-split per-source sizes",
+    tags=("llm", "split", "sampling"),
+)
+def q_llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The splitter q_llm_split_leakage audits: assignment is a pure
+    function of the STABLE doc_id (md5 unit fraction against fixed
+    thresholds), so membership survives reprocessing, re-partitioning,
+    and corpus growth — new documents land in splits at the target
+    rates without moving any existing document (the property
+    rand()-based splitting destroys). Per (split, source) doc and
+    token totals come back so split balance is measured per domain,
+    not just globally.
+
+    Scale shape: one row-local hash + threshold per document and one
+    map-side-combined groupBy on a |splits| x |sources| key — no join,
+    no window, no Python; the same full-corpus-statistic floor as
+    q_llm_length_bucket."""
+    docs = load(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("double") / F.lit(65536.0)
+    split = (
+        F.when(u < SPLIT_TRAIN_FRAC, "train")
+        .when(u < SPLIT_VAL_FRAC, "val")
+        .otherwise("test")
+    )
+    toks = F.ceil(F.length(F.coalesce("text", F.lit(""))) / 4.0).cast("long")
+    return (
+        docs.select("source", split.alias("split"), toks.alias("toks"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("tokens_total"),
+        )
+    )

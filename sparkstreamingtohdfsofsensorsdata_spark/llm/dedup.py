@@ -992,3 +992,107 @@ def q_llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_kept"
         ),
     )
+
+
+# Incremental (delta) dedup: the production cadence is not "dedup the
+# corpus once" but "dedup TODAY'S batch against the standing index".
+# The fixture models it with a strided slice as the arriving batch.
+INCR_BATCH_MOD = 10
+INCR_BATCH_REM = 7
+
+
+@query(
+    "q_llm_dedup_incremental",
+    oracle=f"""
+        WITH s AS (
+            {SIMHASH_ORACLE_CTE.format(where="")}
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bv FROM s" for b in range(SIMHASH_BANDS))}
+        ),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid,
+                   bit_count(xor(n.simhash, c.simhash)) AS hamming
+            FROM bands n JOIN bands c
+              ON n.band = c.band AND n.bv = c.bv
+            WHERE n.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+              AND c.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}
+              AND bit_count(xor(n.simhash, c.simhash)) <= {SIMHASH_HAMMING_MAX}
+        ),
+        agg AS (
+            SELECT nid,
+                   CAST(count(*) AS BIGINT) AS n_matches,
+                   min(hamming)             AS min_hamming
+            FROM cand GROUP BY nid
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_matches, CAST(0 AS BIGINT)) AS n_matches,
+               a.min_hamming                            AS min_hamming
+        FROM (SELECT doc_id FROM documents
+              WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}) d
+        LEFT JOIN agg a ON a.nid = d.doc_id
+    """,
+    description="Incremental dedup: probe an arriving batch against the standing corpus index (banded SimHash, batch broadcast)",
+    tags=("llm", "dedup", "simhash", "incremental"),
+)
+def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta dedup — the shape a crawl pipeline actually runs daily:
+    the ARRIVING batch (modeled as the doc_id % 10 == 7 slice) is
+    checked against the STANDING corpus index (everything else), and
+    every batch doc comes back with its corpus near-dup match count
+    and closest Hamming distance (0 matches -> NULL distance), so the
+    admit/reject decision is one filter on the result.
+
+    Scale shape — the asymmetry is the whole point: the corpus band
+    table is write-once storage probed in place (here derived from the
+    same scan; in production it is the persisted signature index), and
+    the BATCH side — tiny relative to the index, ~10% here, ~0.01% for
+    a daily crawl against a year's corpus — is the broadcast side of
+    the band join, so the index never shuffles and never rescans more
+    than the probed band buckets. The hamming test runs inside the
+    join (far pairs die before the distinct), exactly like
+    q_llm_simhash_banded; the final left join back onto the batch keeps
+    0-match docs in the output so the NEGATIVE side of the contract
+    (genuinely novel documents) is value-checked too."""
+    s = _simhash_df(load(spark, sf_dir, "documents")).localCheckpoint(eager=False)
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"concat('{b}:', shiftright(simhash, {8 * b}) & 255)")
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM
+    batch_bands = bands.filter(is_batch)
+    corpus_bands = bands.filter(~is_batch)
+    n, c = batch_bands.alias("n"), corpus_bands.alias("c")
+    matches = (
+        c.join(F.broadcast(n), F.col("n.band_key") == F.col("c.band_key"))
+        .select(
+            F.col("n.doc_id").alias("nid"),
+            F.col("c.doc_id").alias("cid"),
+            F.expr("bit_count(n.simhash ^ c.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
+        .groupBy("nid")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )
+    batch_docs = (
+        load(spark, sf_dir, "documents").filter(is_batch).select("doc_id")
+    )
+    return batch_docs.join(
+        F.broadcast(matches), batch_docs["doc_id"] == matches["nid"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+        "min_hamming",
+    )

@@ -103,7 +103,11 @@ def query(
 # sf0.001/0.01/0.1; the rotation only schedules whose verdict the
 # DRIVER refreshes next.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- window 1 (50): the 38 r4-or-older driver verdicts ---
+    # --- window 1 (50): first, the round-8 additions (never verified) ---
+    "q_llm_dedup_incremental",
+    "q_llm_length_bucket",
+    "q_llm_split_assign",
+    # --- then the 38 r4-or-older driver verdicts ---
     "q_llm_ngram_jaccard",
     "q_llm_boilerplate",
     "q_llm_sim_topk",

@@ -132,6 +132,12 @@ def test_registry_window_is_the_stale_cohort():
     # boundary so a future reorder cannot silently push a stale key
     # out of the window.
     front = list(registry.load_all())[:50]
+    # never-verified round-8 additions lead everything
+    assert front[:3] == [
+        "q_llm_dedup_incremental",
+        "q_llm_length_bucket",
+        "q_llm_split_assign",
+    ]
     assert "q_join_inner_equi" in front
     assert "q_stream_tumbling" in front
     assert "q_win_ranking" in front

@@ -481,3 +481,23 @@ def test_split_leakage_single_scan_single_wide_shuffle(spark):
     assert len(scans) == 1, f"expected one documents scan, saw {len(scans)}"
     wide = [l for l in text.splitlines() if "Exchange hashpartitioning" in l]
     assert len(wide) == 1, f"expected one wide shuffle, saw {len(wide)}"
+
+
+def test_incremental_dedup_broadcasts_batch(spark):
+    # Delta dedup's scale asymmetry: the ARRIVING batch is the
+    # broadcast side of the band join, the standing corpus index never
+    # shuffles for the probe. A shuffle-both-sides plan here would
+    # rescan/move the 100 TB index for every daily batch.
+    text = inspect.plan_str(q(spark, "q_llm_dedup_incremental"))
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+
+
+def test_length_bucket_and_split_assign_are_scan_plus_agg(spark):
+    # Both full-corpus statistics must stay join-free and window-free:
+    # row-local expressions + ONE map-side-combined hash aggregate.
+    for name in ("q_llm_length_bucket", "q_llm_split_assign"):
+        text = inspect.plan_str(q(spark, name))
+        assert "Join" not in text, name
+        assert "Window" not in text, name
+        assert "HashAggregate" in text, name
