@@ -47,6 +47,10 @@ KEYS = [
     "q_llm_minhash_lsh",
     "q_llm_fingerprint",
     "q_llm_repetition",
+    # round-8 additions over the same hostile documents surface
+    "q_llm_dedup_incremental",
+    "q_llm_length_bucket",
+    "q_llm_split_assign",
     # the rest of the deterministic documents-reading surface, now
     # exposed to NULL/whitespace/unicode/emoji/stopword-only texts
     "q_llm_text_stats",
