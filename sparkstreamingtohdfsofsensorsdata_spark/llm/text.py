@@ -1087,3 +1087,88 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merge_rows, "merge_rank int, a string, b string, merged string, cnt bigint"
     )
+
+
+@query(
+    "q_llm_unigram_logprob",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, t
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(trim(text), ' ')) AS t
+                  FROM documents)
+            WHERE t <> ''
+        ),
+        freq AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+        doc AS (
+            SELECT doc_id, source, avg(-ln(c / n)) AS nll
+            FROM toks JOIN freq USING (t) CROSS JOIN tot
+            GROUP BY doc_id, source
+        )
+        SELECT source,
+               count(*)             AS n_docs,
+               round(avg(nll), 6)   AS avg_nll,
+               round(min(nll), 6)   AS min_nll,
+               round(max(nll), 6)   AS max_nll
+        FROM doc
+        GROUP BY source
+    """,
+    description="Perplexity-proxy quality signal: corpus-fit unigram LM, per-doc mean negative log-likelihood, per-source distribution",
+    tags=("llm", "text", "quality", "lm"),
+)
+def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic corpus-quality signal (the CCNet recipe uses a
+    KenLM; the unigram LM is its relational skeleton): fit token
+    frequencies on the corpus itself, score every document by its mean
+    negative log-likelihood, and report the per-source distribution —
+    high-NLL docs are gibberish/rare-token soup, low-NLL docs are
+    boilerplate-ish; the filter thresholds come from these per-source
+    stats. Documents with no tokens (NULL/empty/whitespace-only) carry
+    no signal and are out of scope on both sides.
+
+    Tokens are case-SENSITIVE by design: JVM and DuckDB lower() apply
+    different locale-sensitive case rules (Turkish dotted İ -> 'i' +
+    combining dot vs plain 'i'; Greek capital sigma -> final-form
+    sigma under Java's context rule, plain sigma under DuckDB's), so
+    cross-doc token frequencies — the one thing this op aggregates
+    ACROSS documents — would silently diverge per engine on
+    multilingual text (measured on the unicode differential tier).
+    Production case-folds with ONE deterministic normalizer upstream
+    of the engine; hash-count ops (q_llm_exact_dedup) keep lower()
+    safely because they only compare counts within one engine.
+
+    Scale shape: ONE explode of the corpus into (doc, token) rows,
+    a map-side-combined frequency aggregation over it, and the scoring
+    join back. The frequency table is the corpus's unigram VOCABULARY
+    (Heaps-law sublinear in corpus size — tens of millions of types
+    even at 100 TB), so it is explicitly broadcast: the token stream
+    never shuffles for scoring, and the Zipf-hot tokens ("the") that
+    would skew a shuffle join are irrelevant under a map-side hash
+    probe. If a tokenizer ever blew the vocab past broadcast range,
+    the fallback is the shuffle join + AQE skew handling. The 1-row
+    corpus total rides the same broadcast pattern as q_llm_tfidf's
+    doc count."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.trim("text"), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    doc = (
+        toks.join(F.broadcast(freq), "t")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(-F.log(F.col("c") / F.col("n"))).alias("nll"))
+    )
+    return doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.round(F.min("nll"), 6).alias("min_nll"),
+        F.round(F.max("nll"), 6).alias("max_nll"),
+    )

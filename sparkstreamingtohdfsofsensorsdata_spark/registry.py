@@ -107,6 +107,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_dedup_incremental",
     "q_llm_length_bucket",
     "q_llm_split_assign",
+    "q_llm_unigram_logprob",
     # --- then the 38 r4-or-older driver verdicts ---
     "q_llm_ngram_jaccard",
     "q_llm_boilerplate",

@@ -501,3 +501,12 @@ def test_length_bucket_and_split_assign_are_scan_plus_agg(spark):
         assert "Join" not in text, name
         assert "Window" not in text, name
         assert "HashAggregate" in text, name
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    # The unigram vocabulary (Heaps-law sublinear) must broadcast back
+    # onto the token explode: a shuffle join on the Zipf-hot token key
+    # would be the classic skew trap at corpus scale.
+    text = inspect.plan_str(q(spark, "q_llm_unigram_logprob"))
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
