@@ -133,10 +133,11 @@ def test_registry_window_is_the_stale_cohort():
     # out of the window.
     front = list(registry.load_all())[:50]
     # never-verified round-8 additions lead everything
-    assert front[:3] == [
+    assert front[:4] == [
         "q_llm_dedup_incremental",
         "q_llm_length_bucket",
         "q_llm_split_assign",
+        "q_llm_unigram_logprob",
     ]
     assert "q_join_inner_equi" in front
     assert "q_stream_tumbling" in front
