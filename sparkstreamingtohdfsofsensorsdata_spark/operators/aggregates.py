@@ -588,3 +588,55 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+        SELECT l_returnflag,
+               l_quantity AS mode_qty,
+               CAST(c AS BIGINT) AS mode_count
+        FROM (
+            SELECT l_returnflag, l_quantity, count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY count(*) DESC, l_quantity ASC) AS rk
+            FROM lineitem
+            GROUP BY l_returnflag, l_quantity
+        )
+        WHERE rk = 1
+    """,
+    description="Mode (most frequent value) per group with a deterministic tie-break",
+    tags=("agg", "mode"),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode per group — spelled as count-then-rank instead of the
+    engines' native mode() because mode's TIE semantics are
+    engine-defined (Spark returns an arbitrary tied value, DuckDB its
+    own pick): the explicit row_number over (count DESC, value ASC)
+    pins one deterministic winner on both sides, which is the only
+    form an oracle can check and the only form a reproducible pipeline
+    should ship anyway.
+
+    Scale shape: the heavy reduction is the map-side-combined
+    (group, value) count — bytes shuffled scale with distinct (group,
+    value) pairs; the rank window then runs per group over already-
+    aggregated rows (|values| per group, not |rows|)."""
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("c").alias("mode_count"),
+        )
+    )

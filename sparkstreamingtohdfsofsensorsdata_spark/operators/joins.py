@@ -396,3 +396,67 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id,
+                   CAST(ts AS DATE)                 AS d,
+                   min(date_trunc('second', ts))    AS lo,
+                   max(date_trunc('second', ts))    AS hi
+            FROM events
+            GROUP BY user_id, CAST(ts AS DATE)
+        )
+        SELECT a.d AS event_date,
+               count(*)                             AS n_overlap_pairs,
+               count(DISTINCT a.user_id)            AS n_left_users
+        FROM iv a JOIN iv b
+          ON a.d = b.d AND a.user_id < b.user_id
+         AND a.lo <= b.hi AND b.lo <= a.hi
+        GROUP BY a.d
+    """,
+    description="Interval-overlap join: per-day user activity intervals, overlap rides the day equi key",
+    tags=("join", "interval", "timeseries"),
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval joins (overlapping time ranges) are the third member
+    of the inequality-join family next to q_join_range (point-in-band)
+    and q_join_asof (latest-at-or-before). The scale rule is the same
+    for all three: NEVER ship the inequality to the join — carry the
+    join on an equi key that buckets the data (the DAY here; coarser
+    or finer grids tune selectivity), and apply the overlap test
+    [a.lo <= b.hi AND b.lo <= a.hi] as a residual filter inside the
+    matched bucket. Intervals spanning bucket boundaries are handled
+    in production by emitting one row per covered bucket and
+    deduplicating matches — the fixture's per-day intervals cannot
+    span by construction.
+
+    Timestamps are compared at SECOND precision via date_trunc — the
+    fixture's parquet carries ns timestamps that Spark truncates to
+    micros while DuckDB keeps ns, so raw min/max comparisons would be
+    a guaranteed one-sided divergence (tables._normalize_ts note)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.date_trunc("second", F.col("ts")).alias("s"),
+    )
+    iv = ev.groupBy("user_id", "d").agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi")
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.lo") <= F.col("b.hi"))
+            & (F.col("b.lo") <= F.col("a.hi")),
+        )
+        .groupBy(F.col("a.d").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap_pairs"),
+            F.countDistinct(F.col("a.user_id")).alias("n_left_users"),
+        )
+    )

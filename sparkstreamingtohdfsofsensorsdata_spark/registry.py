@@ -108,6 +108,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_length_bucket",
     "q_llm_split_assign",
     "q_llm_unigram_logprob",
+    "q_agg_mode",
+    "q_join_interval_overlap",
+    "q_ts_interpolate",
     # --- then the 38 r4-or-older driver verdicts ---
     "q_llm_ngram_jaccard",
     "q_llm_boilerplate",

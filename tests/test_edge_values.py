@@ -271,6 +271,10 @@ KEYS = [
     "q_ts_funnel",
     "q_ts_retention",
     "q_ts_session_window",
+    # round-8 additions over the same hostile events/lineitem surface
+    "q_ts_interpolate",
+    "q_join_interval_overlap",
+    "q_agg_mode",
     "q_agg_group",
     "q_agg_global",
     "q_agg_count_distinct",
