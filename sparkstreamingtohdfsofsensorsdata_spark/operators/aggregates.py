@@ -640,3 +640,57 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("mode_count"),
         )
     )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    # The bitmap bytes are engine-internal, but the COUNT they encode
+    # is exact — the oracle computes the same distinct counts
+    # relationally, so this is a full hash-gated check (unlike the HLL
+    # keys, no error bound is needed: bitmaps are exact).
+    oracle="""
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS nd_custs,
+               count(DISTINCT o_custkey) AS nd_custs_rollup
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    description="Exact mergeable distinct via bitmap aggregates: per-bucket bitmaps OR-merged, counts summed",
+    tags=("agg", "distinct", "bitmap", "sketch"),
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-mergeable cousin of the HLL keys: RoaringBitmap-style
+    distinct counting (Spark's bitmap_* aggregate family). Each
+    (group, 32k-bucket) pair reduces to one fixed-width bitmap;
+    bitmaps OR-merge losslessly, so — like HLL sketches but EXACT —
+    per-partition/per-day bitmaps are stored once and re-aggregated
+    forever without rescanning raw data. The query computes each
+    group's distinct-customer count twice: directly, and through a
+    store-then-merge round trip (per-bucket bitmaps OR-merged back
+    together), and emits both — the oracle asserts they equal the
+    relational COUNT(DISTINCT), so the merge path's losslessness is
+    hash-gated, not assumed.
+
+    At 100 TB: the shuffle carries one bitmap per (group, bucket) —
+    bounded by key-space/32768 per group, independent of row count —
+    and the OR-merge tree is associative, so AQE/partial aggregation
+    apply as usual. The key-space-bounded bucket count is the one
+    sizing caveat vs HLL's fixed sketch."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_custkey").cast("long").alias("k")
+    )
+    per_bucket = o.groupBy(
+        "o_orderpriority", F.expr("bitmap_bucket_number(k)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(k))").alias("bm"))
+    direct = per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("nd_custs")
+    )
+    # store-then-merge round trip: re-merge the per-bucket bitmaps (as
+    # a stored rollup would) and count the merged result
+    merged = (
+        per_bucket.groupBy("o_orderpriority", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm2"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.expr("bitmap_count(bm2)")).alias("nd_custs_rollup"))
+    )
+    return direct.join(merged, "o_orderpriority")

@@ -111,6 +111,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_agg_mode",
     "q_join_interval_overlap",
     "q_ts_interpolate",
+    "q_agg_bitmap_distinct",
     # --- then the 38 r4-or-older driver verdicts ---
     "q_llm_ngram_jaccard",
     "q_llm_boilerplate",

@@ -133,7 +133,7 @@ def test_registry_window_is_the_stale_cohort():
     # out of the window.
     front = list(registry.load_all())[:50]
     # never-verified round-8 additions lead everything
-    assert front[:7] == [
+    assert front[:8] == [
         "q_llm_dedup_incremental",
         "q_llm_length_bucket",
         "q_llm_split_assign",
@@ -141,6 +141,7 @@ def test_registry_window_is_the_stale_cohort():
         "q_agg_mode",
         "q_join_interval_overlap",
         "q_ts_interpolate",
+        "q_agg_bitmap_distinct",
     ]
     assert "q_join_inner_equi" in front
     assert "q_stream_tumbling" in front
