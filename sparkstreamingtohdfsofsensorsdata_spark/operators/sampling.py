@@ -90,3 +90,60 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("id_sum"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
+
+
+SAMPLE_K_PER_GROUP = 50
+
+
+@query(
+    "q_sample_group_topk",
+    float_dp={"price_sum": 2},
+    oracle=f"""
+        SELECT o_orderpriority,
+               count(*)                                    AS n_sampled,
+               CAST(sum(o_orderkey) AS BIGINT)             AS key_sum,
+               round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS price_sum
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+                   ) AS rk
+            FROM orders
+        )
+        WHERE rk <= {SAMPLE_K_PER_GROUP}
+        GROUP BY o_orderpriority
+    """,
+    description="Deterministic fixed-k-per-stratum sample: hash-ranked row_number — the reservoir-sample production shape",
+    tags=("sample", "window"),
+)
+def q_sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE per-stratum sampling, the production complement of
+    fraction sampling (q_sample_hash/stratified give variable sizes):
+    rank each stratum's rows by a pure hash of the stable key and keep
+    exactly k — statistically a uniform without-replacement draw, but
+    DETERMINISTIC (same sample on 1 core or 1000 executors, re-runnable
+    for audits) where a true reservoir sample depends on partition
+    visit order. The hash rank, not the raw key, is the order — raw-key
+    rank would bias toward early keys.
+
+    At 100 TB: one window shuffle per stratum key. If k is small and
+    strata few, the same result is cheaper via TakeOrdered per group
+    (rank-k pushdown); Spark's WindowGroupLimit optimization applies
+    exactly that pushdown to this rk <= k pattern automatically."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K_PER_GROUP)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        )
+    )

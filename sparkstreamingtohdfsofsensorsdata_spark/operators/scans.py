@@ -695,3 +695,69 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("by_value").alias("probe"), "n", "value_sum")
     )
     return by_user.unionAll(by_value)
+
+
+@query(
+    "q_scan_schema_evolution",
+    float_dp={"value_sum": 2},
+    oracle="""
+        WITH unioned AS (
+            SELECT event_id, user_id, value, NULL AS event_type
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT event_id, user_id, value, event_type
+            FROM events WHERE event_id % 2 = 1
+        )
+        SELECT coalesce(event_type, '_legacy') AS event_type,
+               count(*)                        AS n,
+               CAST(sum(user_id) AS BIGINT)    AS user_sum,
+               round(sum(value), 2)            AS value_sum
+        FROM unioned
+        GROUP BY 1
+    """,
+    description="Schema evolution on a parquet dataset: old files lack a column, mergeSchema read nulls it, aggregate spans both vintages",
+    tags=("scan", "sink", "schema-evolution"),
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift is a fact of life for a 100 TB dataset written over
+    years: old files lack columns added later. Write two parquet
+    vintages of the events table — batch 1 WITHOUT event_type, batch 2
+    with it — into one dataset directory, read back with
+    ``mergeSchema`` (schema reconciliation at scan time; old files'
+    missing column reads as NULL, no rewrite of petabytes of history),
+    and aggregate across both vintages with legacy rows grouped under
+    a '_legacy' marker.
+
+    mergeSchema costs a footer read per file at planning time — on a
+    real lake you set the authoritative schema in the catalog/metastore
+    instead and get the same NULL-fill semantics without the
+    planning-time footer sweep; the READ semantics verified here are
+    identical either way."""
+    from ..session import scratch_dir
+
+    ev = load(spark, sf_dir, "events")
+    base = scratch_dir("schema_evo_")
+    old = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    new = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    old.write.mode("overwrite").parquet(f"{base}/vintage=1")
+    new.write.mode("overwrite").parquet(f"{base}/vintage=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/vintage=1", f"{base}/vintage=2"
+    )
+    return (
+        back.select(
+            F.coalesce("event_type", F.lit("_legacy")).alias("event_type"),
+            "user_id",
+            "value",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("user_sum"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )

@@ -112,6 +112,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_join_interval_overlap",
     "q_ts_interpolate",
     "q_agg_bitmap_distinct",
+    "q_sample_group_topk",
+    "q_scan_schema_evolution",
     # --- then the 38 r4-or-older driver verdicts ---
     "q_llm_ngram_jaccard",
     "q_llm_boilerplate",
