@@ -510,3 +510,41 @@ def test_unigram_logprob_broadcasts_vocab(spark):
     text = inspect.plan_str(q(spark, "q_llm_unigram_logprob"))
     assert "BroadcastHashJoin" in text
     assert "SortMergeJoin" not in text
+
+
+def test_interval_overlap_rides_equi_key(spark):
+    # The overlap inequality must be a residual inside the day
+    # equi-key join — a BroadcastNestedLoopJoin here would mean
+    # Catalyst failed to extract the equi key and the join is the
+    # all-pairs cross product at scale.
+    text = inspect.plan_str(q(spark, "q_join_interval_overlap"))
+    assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_mode_counts_combine_map_side(spark):
+    # The heavy (group, value) count must partial-aggregate before its
+    # exchange; the rank then runs over aggregated rows only.
+    text = inspect.plan_str(q(spark, "q_agg_mode"))
+    assert "partial_count" in text
+
+
+def test_sample_group_topk_pushes_rank_limit(spark):
+    # Spark's WindowGroupLimit must push the rk <= k filter into the
+    # window sort, so each stratum materializes k rows, not all rows.
+    text = inspect.plan_str(q(spark, "q_sample_group_topk"))
+    assert "WindowGroupLimit" in text
+
+
+def test_interpolate_single_series_exchange(spark):
+    # Both bracketing frames (past last_value / future first_value)
+    # share partitioning AND ordering, so Spark must fuse them into
+    # ONE Window node over ONE event_type-only exchange — a second
+    # Window or series re-exchange would double the pass.
+    import re
+
+    text = inspect.plan_str(q(spark, "q_ts_interpolate"))
+    assert text.count("Window [") == 1
+    series_exchanges = re.findall(
+        r"Exchange hashpartitioning\(event_type#\d+, \d+\)", text
+    )
+    assert len(series_exchanges) <= 1, series_exchanges
