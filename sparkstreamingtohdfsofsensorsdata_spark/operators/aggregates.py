@@ -675,22 +675,38 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by key-space/32768 per group, independent of row count —
     and the OR-merge tree is associative, so AQE/partial aggregation
     apply as usual. The key-space-bounded bucket count is the one
-    sizing caveat vs HLL's fixed sketch."""
+    sizing caveat vs HLL's fixed sketch.
+
+    The stored grain here is (group, bucket, order-YEAR) — the shape a
+    yearly-partitioned rollup table would persist — so the OR-merge
+    genuinely combines bitmaps a single aggregation never co-saw.
+    The two paths re-join NULL-SAFELY: a NULL group key (hostile
+    fixture) is a legitimate group, and a plain inner join would
+    silently drop it (NULL != NULL)."""
     o = load(spark, sf_dir, "orders").select(
-        "o_orderpriority", F.col("o_custkey").cast("long").alias("k")
+        "o_orderpriority",
+        F.col("o_custkey").cast("long").alias("k"),
+        F.year("o_orderdate").alias("yr"),
     )
-    per_bucket = o.groupBy(
-        "o_orderpriority", F.expr("bitmap_bucket_number(k)").alias("bucket")
+    direct = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("k").alias("nd_custs")
+    )
+    fine = o.groupBy(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(k)").alias("bucket"),
+        "yr",
     ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(k))").alias("bm"))
-    direct = per_bucket.groupBy("o_orderpriority").agg(
-        F.sum(F.expr("bitmap_count(bm)")).alias("nd_custs")
-    )
-    # store-then-merge round trip: re-merge the per-bucket bitmaps (as
-    # a stored rollup would) and count the merged result
     merged = (
-        per_bucket.groupBy("o_orderpriority", "bucket")
+        fine.groupBy("o_orderpriority", "bucket")
         .agg(F.expr("bitmap_or_agg(bm)").alias("bm2"))
         .groupBy("o_orderpriority")
         .agg(F.sum(F.expr("bitmap_count(bm2)")).alias("nd_custs_rollup"))
     )
-    return direct.join(merged, "o_orderpriority")
+    return (
+        direct.alias("d")
+        .join(
+            merged.alias("m"),
+            F.col("d.o_orderpriority").eqNullSafe(F.col("m.o_orderpriority")),
+        )
+        .select("d.o_orderpriority", "nd_custs", "nd_custs_rollup")
+    )

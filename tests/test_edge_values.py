@@ -275,6 +275,9 @@ KEYS = [
     "q_ts_interpolate",
     "q_join_interval_overlap",
     "q_agg_mode",
+    "q_agg_bitmap_distinct",
+    "q_sample_group_topk",
+    "q_scan_schema_evolution",
     "q_agg_group",
     "q_agg_global",
     "q_agg_count_distinct",
