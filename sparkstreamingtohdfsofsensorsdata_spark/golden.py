@@ -403,3 +403,49 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison can't land on the float boundary where Spark's and
     DuckDB's last-ulp avg() difference could flip a row."""
     return _sql(spark, sf_dir, _Q22)
+
+
+_NOT_IN = """
+    WITH probe AS (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT)
+    ),
+    via_not_in AS (
+        SELECT count(*) AS n FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM probe)
+    ),
+    via_not_exists AS (
+        SELECT count(*) AS n FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM probe p WHERE p.o_custkey = c.c_custkey
+        )
+    ),
+    via_in AS (
+        SELECT count(*) AS n FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM probe)
+    )
+    SELECT 'not_in'     AS method, n FROM via_not_in
+    UNION ALL
+    SELECT 'not_exists' AS method, n FROM via_not_exists
+    UNION ALL
+    SELECT 'in'         AS method, n FROM via_in
+"""
+
+
+@query(
+    "q_subquery_not_in",
+    oracle=_NOT_IN,
+    description="NOT IN vs NOT EXISTS under a NULL-poisoned subquery (null-aware anti join)",
+    tags=("golden", "sql", "subquery"),
+)
+def q_subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic trap made executable: the probe list carries
+    one NULL, so ``NOT IN`` is UNKNOWN for every outer row (count 0)
+    while ``NOT EXISTS`` keeps its usual anti-join semantics — the two
+    counts differ on the same data. Catalyst plans the NOT IN branch as
+    a null-aware anti join (NAAJ); at scale the probe side must stay
+    broadcast-small because NAAJ cannot shuffle-partition a NULL-aware
+    predicate, which is exactly why production pipelines prefer
+    NOT EXISTS — this key pins both behaviors side by side."""
+    return _sql(spark, sf_dir, _NOT_IN)

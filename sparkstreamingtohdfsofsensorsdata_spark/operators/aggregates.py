@@ -710,3 +710,52 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("d.o_orderpriority", "nd_custs", "nd_custs_rollup")
     )
+
+
+_UNPIVOT_CELLS = ",\n".join(
+    f"""               coalesce(sum(CASE WHEN event_type = '{t}' THEN value END), 0) AS {t}"""
+    for t in EVENT_TYPES
+)
+_UNPIVOT_ARMS = "\n        UNION ALL ".join(
+    f"SELECT user_id, '{t}' AS event_type, round({t}, 6) AS total FROM wide"
+    for t in EVENT_TYPES
+)
+
+
+@query(
+    "q_unpivot",
+    oracle=f"""
+        WITH wide AS (
+            SELECT user_id,
+{_UNPIVOT_CELLS}
+            FROM events
+            GROUP BY user_id
+        )
+        {_UNPIVOT_ARMS}
+    """,
+    description="UNPIVOT/melt: wide conditional-agg matrix back to long (generator expand, no shuffle)",
+    tags=("agg", "unpivot"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long is the inverse of q_agg_pivot: each input row fans
+    out to one row per value column. Spark plans ``DataFrame.unpivot``
+    as a local generator (Expand) — a row-local fan-out with NO shuffle
+    and no Python, so at 100 TB it is a pure map stage whose output is
+    exactly |value columns| x |rows|. The wide matrix is built with
+    dense conditional aggregation (coalesce to 0) so the unpivot has no
+    NULL cells — Spark's EXCLUDE-NULLS default and the SQL mirror then
+    cannot diverge on missingness."""
+    ev = load(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == t, F.col("value"))), F.lit(0.0)
+            ).alias(t)
+            for t in EVENT_TYPES
+        ]
+    )
+    return wide.unpivot(
+        ids="user_id", values=EVENT_TYPES, variableColumnName="event_type", valueColumnName="raw_total"
+    ).select(
+        "user_id", "event_type", F.round("raw_total", 6).alias("total")
+    )

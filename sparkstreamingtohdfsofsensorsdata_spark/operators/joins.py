@@ -460,3 +460,57 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.col("a.user_id")).alias("n_left_users"),
         )
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+        WITH a AS (
+            SELECT nullif(user_id % 10, 3) AS cohort, count(*) AS clicks
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        ),
+        b AS (
+            SELECT nullif(user_id % 10, 3) AS cohort, count(*) AS purchases
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT a.cohort AS cohort_a, b.cohort AS cohort_b,
+               a.clicks, b.purchases
+        FROM a FULL OUTER JOIN b ON a.cohort IS NOT DISTINCT FROM b.cohort
+    """,
+    description="Null-safe equi join (<=> / IS NOT DISTINCT FROM) over nullable keys",
+    tags=("join", "null"),
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``<=>`` treats NULL as a joinable value: the NULL cohort rows on
+    the two sides pair up instead of falling out (a plain ``=`` full
+    outer join would emit two unmatched rows). Spark hashes EqualNullSafe
+    keys like any other — NULL gets a partition — so this stays a normal
+    shuffled (or broadcast) hash join at 100 TB, NOT a nested-loop
+    fallback; that is the practical reason to prefer ``<=>`` over
+    ``coalesce(k, sentinel) =`` rewrites, which corrupt real sentinel
+    values. Both cohort columns are projected so the output proves the
+    pairing (NULL, NULL) happened on the join, not in a later coalesce."""
+    ev = load(spark, sf_dir, "events")
+    cohort = F.nullif(F.col("user_id") % 10, F.lit(3)).alias("cohort")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .select(cohort)
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("clicks"))
+        .alias("a")
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(cohort)
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("purchases"))
+        .alias("b")
+    )
+    return a.join(
+        b, F.col("a.cohort").eqNullSafe(F.col("b.cohort")), "full_outer"
+    ).select(
+        F.col("a.cohort").alias("cohort_a"),
+        F.col("b.cohort").alias("cohort_b"),
+        "clicks",
+        "purchases",
+    )

@@ -104,6 +104,9 @@ def query(
 # DRIVER refreshes next.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # --- window 1 (50): first, the round-8 additions (never verified) ---
+    "q_unpivot",
+    "q_subquery_not_in",
+    "q_join_null_safe",
     "q_llm_dedup_incremental",
     "q_llm_length_bucket",
     "q_llm_split_assign",
