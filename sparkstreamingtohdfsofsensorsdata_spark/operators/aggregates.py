@@ -14,7 +14,7 @@ without weakening it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -758,4 +758,63 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids="user_id", values=EVENT_TYPES, variableColumnName="event_type", valueColumnName="raw_total"
     ).select(
         "user_id", "event_type", F.round("raw_total", 6).alias("total")
+    )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag AS grp,
+                   l_extendedprice AS v,
+                   sum(CAST(l_quantity AS BIGINT)) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum,
+                   sum(CAST(l_quantity AS BIGINT)) OVER (
+                       PARTITION BY l_returnflag
+                   ) AS tot
+            FROM lineitem
+        )
+        SELECT grp,
+               min(CASE WHEN 2 * cum >= tot THEN v END)      AS w_median,
+               min(CASE WHEN 10 * cum >= 9 * tot THEN v END) AS w_p90,
+               CAST(min(tot) AS BIGINT)                      AS total_weight
+        FROM ranked
+        GROUP BY grp
+    """,
+    description="Weighted median / weighted p90 per group via cumulative-weight crossing",
+    tags=("agg", "percentile", "weighted"),
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quantiles have no Spark builtin; the scalable shape is
+    the textbook one: ONE shuffle on the group key, a running weight sum
+    in sorted order, and the answer is the first value whose cumulative
+    weight crosses q*total. Weights are cast to BIGINT so the crossing
+    predicate (2*cum >= tot) is exact integer arithmetic — a float
+    cumsum would make the boundary row engine-dependent (sum order).
+    Tie order (v, l_orderkey, l_linenumber) is total, so the running
+    sum is reproducible row-for-row. Both quantiles fall out of the
+    same pass via conditional min — no second filter/scan."""
+    li = load(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    wt = F.col("l_quantity").cast("long")
+    ranked = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+        F.sum(wt).over(w_cum).alias("cum"),
+        F.sum(wt).over(w_tot).alias("tot"),
+    )
+    return ranked.groupBy("grp").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("v"))).alias("w_median"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("v"))
+        ).alias("w_p90"),
+        F.min("tot").cast("long").alias("total_weight"),
     )

@@ -514,3 +514,93 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clicks",
         "purchases",
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+        SELECT p.event_id,
+               p.user_id,
+               CAST(date_trunc('second', p.ts) AS TIMESTAMP) AS purchase_ts,
+               (SELECT v.event_id FROM events v
+                 WHERE v.user_id = p.user_id
+                   AND v.event_type = 'view'
+                 ORDER BY
+                   abs(CAST(epoch(date_trunc('second', v.ts)) AS BIGINT)
+                       - CAST(epoch(date_trunc('second', p.ts)) AS BIGINT)),
+                   (date_trunc('second', v.ts) > date_trunc('second', p.ts)),
+                   v.event_id DESC
+                 LIMIT 1) AS nearest_view_id
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    """,
+    description="Nearest-direction as-of join: closest view in EITHER direction, backward wins ties",
+    tags=("join", "asof"),
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``merge_asof(direction='nearest')`` semantics at Spark
+    scale: the nearest view is necessarily one of {closest at-or-before,
+    closest at-or-after}, so two union-window passes (the q_join_asof
+    carry, run once forward and once on negated epochs) produce both
+    candidates with their timestamps, and a row-local CASE picks the
+    smaller second-grain distance — backward preferred on exact ties,
+    max event_id within equal-ts views (both passes share that rule, so
+    a zero-distance tie resolves identically either way). Cost: two
+    shuffles on user_id and a cheap self-join keyed by the unique
+    purchase event_id — never a range-join explosion. All distances are
+    BIGINT seconds from second-truncated instants: exact arithmetic,
+    and immune to the fixture's ns-vs-us precision split (SURVEY §1.3)."""
+    ev = load(spark, sf_dir, "events")
+    sec = F.date_trunc("second", F.col("ts"))
+    t = F.unix_timestamp(sec).alias("t")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", t, F.col("event_id").alias("view_event_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", t, "event_id", sec.alias("purchase_ts")
+    )
+
+    def _directional(vdf: DataFrame, pdf: DataFrame, flip: bool) -> DataFrame:
+        sign = -1 if flip else 1
+        v = vdf.select(
+            "user_id", (sign * F.col("t")).alias("ot"), "view_event_id",
+            F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"),
+        )
+        p = pdf.select(
+            "user_id", (sign * F.col("t")).alias("ot"),
+            F.lit(None).cast("long").alias("view_event_id"),
+            F.lit(1).alias("side"), "event_id",
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ot", "side", "view_event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = v.unionByName(p).select(
+            "side", "event_id",
+            F.last("view_event_id", ignorenulls=True).over(w).alias("cand_id"),
+            F.last(
+                F.when(F.col("side") == 0, F.col("ot")), ignorenulls=True
+            ).over(w).alias("cand_ot"),
+        )
+        return carried.filter(F.col("side") == 1).select(
+            "event_id",
+            F.col("cand_id").alias("back_id" if not flip else "fwd_id"),
+            (sign * F.col("cand_ot")).alias("back_t" if not flip else "fwd_t"),
+        )
+
+    back = _directional(views, purchases, flip=False)
+    fwd = _directional(views, purchases, flip=True)
+    both = purchases.join(back, "event_id", "left").join(fwd, "event_id", "left")
+    back_diff = F.col("t") - F.col("back_t")
+    fwd_diff = F.col("fwd_t") - F.col("t")
+    return both.select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.when(F.col("back_id").isNull(), F.col("fwd_id"))
+        .when(F.col("fwd_id").isNull(), F.col("back_id"))
+        .when(fwd_diff < back_diff, F.col("fwd_id"))
+        .otherwise(F.col("back_id"))
+        .alias("nearest_view_id"),
+    )

@@ -237,3 +237,53 @@ def q_win_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") / F.first("o_totalprice").over(w), 6
         ).alias("frac_of_top"),
     )
+
+
+@query(
+    "q_win_running_distinct",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id,
+                   CASE WHEN row_number() OVER (
+                       PARTITION BY user_id, event_type ORDER BY event_id
+                   ) = 1 THEN 1 ELSE 0 END AS first_seen
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(sum(first_seen) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS distinct_types_so_far
+        FROM flagged
+    """,
+    description="Running COUNT(DISTINCT) over a window via first-occurrence flags",
+    tags=("window", "distinct"),
+)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neither Spark nor ANSI allows COUNT(DISTINCT) OVER a running
+    frame; the scalable rewrite marks each row that is the FIRST
+    occurrence of its (partition, value) pair (row_number == 1 over the
+    finer key) and running-sums the 0/1 flag over the coarser key. Two
+    window passes, and since (user_id, event_type) hash-partitions are
+    a refinement of user_id partitions the second pass is sort-only
+    under AQE-preserved partitioning — versus the naive
+    collect_set-over-window, whose per-row set state is O(n^2) memory
+    at 100 TB. Ordering is by event_id (unique), never raw ts (ns/us
+    divergence, SURVEY §1.3)."""
+    ev = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )

@@ -107,6 +107,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_unpivot",
     "q_subquery_not_in",
     "q_join_null_safe",
+    "q_agg_weighted_median",
+    "q_win_running_distinct",
+    "q_join_asof_nearest",
     "q_llm_dedup_incremental",
     "q_llm_length_bucket",
     "q_llm_split_assign",
