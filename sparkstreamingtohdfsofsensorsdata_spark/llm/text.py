@@ -1172,3 +1172,129 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nll"), 6).alias("min_nll"),
         F.round(F.max("nll"), 6).alias("max_nll"),
     )
+
+
+_URL_SCHEME_HOST_RE = r"^[a-z]+://([^/?#]+)"
+_URL_PATH_RE = r"^[a-z]+://[^/?#]+([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+
+
+@query(
+    "q_llm_url_normalize",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   'http' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END
+                   || '://'
+                   || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END
+                   || '.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR)
+                   || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN '?utm_source=feed&page=' || CAST(doc_id % 3 AS VARCHAR) || '&ref=tw'
+                           WHEN doc_id % 4 = 1
+                           THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id, url,
+                   'https://'
+                   || regexp_replace(lower(regexp_extract(url, '{_URL_SCHEME_HOST_RE}', 1)), '^www\\.', '')
+                   || regexp_replace(regexp_extract(url, '{_URL_PATH_RE}', 1), '/$', '')
+                   || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+            FROM (
+                SELECT doc_id, url,
+                       -- coalesce: DuckDB array_to_string([]) is NULL,
+                       -- Spark array_join([]) is '' — fold to ''
+                       coalesce(array_to_string(
+                           list_filter(string_split(regexp_extract(url, '{_URL_QUERY_RE}', 1), '&'),
+                                       x -> NOT (x LIKE 'utm_%' OR x LIKE 'ref=%') AND x <> ''),
+                           '&'), '') AS kept
+                FROM raw
+            )
+        )
+        SELECT canonical_url,
+               count(*)                      AS n_variants,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+               min(doc_id)                   AS keep_doc_id
+        FROM canon
+        GROUP BY canonical_url
+    """,
+    description="URL canonicalization + URL-level dedup (scheme/case/www/tracking-param/fragment folding)",
+    tags=("llm", "dedup", "url"),
+)
+def q_llm_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup is the first pass of every web-corpus pipeline
+    (RefinedWeb/CCNet run it before any content hashing): fold the
+    crawl-noise degrees of freedom — scheme, host case, ``www.``,
+    trailing slash, tracking params, fragments — then keep one doc per
+    canonical URL. The fixture has no URL column, so a deterministic
+    messy URL is synthesized per doc (same convention as
+    q_llm_domain_stats) with doc_id-driven variation in every noise
+    dimension. All canonicalization is JVM-side regexp/HOF column math
+    — component extraction by single-match regexp (immune to the
+    replace-first-vs-all engine split), query-param filtering via
+    split → array filter → rejoin. One aggregation shuffle keyed by
+    canonical URL; at 100 TB this is the cheapest dedup tier (no
+    shingling, no pairwise anything), and the keep rule (min doc_id)
+    is the stable tie-break the later content tiers assume."""
+    docs = load(spark, sf_dir, "documents")
+    url = (
+        F.concat(
+            F.lit("http"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("s")).otherwise(F.lit("")),
+            F.lit("://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.upper("source")).otherwise(
+                F.col("source")
+            ),
+            F.lit(".example.com/docs/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit("?utm_source=feed&page="),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit("&ref=tw"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.lit("?page="), (F.col("doc_id") % 3).cast("string")),
+            )
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        )
+    ).alias("url")
+    raw = docs.select("doc_id", url)
+    kept = F.array_join(
+        F.filter(
+            F.split(F.regexp_extract("url", _URL_QUERY_RE, 1), "&"),
+            lambda x: ~(x.startswith("utm_") | x.startswith("ref=")) & (x != ""),
+        ),
+        "&",
+    )
+    canon = raw.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.regexp_replace(
+                F.lower(F.regexp_extract("url", _URL_SCHEME_HOST_RE, 1)),
+                r"^www\.",
+                "",
+            ),
+            F.regexp_replace(
+                F.regexp_extract("url", _URL_PATH_RE, 1), r"/$", ""
+            ),
+            F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.countDistinct("url").alias("n_distinct_raw"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )

@@ -110,6 +110,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_agg_weighted_median",
     "q_win_running_distinct",
     "q_join_asof_nearest",
+    "q_stream_stream_left_join",
+    "q_llm_url_normalize",
     "q_llm_dedup_incremental",
     "q_llm_length_bucket",
     "q_llm_split_assign",

@@ -162,3 +162,52 @@ def purchases_joined_views(
         & (F.col("v_ts") > F.col("p_ts") - F.expr(within))
     )
     return purchases.join(views, cond, "inner").select("p_id", "v_id", "p_user")
+
+
+def purchases_left_joined_views(
+    events: DataFrame,
+    within: str = "INTERVAL 10 MINUTES",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, matched to the
+    same user's views in the preceding ``within`` — or a NULL view if
+    none arrived. Unlike the inner variant, the null row for an
+    unmatched purchase can only be emitted once the watermark proves no
+    further view can match, so this op needs a REAL (tight) watermark,
+    not the retain-all one: the engine emits the null-extended row when
+    the watermark passes the purchase's match horizon, and evicts its
+    state in the same move. State per side stays bounded by
+    (watermark + within) of event time — the production story at
+    100 TB/day, where retain-all would OOM the state store."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr(within))
+    )
+    # NOTE: do NOT filter the flush sentinel (p_user < 0) here. A filter
+    # on left-side columns is pushed below the left branch's
+    # withWatermark by Catalyst, which removes the sentinel BEFORE the
+    # watermark node — the purchases-side watermark then never advances
+    # past the real data, and under multipleWatermarkPolicy=min the
+    # global watermark stalls with it (observed: the last ~30 min of
+    # unmatched purchases never null-emit). Sentinel rows are dropped by
+    # the caller after materialization.
+    return purchases.join(views, cond, "left_outer").select("p_id", "v_id", "p_user")

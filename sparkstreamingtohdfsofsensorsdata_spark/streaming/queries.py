@@ -338,3 +338,79 @@ def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     if final is None:
         raise RuntimeError("no snapshot was published by any epoch")
     return final.select("user_id", "value", "event_id")
+
+
+@query(
+    "q_stream_stream_left_join",
+    oracle="""
+        SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id AS p_user
+        FROM events p
+        LEFT JOIN events v
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view'
+         AND v.ts <= p.ts
+         AND v.ts > p.ts - INTERVAL 10 MINUTE
+        WHERE p.event_type = 'purchase'
+    """,
+    description="Stream-stream LEFT OUTER join: watermark-driven null emission for unmatched purchases",
+    tags=("streaming", "join"),
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outer-join twin of q_stream_stream_join, exercising the one
+    behavior the inner join never touches: null-extended rows exist
+    ONLY because the watermark advanced past a purchase's match
+    horizon. Two rig consequences, both the production shape:
+
+    - the replay must be CHUNKED (ts-ordered micro-batches) so the
+      watermark genuinely advances between batches rather than jumping
+      once at end-of-input;
+    - a final flush chunk carries one sentinel row per side (user_id
+      -1, ts = max + 1 year) to push the watermark past every real
+      purchase — the availableNow no-data finalization batch then
+      emits the remaining null-extended rows. A live deployment gets
+      this for free from the next day's traffic; a bounded replay has
+      to say "input is over" in event time, exactly like Kafka
+      topologies inject heartbeat messages into quiet partitions.
+      Sentinels join to nothing (negative user) and are dropped inside
+      the op before the sink."""
+    import datetime
+    import glob as _glob
+    import os
+
+    from ..sources.factory import EVENTS_TS_SCHEMA, make_replay_dir, stream_source
+
+    base = scratch_dir("sslj_")
+    replay = make_replay_dir(spark, sf_dir, os.path.join(base, "replay"), n_chunks=4)
+    # TWO flush chunks: watermark(batch N) = max event time through
+    # batch N-1, so the batch that processes flush #1 still runs on the
+    # pre-flush watermark, and availableNow terminates without a
+    # no-data finalization batch. Flush #2 is a real batch executed
+    # WITH flush #1's (+1 year) watermark — that's the batch that
+    # evicts and null-emits the tail purchases.
+    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    for i in (998, 999):
+        flush = os.path.join(replay, f"chunk_{i}.parquet")
+        if os.path.exists(flush):
+            continue
+        flush_ts = max_ts + datetime.timedelta(days=365 + (i - 998))
+        rows = [
+            (-1, flush_ts, -1, "purchase", 0.0, ""),
+            (-2, flush_ts, -1, "view", 0.0, ""),
+        ]
+        tmp = os.path.join(base, "_flush_tmp")
+        (
+            spark.createDataFrame(rows, EVENTS_TS_SCHEMA)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        os.replace(part, flush)
+    stream = stream_source(spark, replay, max_files_per_trigger=1)
+    result = run_to_memory(
+        ops.purchases_left_joined_views(stream), output_mode="append"
+    )
+    # Sentinels are dropped HERE, on the materialized batch result — an
+    # in-stream filter on left-side columns would be pushed below the
+    # watermark node and stall it (see purchases_left_joined_views).
+    return result.filter(F.col("p_user") >= 0)

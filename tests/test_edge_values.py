@@ -278,6 +278,12 @@ KEYS = [
     "q_agg_bitmap_distinct",
     "q_sample_group_topk",
     "q_scan_schema_evolution",
+    "q_unpivot",
+    "q_subquery_not_in",
+    "q_join_null_safe",
+    "q_agg_weighted_median",
+    "q_win_running_distinct",
+    "q_join_asof_nearest",
     "q_agg_group",
     "q_agg_global",
     "q_agg_count_distinct",

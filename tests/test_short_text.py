@@ -52,6 +52,7 @@ KEYS = [
     "q_llm_length_bucket",
     "q_llm_split_assign",
     "q_llm_unigram_logprob",
+    "q_llm_url_normalize",
     # the rest of the deterministic documents-reading surface, now
     # exposed to NULL/whitespace/unicode/emoji/stopword-only texts
     "q_llm_text_stats",

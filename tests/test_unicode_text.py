@@ -112,6 +112,7 @@ KEYS = [
     "q_llm_length_bucket",
     "q_llm_split_assign",
     "q_llm_unigram_logprob",
+    "q_llm_url_normalize",
 ]
 
 
