@@ -548,3 +548,78 @@ def test_interpolate_single_series_exchange(spark):
         r"Exchange hashpartitioning\(event_type#\d+, \d+\)", text
     )
     assert len(series_exchanges) <= 1, series_exchanges
+
+
+def test_unpivot_is_expand_no_extra_shuffle(spark):
+    # DataFrame.unpivot must plan as a row-local Expand above the one
+    # aggregation exchange — a generator that re-shuffles would turn a
+    # map stage into a second wide dependency at 100 TB.
+    import re
+
+    text = inspect.plan_str(q(spark, "q_unpivot"))
+    assert "Expand" in text
+    assert len(re.findall(r"Exchange hashpartitioning", text)) == 1
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    # NOT IN under a nullable probe list must become Spark's null-aware
+    # anti join (the trailing `true` flag on the LeftAnti broadcast);
+    # the IN branch a plain LeftSemi. If NAAJ degenerated to a
+    # BroadcastNestedLoopJoin the key would silently stop scaling.
+    text = inspect.plan_str(q(spark, "q_subquery_not_in"))
+    assert "LeftAnti, BuildRight, true" in text
+    assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_null_safe_join_stays_hash_based(spark):
+    # <=> must keep a hash-family join (NULL hashes like any key);
+    # nested-loop here would mean Catalyst failed to extract the
+    # EqualNullSafe key and the join is all-pairs at scale.
+    text = inspect.plan_str(q(spark, "q_join_null_safe"))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert ("SortMergeJoin" in text) or ("BroadcastHashJoin" in text) or (
+        "ShuffledHashJoin" in text
+    )
+
+
+def test_weighted_median_single_key_two_windows(spark):
+    # Both window passes (running cum + per-group total) and the final
+    # aggregation share the group key: at most 2 exchanges total, and
+    # the answer never leaves the JVM.
+    import re
+
+    text = inspect.plan_str(q(spark, "q_agg_weighted_median"))
+    assert text.count("Window") == 2
+    assert len(re.findall(r"Exchange hashpartitioning", text)) <= 2
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_running_distinct_two_exchanges_max(spark):
+    # The (user_id, event_type) first-occurrence pass and the user_id
+    # running-sum pass are distinct partitionings — 2 exchanges is the
+    # contract; a collect_set rewrite would add per-row set state.
+    import re
+
+    text = inspect.plan_str(q(spark, "q_win_running_distinct"))
+    assert text.count("Window") == 2
+    assert len(re.findall(r"Exchange hashpartitioning", text)) <= 2
+
+
+def test_asof_nearest_no_nested_loop(spark):
+    # Nearest = two union-window carries + an equi self-join on the
+    # unique purchase id; any BroadcastNestedLoopJoin would mean the
+    # range-join explosion this construction exists to avoid.
+    text = inspect.plan_str(q(spark, "q_join_asof_nearest"))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert text.count("Window") == 2
+
+
+def test_url_normalize_pure_jvm_single_agg(spark):
+    # Canonicalization is all JVM column math; the only wide deps are
+    # the canonical-url aggregation's two-phase distinct (2 exchanges).
+    import re
+
+    text = inspect.plan_str(q(spark, "q_llm_url_normalize"))
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    assert "Join" not in text
+    assert len(re.findall(r"Exchange hashpartitioning", text)) <= 2
