@@ -449,3 +449,229 @@ def q_subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate, which is exactly why production pipelines prefer
     NOT EXISTS — this key pins both behaviors side by side."""
     return _sql(spark, sf_dir, _NOT_IN)
+
+
+_Q4 = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+            AND l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "q_tpch_q4",
+    oracle=_Q4,
+    description="TPC-H Q4 (order priority checking, adapted): correlated EXISTS -> semi join + agg",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapted: the fixture carries no l_commitdate/l_receiptdate, so
+    'late' is l_shipdate > o_orderdate + 90 days — the EXISTS still
+    correlates on BOTH an equality (orderkey) and an inequality over an
+    outer column, which Catalyst decorrelates into a left-semi join
+    with the inequality as a post-join condition. One shuffle pair on
+    orderkey, then a tiny priority aggregation."""
+    return _sql(spark, sf_dir, _Q4)
+
+
+_Q8 = """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem
+        JOIN part      ON p_partkey = l_partkey
+        JOIN supplier  ON s_suppkey = l_suppkey
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+          AND p_type = 'PROMO'
+          AND o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate <  DATE '1997-01-01'
+    ) all_volume
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@query(
+    "q_tpch_q8",
+    float_dp={"mkt_share": 6},
+    oracle=_Q8,
+    description="TPC-H Q8 (national market share, adapted): 8-way star join + conditional ratio per year",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The widest golden join (8 tables, nation twice under different
+    roles). Every dimension is broadcast at any SF — only lineitem x
+    orders is a real shuffle pair — and the two CASE sums are the only
+    values crossing the final exchange. The supplier-nation share of
+    an AMERICA-region customer market, per order year."""
+    return _sql(spark, sf_dir, _Q8)
+
+
+_Q12 = """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >  o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+"""
+
+
+@query(
+    "q_tpch_q12",
+    oracle=_Q12,
+    description="TPC-H Q12 (shipping delay vs priority, adapted): join + dual conditional counts",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapted: no l_shipmode/l_receiptdate in the fixture — the class
+    column is l_linestatus and 'late' is ship > order + 60 days. The
+    join condition's inequality references both sides, so it stays a
+    residual on the orderkey equi join; the two CASE counts partial-
+    aggregate map-side (integer sums cast to BIGINT to match DuckDB's
+    HUGEINT sum)."""
+    return _sql(spark, sf_dir, _Q12)
+
+
+_Q15 = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(floor(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                   AS total_revenue_flr
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue_flr
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue_flr = (SELECT max(total_revenue_flr) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+@query(
+    "q_tpch_q15",
+    oracle=_Q15,
+    description="TPC-H Q15 (top supplier, adapted): CTE reuse + scalar max subquery",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue CTE is referenced twice (argmax pattern); Catalyst
+    evaluates the scalar max as its own tiny job and folds it into the
+    main filter. Revenues are floor()ed to BIGINT BEFORE the equality
+    compare — the Q22 guard: a float sum's last ulp must never decide
+    WHICH rows the argmax keeps."""
+    return _sql(spark, sf_dir, _Q15)
+
+
+_Q17 = """
+    WITH pq AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem li
+    JOIN part ON p_partkey = li.l_partkey
+    JOIN pq   ON pq.l_partkey = li.l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND p_size < 15
+      AND 5 * CAST(li.l_quantity AS BIGINT) * cnt < qsum
+"""
+
+
+@query(
+    "q_tpch_q17",
+    float_dp={"avg_yearly": 2},
+    oracle=_Q17,
+    description="TPC-H Q17 (small-quantity-order revenue, adapted): per-part avg threshold as exact integer arithmetic",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original's correlated `l_quantity < 0.2 * avg(l_quantity)`
+    is rewritten as `5 * qty * cnt < qsum` over a per-part aggregate
+    join: the fixture's quantities are integral, so the threshold
+    becomes EXACT integer arithmetic and the row membership cannot
+    flip on a float-avg ulp between engines (the class of boundary
+    q_tpch_q22 floors away). Decorrelated shape = groupBy(partkey) +
+    one equi join, the same plan Catalyst builds for the subquery
+    form, but with the float hazard engineered out."""
+    return _sql(spark, sf_dir, _Q17)
+
+
+_Q21 = """
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_orderkey, l_suppkey
+    ),
+    ordstats AS (
+        SELECT l.l_orderkey,
+               count(DISTINCT l.l_suppkey)  AS n_supps,
+               count(DISTINCT lt.l_suppkey) AS n_late_supps
+        FROM lineitem l
+        LEFT JOIN late lt
+               ON lt.l_orderkey = l.l_orderkey AND lt.l_suppkey = l.l_suppkey
+        GROUP BY l.l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late
+    JOIN ordstats ON ordstats.l_orderkey = late.l_orderkey
+    JOIN supplier ON s_suppkey = late.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_supps > 1
+      AND n_late_supps = 1
+      AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@query(
+    "q_tpch_q21",
+    oracle=_Q21,
+    description="TPC-H Q21 (suppliers who kept orders waiting, adapted): sole-late-supplier via relational set algebra",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original's EXISTS / NOT EXISTS pair (another supplier on the
+    order; no OTHER supplier late) is expressed as per-order set
+    counts: a supplier 'kept the order waiting' iff the order has >1
+    distinct supplier and exactly 1 distinct LATE supplier (this one).
+    Same semantics, but the doubly-correlated non-equi NOT EXISTS —
+    whose decorrelation re-joins lineitem twice — becomes one grouped
+    pass over lineitem plus equi joins only. Ties at the LIMIT edge
+    are impossible: (numwait DESC, s_name) is a total order."""
+    return _sql(spark, sf_dir, _Q21)

@@ -112,6 +112,12 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_join_asof_nearest",
     "q_stream_stream_left_join",
     "q_llm_url_normalize",
+    "q_tpch_q4",
+    "q_tpch_q8",
+    "q_tpch_q12",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q21",
     "q_llm_dedup_incremental",
     "q_llm_length_bucket",
     "q_llm_split_assign",

@@ -303,6 +303,12 @@ KEYS = [
     "q_tpch_q18",
     "q_tpch_q19",
     "q_tpch_q22",
+    "q_tpch_q4",
+    "q_tpch_q8",
+    "q_tpch_q12",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q21",
     "q_subquery_scalar",
     "q_subquery_correlated",
     # scans/sinks/samples/merge re-write and re-read the hostile rows
