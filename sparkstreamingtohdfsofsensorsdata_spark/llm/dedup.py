@@ -1096,3 +1096,160 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
         "min_hamming",
     )
+
+
+@query(
+    "q_llm_ngram_containment",
+    float_dp={"containment": 6},
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, length(coalesce(text, '')) - 1),
+                       i -> substr(coalesce(text, ''), i, 3))) AS s
+            FROM documents
+            WHERE doc_id < 150
+        ),
+        ex AS (
+            SELECT DISTINCT doc_id, unnest(s) AS g FROM sh
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(greatest(
+                   len(list_intersect(sa.s, sb.s)) / CAST(len(sa.s) AS DOUBLE),
+                   len(list_intersect(sa.s, sb.s)) / CAST(len(sb.s) AS DOUBLE)
+               ), 6) AS containment
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE len(sa.s) > 0 AND len(sb.s) > 0
+          AND greatest(
+                  len(list_intersect(sa.s, sb.s)) / CAST(len(sa.s) AS DOUBLE),
+                  len(list_intersect(sa.s, sb.s)) / CAST(len(sb.s) AS DOUBLE)
+              ) >= 0.5
+        ORDER BY containment DESC, id_a, id_b
+        LIMIT 20
+    """,
+    description="n-gram containment (asymmetric near-dup): |A∩B|/min-side via inverted-index candidates",
+    tags=("llm", "dedup", "containment"),
+)
+def q_llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard under-scores subset duplication (a paragraph quoted
+    inside a much larger doc): containment |A∩B|/|A| stays 1.0 however
+    big B grows, which is why corpus pipelines track both. Candidates
+    come from an inverted-index join on shared shingles — only pairs
+    sharing ≥1 n-gram are ever scored, never all-pairs — then ONE
+    rejoin per side fetches the shingle arrays and the score is
+    row-local JVM array math. At 100 TB the candidate join is the
+    standard hot-shingle skew risk, bounded exactly like
+    q_llm_boilerplate's hot-line set (drop top-frequency shingles —
+    they carry no discrimination). The doc_id < 150 slice is the
+    oracle tier, same convention as q_llm_ngram_jaccard/simhash."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .withColumn("text", F.coalesce("text", F.lit("")))
+    )
+    sh = docs.select("doc_id", F.expr(SHINGLES_EXPR).alias("s"))
+    ex = sh.select("doc_id", F.explode("s").alias("g")).distinct()
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    ni = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    score = F.greatest(
+        ni / F.size(F.col("sa.s")).cast("double"),
+        ni / F.size(F.col("sb.s")).cast("double"),
+    )
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .filter((F.size(F.col("sa.s")) > 0) & (F.size(F.col("sb.s")) > 0))
+        .filter(score >= 0.5)
+        .select("id_a", "id_b", F.round(score, 6).alias("containment"))
+        .orderBy(F.col("containment").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+_PASSAGE_WORDS = 12
+
+_PASSAGE_HASHES_EXPR = (
+    "transform("
+    f" sequence(0, cast(ceil(size(words) / {_PASSAGE_WORDS}.0) as int) - 1),"
+    f" i -> md5(array_join(slice(words, i * {_PASSAGE_WORDS} + 1, {_PASSAGE_WORDS}), ' ')))"
+)
+
+
+@query(
+    "q_llm_passage_dedup",
+    float_dp={"dup_fraction": 6},
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(lower(coalesce(text, '')), ' +') AS words
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(words) / {_PASSAGE_WORDS}.0) AS BIGINT)),
+                       i -> md5(array_to_string(
+                           words[i * {_PASSAGE_WORDS} + 1 : i * {_PASSAGE_WORDS} + {_PASSAGE_WORDS}],
+                           ' ')))) AS ph
+            FROM w
+        ),
+        hot AS (
+            SELECT ph FROM p GROUP BY ph HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT doc_id,
+               count(*) AS n_passages,
+               CAST(sum(CASE WHEN hot.ph IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_passages,
+               round(sum(CASE WHEN hot.ph IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+        FROM p LEFT JOIN hot ON p.ph = hot.ph
+        GROUP BY doc_id
+    """,
+    description="Passage-level dedup: fixed word-window hashes, cross-doc duplicated-passage fraction",
+    tags=("llm", "dedup", "passage"),
+)
+def q_llm_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level dedup misses the passage copied into otherwise
+    distinct pages (the dominant duplication mode in web corpora — Lee
+    et al., "Deduplicating Training Data Makes Language Models Better",
+    adapted from suffix-array substrings to disjoint 12-word windows).
+    Passages are cut ROW-LOCALLY with sequence+slice HOFs (no explode
+    until hashes exist, so the shuffle carries 32-char md5s, never
+    text), the cross-doc hot set is one count-distinct aggregation,
+    and the per-doc duplicated fraction is a left-semi-shaped join
+    back. At 100 TB both wide deps key on the passage hash —
+    uniformly distributed by construction, no skew salt needed."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "words", F.split(F.lower(F.coalesce("text", F.lit(""))), " +")
+    )
+    p = docs.select(
+        "doc_id", F.explode(F.expr(_PASSAGE_HASHES_EXPR)).alias("ph")
+    )
+    hot = (
+        p.groupBy("ph")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ph")
+    )
+    flagged = p.join(hot.withColumn("is_hot", F.lit(1)), "ph", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.coalesce("is_hot", F.lit(0))).cast("long").alias("n_dup_passages"),
+        F.round(
+            F.sum(F.coalesce("is_hot", F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_fraction"),
+    )

@@ -818,3 +818,128 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_p90"),
         F.min("tot").cast("long").alias("total_weight"),
     )
+
+
+_HQ_BINS = 32
+
+
+@query(
+    "q_agg_histogram_quantile",
+    float_dp={"p50_est": 6, "p90_est": 6},
+    oracle=f"""
+        WITH b AS (
+            SELECT min(l_extendedprice) AS lo,
+                   greatest((max(l_extendedprice) - min(l_extendedprice))
+                            / {_HQ_BINS}.0, 1e-9) AS w
+            FROM lineitem
+        ),
+        sketch AS (
+            SELECT l_returnflag AS grp, month(l_shipdate) AS mo,
+                   least({_HQ_BINS - 1},
+                         CAST(floor((l_extendedprice - lo) / w) AS INT)) AS bin,
+                   count(*) AS c
+            FROM lineitem CROSS JOIN b
+            GROUP BY 1, 2, 3
+        ),
+        merged AS (
+            SELECT grp, bin, CAST(sum(c) AS BIGINT) AS c
+            FROM sketch GROUP BY grp, bin
+        ),
+        cum AS (
+            SELECT grp, bin, c,
+                   sum(c) OVER (PARTITION BY grp ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cumc,
+                   sum(c) OVER (PARTITION BY grp) AS n
+            FROM merged
+        ),
+        est AS (
+            SELECT grp,
+                   min(CASE WHEN 2 * cumc >= n THEN bin END)      AS bin50,
+                   min(CASE WHEN 10 * cumc >= 9 * n THEN bin END) AS bin90
+            FROM cum GROUP BY grp
+        ),
+        exact AS (
+            SELECT l_returnflag AS grp,
+                   quantile_cont(l_extendedprice, 0.5) AS x50,
+                   quantile_cont(l_extendedprice, 0.9) AS x90
+            FROM lineitem GROUP BY 1
+        )
+        SELECT est.grp AS grp,
+               round(lo + (bin50 + 0.5) * w, 6) AS p50_est,
+               round(lo + (bin90 + 0.5) * w, 6) AS p90_est,
+               (abs(lo + (bin50 + 0.5) * w - x50) <= w) AS ok50,
+               (abs(lo + (bin90 + 0.5) * w - x90) <= w) AS ok90
+        FROM est CROSS JOIN b JOIN exact ON exact.grp = est.grp
+    """,
+    description="Mergeable histogram quantile: per-(group, month) sketch tier re-aggregated, one-bin error bound asserted vs exact",
+    tags=("agg", "sketch", "percentile"),
+)
+def q_agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t-digest/KLL deployment pattern without the opaque binary
+    state: store a tiny equi-width histogram per (group, month)
+    partition, answer later quantile queries by MERGING sketches (sum
+    counts per bin — associative, re-aggregation never rescans raw
+    rows), and read the quantile off the cumulative bin walk. Bin
+    membership and both crossings (2*cum >= n) are exact integer
+    arithmetic; bounds ride a 1-row broadcast (the q_agg_histogram
+    pattern), so the only wide deps are the sketch aggregation and the
+    O(groups x bins) merge. The midpoint estimate is asserted within
+    one bin width of each engine's own exact quantile — the same
+    hash-gated-bound convention as q_agg_hll_union."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    b = li.agg(
+        F.min(price).alias("lo"),
+        F.greatest(
+            (F.max(price) - F.min(price)) / float(_HQ_BINS), F.lit(1e-9)
+        ).alias("w"),
+    )
+    sketch = (
+        li.crossJoin(F.broadcast(b))
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            F.month("l_shipdate").alias("mo"),
+            F.least(
+                F.lit(_HQ_BINS - 1),
+                F.floor((price - F.col("lo")) / F.col("w")).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy("grp", "mo", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = sketch.groupBy("grp", "bin").agg(F.sum("c").cast("long").alias("c"))
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("grp")
+    cum = merged.select(
+        "grp",
+        "bin",
+        F.sum("c").over(w_cum).alias("cumc"),
+        F.sum("c").over(w_tot).alias("n"),
+    )
+    est = cum.groupBy("grp").agg(
+        F.min(F.when(2 * F.col("cumc") >= F.col("n"), F.col("bin"))).alias("bin50"),
+        F.min(F.when(10 * F.col("cumc") >= 9 * F.col("n"), F.col("bin"))).alias(
+            "bin90"
+        ),
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("x50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("x90"),
+    )
+    e50 = F.col("lo") + (F.col("bin50") + 0.5) * F.col("w")
+    e90 = F.col("lo") + (F.col("bin90") + 0.5) * F.col("w")
+    return (
+        est.crossJoin(F.broadcast(b))
+        .join(exact, "grp")
+        .select(
+            "grp",
+            F.round(e50, 6).alias("p50_est"),
+            F.round(e90, 6).alias("p90_est"),
+            (F.abs(e50 - F.col("x50")) <= F.col("w")).alias("ok50"),
+            (F.abs(e90 - F.col("x90")) <= F.col("w")).alias("ok90"),
+        )
+    )

@@ -118,6 +118,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_tpch_q15",
     "q_tpch_q17",
     "q_tpch_q21",
+    "q_llm_ngram_containment",
+    "q_llm_passage_dedup",
+    "q_agg_histogram_quantile",
     "q_llm_dedup_incremental",
     "q_llm_length_bucket",
     "q_llm_split_assign",

@@ -375,24 +375,36 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       the op before the sink."""
     import datetime
     import glob as _glob
+    import hashlib
     import os
+    import tempfile
 
     from ..sources.factory import EVENTS_TS_SCHEMA, make_replay_dir, stream_source
 
-    base = scratch_dir("sslj_")
-    replay = make_replay_dir(spark, sf_dir, os.path.join(base, "replay"), n_chunks=4)
-    # TWO flush chunks: watermark(batch N) = max event time through
-    # batch N-1, so the batch that processes flush #1 still runs on the
-    # pre-flush watermark, and availableNow terminates without a
-    # no-data finalization batch. Flush #2 is a real batch executed
-    # WITH flush #1's (+1 year) watermark — that's the batch that
-    # evicts and null-emits the tail purchases.
-    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
-    for i in (998, 999):
-        flush = os.path.join(replay, f"chunk_{i}.parquet")
-        if os.path.exists(flush):
-            continue
-        flush_ts = max_ts + datetime.timedelta(days=365 + (i - 998))
+    # The replay layout is immutable once built (ts-ordered chunks + one
+    # flush chunk), so it lives at a DETERMINISTIC path and is reused
+    # across runs — make_replay_dir's _COMPLETE marker revalidates the
+    # source fixture's identity, so a rewritten fixture rebuilds. A
+    # fresh scratch dir per run (the foreach_upsert pattern, which
+    # genuinely needs one) would re-pay the sort+chunk+flush build on
+    # every bench invocation.
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(shm, f"sslj_replay_{digest}")
+    os.makedirs(base, exist_ok=True)
+    replay = make_replay_dir(spark, sf_dir, os.path.join(base, "replay"), n_chunks=2)
+    # ONE flush chunk: its sentinels advance max event time, and
+    # availableNow then runs a trailing NO-DATA batch whose watermark
+    # (+1 year - delay) evicts and null-emits the tail purchases.
+    # Every micro-batch of a stream-stream join pays a fixed state
+    # commit cost across both sides' stores, so the replay is kept to
+    # 2 data chunks + flush — enough for the watermark to advance
+    # between real batches (chunk 1's unmatched purchases emit during
+    # chunk 2), cheap enough for the bench.
+    flush = os.path.join(replay, "chunk_999.parquet")
+    if not os.path.exists(flush):
+        max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+        flush_ts = max_ts + datetime.timedelta(days=365)
         rows = [
             (-1, flush_ts, -1, "purchase", 0.0, ""),
             (-2, flush_ts, -1, "view", 0.0, ""),

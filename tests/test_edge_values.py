@@ -276,6 +276,7 @@ KEYS = [
     "q_join_interval_overlap",
     "q_agg_mode",
     "q_agg_bitmap_distinct",
+    "q_agg_histogram_quantile",
     "q_sample_group_topk",
     "q_scan_schema_evolution",
     "q_unpivot",

@@ -53,6 +53,8 @@ KEYS = [
     "q_llm_split_assign",
     "q_llm_unigram_logprob",
     "q_llm_url_normalize",
+    "q_llm_ngram_containment",
+    "q_llm_passage_dedup",
     # the rest of the deterministic documents-reading surface, now
     # exposed to NULL/whitespace/unicode/emoji/stopword-only texts
     "q_llm_text_stats",

@@ -113,6 +113,8 @@ KEYS = [
     "q_llm_split_assign",
     "q_llm_unigram_logprob",
     "q_llm_url_normalize",
+    "q_llm_ngram_containment",
+    "q_llm_passage_dedup",
 ]
 
 
