@@ -623,3 +623,35 @@ def test_url_normalize_pure_jvm_single_agg(spark):
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
     assert "Join" not in text
     assert len(re.findall(r"Exchange hashpartitioning", text)) <= 2
+
+
+def test_containment_candidates_equi_never_all_pairs(spark):
+    # Candidate pairs must come from the shared-shingle EQUI join
+    # (inverted index) — a nested-loop anywhere means the doc_id < x
+    # inequality became the join itself and the op is all-pairs.
+    text = inspect.plan_str(q(spark, "q_llm_ngram_containment"))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "EvalPython" not in text
+
+
+def test_passage_dedup_shuffles_hashes_only(spark):
+    # Passages are cut row-locally (Generate above the scan); both wide
+    # deps key on the md5 hash. No Python, no nested loop, and the
+    # text column must not survive into any Exchange.
+    text = inspect.plan_str(q(spark, "q_llm_passage_dedup"))
+    assert "Generate" in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "EvalPython" not in text
+
+
+def test_histogram_quantile_bounds_broadcast(spark):
+    # The 1-row bounds crossJoin must broadcast (the q_agg_histogram
+    # pattern) — BroadcastNestedLoopJoin with a 1-row build side IS the
+    # right plan; what must never appear is a shuffled bounds join or
+    # Python. Sketch + merge + final stay within 4 exchanges.
+    import re
+
+    text = inspect.plan_str(q(spark, "q_agg_histogram_quantile"))
+    assert "BroadcastExchange" in text
+    assert "EvalPython" not in text
+    assert len(re.findall(r"Exchange hashpartitioning", text)) <= 4
