@@ -504,3 +504,143 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("interpolated"),
         F.round(interp, 6).alias("value_interp"),
     )
+
+
+@query(
+    "q_ts_gap_islands",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events
+        ),
+        anchored AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day
+                   ) AS INT) AS anchor
+            FROM d
+        ),
+        islands AS (
+            SELECT user_id, anchor,
+                   count(*)  AS streak_days,
+                   min(day)  AS streak_start
+            FROM anchored
+            GROUP BY user_id, anchor
+        )
+        SELECT user_id,
+               count(*)                 AS n_islands,
+               CAST(max(streak_days) AS BIGINT) AS longest_streak,
+               CAST(sum(streak_days) AS BIGINT) AS active_days,
+               min(streak_start)        AS first_active_day
+        FROM islands
+        GROUP BY user_id
+    """,
+    description="Gaps-and-islands: consecutive-active-day streaks per user (day - row_number anchor)",
+    tags=("timeseries", "islands"),
+)
+def q_ts_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calendar twin of q_ts_sessionize (which islands by TIME gap):
+    consecutive-day activity streaks via the classic day − row_number()
+    anchor — consecutive days share an anchor date because both advance
+    by one. Everything stays keyed on user_id: one exchange feeds the
+    distinct, the window, and both aggregations (AQE preserves the
+    partitioning), so at 100 TB this is a single wide dependency plus
+    narrow math. Streak comparisons are exact date/int arithmetic —
+    nothing floats."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = d.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("streak_days").cast("long").alias("longest_streak"),
+        F.sum("streak_days").cast("long").alias("active_days"),
+        F.min("streak_start").alias("first_active_day"),
+    )
+
+
+@query(
+    "q_ts_outlier_mad",
+    float_dp={"median_value": 6, "mad_value": 6},
+    oracle="""
+        WITH v AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+            WHERE value IS NOT NULL
+        ),
+        med AS (
+            SELECT event_type, quantile_cont(c, 0.5) AS med_c
+            FROM v GROUP BY event_type
+        ),
+        dev AS (
+            SELECT v.event_type, v.c, abs(v.c - med.med_c) AS ad
+            FROM v JOIN med ON v.event_type = med.event_type
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(ad, 0.5) AS mad_c
+            FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type AS event_type,
+               round(min(med.med_c) / 100, 6)  AS median_value,
+               round(min(mad.mad_c) / 100, 6)  AS mad_value,
+               CAST(sum(CASE WHEN dev.ad > 3 * mad.mad_c THEN 1 ELSE 0 END)
+                    AS BIGINT)                 AS n_outliers,
+               count(*)                        AS n
+        FROM dev
+        JOIN mad ON dev.event_type = mad.event_type
+        JOIN med ON dev.event_type = med.event_type
+        GROUP BY dev.event_type
+    """,
+    description="Robust outlier detection: median absolute deviation per series, 3-MAD rule in exact cents",
+    tags=("timeseries", "stats", "outlier"),
+)
+def q_ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD is the robust scale estimator production monitoring uses
+    where stddev is poisoned by the very outliers it should flag. Two
+    grouped exact-percentile passes; the per-group medians are
+    |event_type| rows, so both rejoins broadcast — the corpus never
+    re-shuffles. The boundary hazard (count flips when |v−med| sits
+    within an ulp of 3·MAD) is engineered out by working in integer
+    CENTS: medians of BIGINTs are exact half-integers in a double, so
+    `ad > 3*mad` compares exactly-representable values on both
+    engines."""
+    v = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+        )
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("med_c")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "c", F.abs(F.col("c") - F.col("med_c")).alias("ad"),
+        "med_c",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med_c") / 100, 6).alias("median_value"),
+            F.round(F.min("mad_c") / 100, 6).alias("mad_value"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad_c"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -121,6 +121,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_ngram_containment",
     "q_llm_passage_dedup",
     "q_agg_histogram_quantile",
+    "q_stream_update_mode",
+    "q_ts_gap_islands",
+    "q_ts_outlier_mad",
     "q_llm_dedup_incremental",
     "q_llm_length_bucket",
     "q_llm_split_assign",

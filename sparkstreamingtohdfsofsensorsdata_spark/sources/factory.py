@@ -287,3 +287,23 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
         table_path(sf_dir, "documents") + "*"
     )
+
+
+def memo_replay_dir(
+    spark: SparkSession, sf_dir: str, n_chunks: int, tag: str
+) -> str:
+    """Chunked replay dir at a DETERMINISTIC path, reused across runs
+    and processes: the layout is immutable once built, and
+    make_replay_dir's _COMPLETE marker revalidates the source fixture's
+    identity (a rewritten fixture rebuilds). Use this for replay
+    layouts that never change per run; queries that genuinely need a
+    fresh dir each run (foreach_upsert's pointer store) keep using
+    scratch_dir."""
+    import hashlib
+    import tempfile
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(shm, f"{tag}_replay_{digest}")
+    os.makedirs(base, exist_ok=True)
+    return make_replay_dir(spark, sf_dir, os.path.join(base, "replay"), n_chunks)

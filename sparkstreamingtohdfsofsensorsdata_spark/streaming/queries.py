@@ -375,24 +375,11 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       the op before the sink."""
     import datetime
     import glob as _glob
-    import hashlib
     import os
-    import tempfile
 
-    from ..sources.factory import EVENTS_TS_SCHEMA, make_replay_dir, stream_source
+    from ..sources.factory import EVENTS_TS_SCHEMA, memo_replay_dir, stream_source
 
-    # The replay layout is immutable once built (ts-ordered chunks + one
-    # flush chunk), so it lives at a DETERMINISTIC path and is reused
-    # across runs — make_replay_dir's _COMPLETE marker revalidates the
-    # source fixture's identity, so a rewritten fixture rebuilds. A
-    # fresh scratch dir per run (the foreach_upsert pattern, which
-    # genuinely needs one) would re-pay the sort+chunk+flush build on
-    # every bench invocation.
-    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    base = os.path.join(shm, f"sslj_replay_{digest}")
-    os.makedirs(base, exist_ok=True)
-    replay = make_replay_dir(spark, sf_dir, os.path.join(base, "replay"), n_chunks=2)
+    replay = memo_replay_dir(spark, sf_dir, n_chunks=2, tag="sslj")
     # ONE flush chunk: its sentinels advance max event time, and
     # availableNow then runs a trailing NO-DATA batch whose watermark
     # (+1 year - delay) evicts and null-emits the tail purchases.
@@ -409,7 +396,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-1, flush_ts, -1, "purchase", 0.0, ""),
             (-2, flush_ts, -1, "view", 0.0, ""),
         ]
-        tmp = os.path.join(base, "_flush_tmp")
+        tmp = os.path.join(os.path.dirname(replay), "_flush_tmp")
         (
             spark.createDataFrame(rows, EVENTS_TS_SCHEMA)
             .coalesce(1)
@@ -426,3 +413,64 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-stream filter on left-side columns would be pushed below the
     # watermark node and stall it (see purchases_left_joined_views).
     return result.filter(F.col("p_user") >= 0)
+
+
+@query(
+    "q_stream_update_mode",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               count(*)               AS n,
+               round(sum(value), 6)   AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="Update-output-mode streaming agg: changelog captured per epoch, last-write state equals batch",
+    tags=("streaming", "agg", "update"),
+)
+def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third output mode, untouched by the other streaming keys
+    (complete re-emits everything; append emits once below watermark):
+    UPDATE emits only the groups a micro-batch changed. The rig
+    captures every epoch's changelog through foreachBatch and folds it
+    last-write-wins per group — the exact reconstruction a downstream
+    keyed store (Redis/HBase) performs — and that folded state must
+    equal the batch aggregation. The chunked replay makes epochs
+    overlap groups (a day's window spans chunk boundaries), so the
+    fold genuinely exercises supersession, not just union. Changelogs
+    are aggregated rows (group cardinality, not input rows) — the
+    driver-side capture is control-plane-sized by construction."""
+    from ..sources.factory import memo_replay_dir, stream_source
+    from .runner import run_foreach_batch
+
+    replay = memo_replay_dir(spark, sf_dir, n_chunks=3, tag="upd")
+    stream = stream_source(spark, replay, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", ops.RETAIN_ALL_WATERMARK)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+    state: dict = {}
+    epochs: list = []
+
+    def capture(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.collect()
+        epochs.append((epoch_id, len(rows)))
+        for r in rows:
+            state[(r["window_start"], r["event_type"])] = (r["n"], r["value_sum"])
+
+    run_foreach_batch(agg, capture, output_mode="update")
+    if len(epochs) < 3:
+        raise AssertionError(
+            f"update-mode replay collapsed to {len(epochs)} epochs — "
+            "the supersession fold was not exercised"
+        )
+    out = [
+        (k[0], k[1], v[0], v[1]) for k, v in state.items()
+    ]
+    return spark.createDataFrame(
+        out, "window_start timestamp, event_type string, n long, value_sum double"
+    )

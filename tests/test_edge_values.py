@@ -277,6 +277,8 @@ KEYS = [
     "q_agg_mode",
     "q_agg_bitmap_distinct",
     "q_agg_histogram_quantile",
+    "q_ts_gap_islands",
+    "q_ts_outlier_mad",
     "q_sample_group_topk",
     "q_scan_schema_evolution",
     "q_unpivot",
