@@ -93,13 +93,14 @@ def query(
 # External harnesses may verify only a prefix of the registry (observed:
 # 50 keys/round). Listing keys here pins them to the front so every key
 # accumulates a verdict across rounds. Round-8 rotation (VERDICT r7 item
-# 1): the round-7 driver window re-checked the already-fresh r6 cohort,
-# so the 38 keys whose freshest driver verdict is r4-or-older (every
-# join, window, core agg, streaming op, and the exact-similarity family)
-# lead window 1. The remaining 12 slots go to the three rows-only keys
-# converted to bound-asserted oracle checks this round plus the oldest
-# r5-latest verdicts; the r5 cohort follows; the keys the driver just
-# greened in r7 sit at the tail. Every key is sweep-green locally at
+# 1, extended as the round grew the surface 138 -> 168): a key with NO
+# driver verdict outranks any stale-but-green one, so all 30 round-8
+# additions lead window 1; the remaining 20 slots go to the stalest
+# (r4-or-older) verdicts — the exact-similarity tier and the whole
+# streaming family, the exact families rounds 5-6 modified. The rest of
+# the r4 cohort, the rows-only->oracle conversions, and the r5 cohort
+# queue behind them for the next windows; keys the driver greened in r7
+# sit at the tail. Every key is sweep-green locally at
 # sf0.001/0.01/0.1; the rotation only schedules whose verdict the
 # DRIVER refreshes next.
 VERIFICATION_PRIORITY: tuple[str, ...] = (

@@ -132,30 +132,31 @@ def test_registry_window_is_the_stale_cohort():
     # boundary so a future reorder cannot silently push a stale key
     # out of the window.
     front = list(registry.load_all())[:50]
-    # never-verified round-8 additions lead everything
-    assert front[:10] == [
-        "q_llm_dedup_incremental",
-        "q_llm_length_bucket",
-        "q_llm_split_assign",
-        "q_llm_unigram_logprob",
-        "q_agg_mode",
-        "q_join_interval_overlap",
-        "q_ts_interpolate",
-        "q_agg_bitmap_distinct",
-        "q_sample_group_topk",
+    # ALL 30 never-verified round-8 additions lead everything — a key
+    # with no driver verdict outranks any stale-but-green one.
+    additions = {
+        "q_unpivot", "q_subquery_not_in", "q_join_null_safe",
+        "q_agg_weighted_median", "q_win_running_distinct",
+        "q_join_asof_nearest", "q_stream_stream_left_join",
+        "q_llm_url_normalize", "q_tpch_q4", "q_tpch_q8", "q_tpch_q12",
+        "q_tpch_q15", "q_tpch_q17", "q_tpch_q21",
+        "q_llm_ngram_containment", "q_llm_passage_dedup",
+        "q_agg_histogram_quantile", "q_stream_update_mode",
+        "q_ts_gap_islands", "q_ts_outlier_mad",
+        "q_llm_dedup_incremental", "q_llm_length_bucket",
+        "q_llm_split_assign", "q_llm_unigram_logprob", "q_agg_mode",
+        "q_join_interval_overlap", "q_ts_interpolate",
+        "q_agg_bitmap_distinct", "q_sample_group_topk",
         "q_scan_schema_evolution",
-    ]
-    assert "q_join_inner_equi" in front
+    }
+    assert set(front[:30]) == additions
+    # the remaining 20 slots go to the stalest (r4-or-older) driver
+    # verdicts — similarity exact tier + the streaming family lead
     assert "q_stream_tumbling" in front
-    assert "q_win_ranking" in front
-    assert "q_agg_group" in front
-    assert "q_stream_sink" in front
-    # freshly-converted bound-asserted keys need new verdicts; the ten
-    # round-8 additions push q_agg_hll_union to position 51 — it rides
-    # the next window (the conversion is still locally sweep-green)
-    assert "q_llm_sim_topk_lsh" in front
-    assert "q_llm_sim_topk_ivf" in front
-    assert "q_agg_approx_distinct" in front
+    assert "q_stream_stream_join" in front
+    assert "q_llm_sim_topk" in front
+    assert "q_llm_embed_neardup" in front
+    assert "q_join_inner_equi" in front
     # keys the driver just greened in r7 must NOT occupy window slots
     assert "q_scan_text_lines" not in front
     assert "q_llm_pii_redact" not in front
