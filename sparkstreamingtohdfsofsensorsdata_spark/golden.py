@@ -675,3 +675,171 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over lineitem plus equi joins only. Ties at the LIMIT edge
     are impossible: (numwait DESC, s_name) is a total order."""
     return _sql(spark, sf_dir, _Q21)
+
+
+_Q2 = """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT c.l_partkey, c.supplycost, s_acctbal, s_name, n_name
+        FROM cost c
+        JOIN supplier ON s_suppkey = c.l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name, round(supplycost, 2) AS supplycost
+    FROM part
+    JOIN eu ON p_partkey = eu.l_partkey
+    WHERE p_size <= 15
+      AND p_type = 'LARGE'
+      AND supplycost = (
+          SELECT min(e2.supplycost) FROM eu e2
+          WHERE e2.l_partkey = p_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+@query(
+    "q_tpch_q2",
+    float_dp={"s_acctbal": 2, "supplycost": 2},
+    oracle=_Q2,
+    description="TPC-H Q2 (minimum cost supplier, adapted): correlated argmin over a region-filtered bridge",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapted: the fixture has no partsupp, so the part-supplier bridge
+    is lineitem grouped to (partkey, suppkey) with min(l_extendedprice)
+    standing in for ps_supplycost. The correlated min subquery over the
+    SAME region-filtered CTE is the classic argmin: Catalyst
+    decorrelates it into a per-part aggregate + equi join, so the
+    bridge is built once and shuffled once on partkey. Float-safe by
+    construction: min() of identical doubles is order-independent (no
+    accumulation), so the equality compare cannot flip on an ulp the
+    way a sum-based argmax could (the hazard q_tpch_q15 floors away).
+    (s_acctbal DESC, n_name, s_name, p_partkey) totally orders the
+    LIMIT edge — a (supplier, part) pair appears at most once."""
+    return _sql(spark, sf_dir, _Q2)
+
+
+_Q9 = """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity AS amount
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN part     ON p_partkey = l_partkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@query(
+    "q_tpch_q9",
+    float_dp={"sum_profit": 2},
+    oracle=_Q9,
+    description="TPC-H Q9 (product type profit, adapted): 5-way star join + per-nation-year profit",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapted: ps_supplycost becomes a 60%-of-retail cost model from
+    the part dimension (0.6 * p_retailprice * l_quantity), keeping
+    Q9's shape — a part-name substring filter that CANNOT be pushed as
+    a parquet range predicate (LIKE '%red%' needs the row), a 5-table
+    star where part/supplier/nation broadcast, and lineitem x orders as
+    the one real shuffle pair. Output is nation x year — tiny — so the
+    final agg exchanges only ~25 x 7 groups of partial sums."""
+    return _sql(spark, sf_dir, _Q9)
+
+
+_Q11 = """
+    WITH value AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS value_cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS ps_partkey, value_cents
+    FROM value
+    WHERE value_cents > (
+        SELECT CAST(floor(2.0 * sum(value_cents) / count(*)) AS BIGINT)
+        FROM value
+    )
+    ORDER BY value_cents DESC, ps_partkey
+"""
+
+
+@query(
+    "q_tpch_q11",
+    oracle=_Q11,
+    description="TPC-H Q11 (important stock, adapted): CTE reuse + scalar threshold in exact cents",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapted: 'stock value' is the lineitem revenue a nation's
+    suppliers carry per part, and the original's `> 0.0001/SF of
+    total` threshold — which bakes the scale factor into the query
+    text — becomes the scale-free `> 2x the mean part value`. All
+    arithmetic is exact: prices are converted to integer cents BEFORE
+    summing, so both engines sum the same BIGINTs
+    (order-independent), and the threshold is one floor()ed division.
+    The value CTE is referenced twice; the scalar branch reduces to
+    one row and folds into the main filter — no self-join of the
+    aggregate."""
+    return _sql(spark, sf_dir, _Q11)
+
+
+_Q20 = """
+    SELECT s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        )
+          AND l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING CAST(sum(l_quantity) AS BIGINT) > 100
+    )
+    ORDER BY s_name
+"""
+
+
+@query(
+    "q_tpch_q20",
+    float_dp={"s_acctbal": 2},
+    oracle=_Q20,
+    description="TPC-H Q20 (potential part promotion, adapted): nested IN -> stacked semi joins + grouped HAVING",
+    tags=("golden", "sql", "tpch"),
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapted: without partsupp availqty, 'has excess stock to
+    promote' becomes 'shipped >100 units of small-named parts in
+    1996'. The nested IN chain is the point: part-name filter -> semi
+    join into lineitem (the part list broadcasts), grouped HAVING on
+    the supplier key, then a second semi join into the supplier dim.
+    The fact table is scanned once with the date range pushed to
+    parquet; quantities are integral, so the HAVING compares exact
+    BIGINTs. Output is supplier-bounded (dim-sized), never
+    fact-sized."""
+    return _sql(spark, sf_dir, _Q20)

@@ -105,6 +105,10 @@ def query(
 # DRIVER refreshes next.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # --- window 1 (50): first, the round-8 additions (never verified) ---
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q20",
     "q_unpivot",
     "q_subquery_not_in",
     "q_join_null_safe",

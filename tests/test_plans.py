@@ -655,3 +655,49 @@ def test_histogram_quantile_bounds_broadcast(spark):
     assert "BroadcastExchange" in text
     assert "EvalPython" not in text
     assert len(re.findall(r"Exchange hashpartitioning", text)) <= 4
+
+
+def test_q2_argmin_decorrelates_to_aggregate_join(spark):
+    # The correlated min(supplycost) subquery must decorrelate into a
+    # per-part aggregate + equi join: the plan re-aggregates the
+    # bridge, it never re-executes the subquery per row (no nested
+    # loop) and the dims stay broadcast.
+    text = inspect.plan_str(q(spark, "q_tpch_q2"))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "BroadcastHashJoin" in text
+    assert "partial_min" in text
+
+
+def test_q9_star_dims_broadcast_one_fact_shuffle(spark):
+    # 5-way star: part/supplier/nation broadcast; the only shuffle
+    # pair joins lineitem x orders on orderkey, plus one tiny exchange
+    # for the nation x year final agg.
+    import re
+
+    text = inspect.plan_str(q(spark, "q_tpch_q9"))
+    assert text.count("BroadcastHashJoin") >= 3
+    assert len(re.findall(r"Exchange hashpartitioning", text)) <= 3
+
+
+def test_q11_value_cte_single_scalar_fold(spark):
+    # The value CTE feeds both the main branch and the scalar
+    # threshold; the threshold side must reduce to a 1-row aggregate
+    # folded into the filter (Subquery/scalar), never a join of the
+    # aggregate against itself per row.
+    text = inspect.plan_str(q(spark, "q_tpch_q11"))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "Subquery" in text or "ReusedExchange" in text or "scalar-subquery" in text
+
+
+def test_q20_nested_in_becomes_semi_chain(spark):
+    # Both IN subqueries must plan as semi joins (part list broadcast
+    # into lineitem; qualifying suppliers semi-join the dim), with the
+    # date range pushed to the lineitem scan.
+    text = inspect.plan_str(q(spark, "q_tpch_q20"))
+    assert "LeftSemi" in text
+    assert "BroadcastNestedLoopJoin" not in text
+    li_scan = [
+        ln for ln in text.splitlines()
+        if "PushedFilters" in ln and "l_shipdate" in ln
+    ]
+    assert li_scan
