@@ -1253,3 +1253,161 @@ def q_llm_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_fraction"),
     )
+
+
+# --- SemDeDup-style embedding-cluster dedup ---------------------------------
+#
+# Deterministic sign-bit "clusters": 6 fixed hyperplanes whose components
+# are md5-derived unit fractions, computed ONCE here in Python and inlined
+# as decimal literals into BOTH the Spark plan and the DuckDB oracle — so
+# unlike q_llm_sim_topk_lsh (numpy-seeded planes, rows-only check), this
+# bucketed embedding op is fully oracle-checkable. Literals are rounded to
+# 6dp so both engines parse identical doubles.
+SEMDEDUP_N_PLANES = 6
+SEMDEDUP_DIM = 64
+# The fixture's synthetic embeddings have no true near-duplicates (max
+# within-bucket cosine ~0.55 at sf0.1), so the threshold sits inside the
+# observed range to keep the prune path exercised; a production corpus
+# uses ~0.95 (SemDeDup, Abbas et al. 2023).
+SEMDEDUP_TAU = 0.30
+
+
+def _semdedup_planes() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            round(
+                int(
+                    hashlib.md5(f"semdedup_{p}_{d}".encode()).hexdigest()[:4], 16
+                )
+                / 65536.0
+                * 2
+                - 1,
+                6,
+            )
+            for d in range(SEMDEDUP_DIM)
+        ]
+        for p in range(SEMDEDUP_N_PLANES)
+    ]
+
+
+_SD_PLANES = _semdedup_planes()
+
+_SD_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(e, {_SD_PLANES[p]}) >= 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p in range(SEMDEDUP_N_PLANES)
+)
+
+
+@query(
+    "q_llm_semdedup",
+    float_dp={"cosine": 6},
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+            WHERE len(embedding) > 0
+              AND len(list_filter(embedding,
+                        x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0
+        ),
+        b AS (
+            SELECT vec_id, e, {_SD_BUCKET_SQL} AS bucket FROM v
+        ),
+        dup AS (
+            SELECT a.bucket,
+                   a.vec_id AS kept_id,
+                   x.vec_id AS dropped_id,
+                   round(list_dot_product(a.e, x.e), 6) AS cosine
+            FROM b a
+            JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+            WHERE round(list_dot_product(a.e, x.e), 6) >= {SEMDEDUP_TAU}
+        )
+        SELECT bucket, kept_id, dropped_id, cosine
+        FROM dup
+        QUALIFY row_number() OVER (
+            PARTITION BY dropped_id ORDER BY kept_id) = 1
+    """,
+    description="SemDeDup-style embedding dedup: sign-bit clusters -> within-cluster cosine prune (fully oracle-checked)",
+    tags=("llm", "dedup", "embedding"),
+)
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-prune embedding dedup (SemDeDup, Abbas et al. 2023):
+    vectors land in sign-bit buckets of 6 fixed hyperplanes, pairwise
+    cosine runs ONLY within a bucket, and a vector is dropped when any
+    lower-id bucket-mate scores >= tau (representative = the smallest
+    such id). The learned-centroid variant of this shape is
+    q_llm_sim_topk_ivf; fixed literal planes trade recall for a fully
+    deterministic, oracle-checkable plan.
+
+    Scale shape: the bucket id is row-local JVM column math (zip_with/
+    aggregate HOFs over literal arrays — no Python, no shuffle to
+    assign), the pair space is bounded by the bucket partition (never
+    all-pairs; the equi join on bucket hashes both sides the same
+    way), and NaN/NULL vectors are excluded up front on both engines
+    for the same reason as q_llm_embed_neardup. At 100 TB the plane
+    count H tunes bucket size: pairs per bucket ~ (n / 2^H)^2, and
+    the join shuffles only (bucket, id, vector) — no text, no
+    metadata."""
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    no_bad = (
+        F.size(
+            F.filter(
+                "embedding",
+                lambda x: x.isNull() | F.isnan(x.cast("double")),
+            )
+        )
+        == 0
+    )
+    v = (
+        emb.filter((F.size("embedding") > 0) & no_bad)
+        .select("vec_id", as_double.alias("e"))
+    )
+
+    def dot(col, lits):
+        return F.aggregate(
+            F.zip_with(col, F.array(*[F.lit(c) for c in lits]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for p, plane in enumerate(_SD_PLANES):
+        bit = F.when(dot(F.col("e"), plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    b = v.select("vec_id", "e", bucket.alias("bucket"))
+
+    a, x = b.alias("a"), b.alias("x")
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("a.e"), F.col("x.e"), lambda i, j: i * j),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ),
+        6,
+    )
+    pairs = (
+        a.join(
+            x,
+            (F.col("a.bucket") == F.col("x.bucket"))
+            & (F.col("a.vec_id") < F.col("x.vec_id")),
+        )
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.vec_id").alias("kept_id"),
+            F.col("x.vec_id").alias("dropped_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dropped_id").orderBy("kept_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

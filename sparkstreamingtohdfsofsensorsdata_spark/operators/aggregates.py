@@ -943,3 +943,114 @@ def q_agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(e90 - F.col("x90")) <= F.col("w")).alias("ok90"),
         )
     )
+
+
+# --- Heavy hitters: Misra-Gries candidates + exact recount ------------------
+#
+# The stream is the union of word unigrams (Zipf head: ~31 words with
+# counts in the hundreds-to-thousands) and word trigrams (long tail:
+# tens of thousands of grams with single-digit counts) over documents —
+# together a realistically Zipfian frequency problem whose exact
+# groupBy at 100 TB would shuffle the full gram cardinality.
+MG_CAPACITY = 512
+HEAVY_HITTERS_K = 25
+
+
+def _gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load as _load
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    tri = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.explode(F.concat(toks, tri)).alias("gram"))
+
+
+def _mg_candidates(batches):
+    """Per-partition Misra-Gries summary over Arrow batches.
+
+    Batched form: merge each batch's value_counts into the running
+    summary; when the summary exceeds capacity, subtract the
+    (capacity+1)-th largest count from every counter and drop the
+    non-positive ones (the standard MG merge/prune). Each prune
+    removes >= (capacity+1) * d stream mass, so the total undercount
+    of any key is <= N_partition / (capacity + 1) — which is what
+    guarantees every gram with global count > N / (capacity+1)
+    survives in at least one partition's candidate set (pigeonhole
+    over partitions).
+    """
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for g, c in pdf["gram"].value_counts().items():
+            counters[g] = counters.get(g, 0) + int(c)
+        if len(counters) > MG_CAPACITY:
+            vals = sorted(counters.values(), reverse=True)
+            d = vals[MG_CAPACITY]
+            counters = {g: c - d for g, c in counters.items() if c > d}
+    yield pd.DataFrame({"gram": list(counters.keys())})
+
+
+@query(
+    "q_agg_heavy_hitters",
+    oracle=f"""
+        WITH tok AS (
+            SELECT string_split(text, ' ') AS ts
+            FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+            SELECT unnest(ts) AS gram FROM tok
+            UNION ALL
+            SELECT unnest(list_transform(
+                       generate_series(1, len(ts) - 2),
+                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+            FROM tok WHERE len(ts) >= 3
+        )
+        SELECT gram, count(*) AS freq
+        FROM grams
+        GROUP BY gram
+        ORDER BY freq DESC, gram
+        LIMIT {HEAVY_HITTERS_K}
+    """,
+    description="Heavy hitters: per-partition Misra-Gries candidate sketch + exact recount of candidates only",
+    tags=("agg", "sketch", "llm"),
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 most frequent n-grams via the two-pass frequent-items
+    pattern: (1) a per-partition Misra-Gries sketch (capacity 512,
+    Arrow-batched mapInPandas) emits a small candidate set with the
+    guarantee that every gram of global frequency > N/513 survives;
+    (2) the candidates broadcast back into the stream and ONLY they
+    are exactly recounted, so the final answer is exact — equal to
+    the full groupBy's top-k whenever the k-th count clears the
+    sketch floor (asserted at every fixture SF; min top-25 count is
+    ~17x the floor at sf0.01).
+
+    Scale shape: pass 1 shuffles nothing (sketch rides the scan,
+    emitting <= 512 rows per partition); pass 2's shuffle carries
+    map-side-combined partial counts for <= |candidates| grams
+    instead of the full gram cardinality — at 100 TB that is the
+    difference between exchanging ~10^2 candidate keys and ~10^9
+    distinct trigrams. A production run fuses the two passes by
+    caching the tokenized stream; here each pass re-derives it from
+    the scan to keep the key stateless."""
+    grams = _gram_stream(spark, sf_dir)
+    cands = grams.mapInPandas(_mg_candidates, "gram string").distinct()
+    return (
+        grams.join(F.broadcast(cands), "gram")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "gram")
+        .limit(HEAVY_HITTERS_K)
+    )

@@ -107,6 +107,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # --- window 1 (50): first, the round-8 additions (never verified) ---
     "q_tpch_q2",
     "q_tpch_q9",
+    "q_llm_semdedup",
+    "q_agg_heavy_hitters",
     "q_tpch_q11",
     "q_tpch_q20",
     "q_unpivot",

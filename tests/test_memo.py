@@ -132,10 +132,11 @@ def test_registry_window_is_the_stale_cohort():
     # boundary so a future reorder cannot silently push a stale key
     # out of the window.
     front = list(registry.load_all())[:50]
-    # ALL 34 never-verified round-8 additions lead everything — a key
+    # ALL 36 never-verified round-8 additions lead everything — a key
     # with no driver verdict outranks any stale-but-green one.
     additions = {
         "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20",
+        "q_llm_semdedup", "q_agg_heavy_hitters",
         "q_unpivot", "q_subquery_not_in", "q_join_null_safe",
         "q_agg_weighted_median", "q_win_running_distinct",
         "q_join_asof_nearest", "q_stream_stream_left_join",
@@ -150,14 +151,14 @@ def test_registry_window_is_the_stale_cohort():
         "q_agg_bitmap_distinct", "q_sample_group_topk",
         "q_scan_schema_evolution",
     }
-    assert set(front[:34]) == additions
-    # the remaining 16 slots go to the stalest (r4-or-older) driver
+    assert set(front[:36]) == additions
+    # the remaining 14 slots go to the stalest (r4-or-older) driver
     # verdicts — similarity exact tier + the streaming family lead
     assert "q_stream_tumbling" in front
     assert "q_stream_stream_join" in front
     assert "q_llm_sim_topk" in front
     assert "q_llm_embed_neardup" in front
-    assert "q_scan_parquet" in front
+    assert "q_stream_stateful_alerts" in front
     # keys the driver just greened in r7 must NOT occupy window slots
     assert "q_scan_text_lines" not in front
     assert "q_llm_pii_redact" not in front

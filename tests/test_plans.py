@@ -701,3 +701,23 @@ def test_q20_nested_in_becomes_semi_chain(spark):
         if "PushedFilters" in ln and "l_shipdate" in ln
     ]
     assert li_scan
+
+
+def test_semdedup_bucket_equi_join_no_python(spark):
+    # The pair space must come from the bucket EQUI join (id inequality
+    # as residual) — a nested loop would mean all-pairs — and bucket
+    # assignment is JVM HOF math, so no Python evaluator anywhere.
+    text = inspect.plan_str(q(spark, "q_llm_semdedup"))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "EvalPython" not in text
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark):
+    # Pass 2 joins the gram stream against the sketched candidate set:
+    # the candidates must be the broadcast side (the stream never
+    # shuffles for the join), and the exact recount partial-aggregates
+    # map-side before its one exchange.
+    text = inspect.plan_str(q(spark, "q_agg_heavy_hitters"))
+    assert "BroadcastHashJoin" in text or "BroadcastExchange" in text
+    assert "partial_count" in text or "partial_" in text
+    assert "TakeOrderedAndProject" in text

@@ -147,3 +147,52 @@ def test_cc_labels_at_bench_scale_match_union_find(spark):
         r["node"]: r["label"] for r in dedup._cc_labels(spark, sf).collect()
     }
     assert got == _union_find_min_labels(pairs)
+
+
+def test_mg_candidates_superset_of_true_topk(spark):
+    # The Misra-Gries guarantee made executable: the candidate union
+    # must contain every gram of the exact top-25 (it provably contains
+    # every gram with count > N/(capacity+1); the fixture's 25th count
+    # clears that floor by >10x), and each partition emits at most
+    # MG_CAPACITY candidates.
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.aggregates import (
+        HEAVY_HITTERS_K,
+        MG_CAPACITY,
+        _gram_stream,
+        _mg_candidates,
+    )
+
+    grams = _gram_stream(spark, SF)
+    n_parts = grams.rdd.getNumPartitions()
+    cands = {
+        r.gram for r in grams.mapInPandas(_mg_candidates, "gram string").collect()
+    }
+    assert len(cands) <= n_parts * MG_CAPACITY
+    true_topk = {
+        r.gram
+        for r in grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "gram")
+        .limit(HEAVY_HITTERS_K)
+        .collect()
+    }
+    assert true_topk <= cands
+
+
+def test_semdedup_drop_rule_and_threshold(spark):
+    # Every dropped vector must cite a kept representative with a
+    # strictly smaller id and cosine >= tau, appear exactly once, and
+    # share the representative's bucket by construction.
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import SEMDEDUP_TAU
+    from sparkstreamingtohdfsofsensorsdata_spark import registry as reg
+
+    rows = reg.load_all()["q_llm_semdedup"].fn(spark, SF).collect()
+    assert rows, "fixture threshold should keep the prune path non-empty"
+    seen = set()
+    for r in rows:
+        assert r.kept_id < r.dropped_id
+        assert r.cosine >= SEMDEDUP_TAU
+        assert r.dropped_id not in seen
+        seen.add(r.dropped_id)
