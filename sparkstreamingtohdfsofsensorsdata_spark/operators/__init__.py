@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     joins,
     merge,
     projections,
+    quality,
     sampling,
     scans,
     setops,

@@ -1054,3 +1054,64 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "gram")
         .limit(HEAVY_HITTERS_K)
     )
+
+
+SALT_BUCKETS = 16
+
+
+@query(
+    "q_agg_skew_salted",
+    float_dp={"sum_qty": 2, "sum_price": 2, "avg_price": 4},
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT)          AS n,
+               round(sum(l_quantity), 2)         AS sum_qty,
+               round(sum(l_extendedprice), 2)    AS sum_price,
+               round(avg(l_extendedprice), 4)    AS avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    description="Two-phase salted aggregation over a pathologically skewed key",
+    tags=("agg", "skew", "salt"),
+)
+def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation for a pathologically skewed group
+    key: l_returnflag has 3 distinct values over the whole fact table,
+    so a naive groupBy funnels ~1/3 of 100 TB through 3 reducers. The
+    salted form aggregates on (key, salt) first — SALT_BUCKETS
+    deterministic buckets derived from l_orderkey, NOT rand(), so the
+    plan is replayable and the oracle bit-equal — then re-aggregates
+    the <= 3 x SALT_BUCKETS partials on the bare key. Every aggregate
+    is algebraic (count/sum re-aggregate as sums; avg is derived from
+    the re-aggregated sums at the end), which is exactly the property
+    that makes the decomposition legal.
+
+    Scale shape: shuffle 1 spreads each hot key over SALT_BUCKETS
+    reducers (map-side partials still apply, so bytes exchanged scale
+    with keys x salt x partitions, not rows); shuffle 2 carries at
+    most |keys| x SALT_BUCKETS tiny partial rows. Spark's AQE
+    skew-join handling covers the JOIN case (q_join_skew_salted); this
+    is the AGGREGATION analogue, which AQE does not rewrite for you.
+
+    The ratio (avg) is derived AFTER the final reduce from the exact
+    sums — deriving it per-salt and averaging would weight buckets
+    equally and be wrong for uneven bucket sizes.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        F.pmod(F.col("l_orderkey"), F.lit(SALT_BUCKETS)).alias("salt"),
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("l_quantity").alias("pq"),
+        F.sum("l_extendedprice").alias("pp"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pq"), 2).alias("sum_qty"),
+        F.round(F.sum("pp"), 2).alias("sum_price"),
+        F.round(F.sum("pp") / F.sum("pn"), 4).alias("avg_price"),
+    )

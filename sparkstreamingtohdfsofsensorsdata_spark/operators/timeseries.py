@@ -644,3 +644,102 @@ def q_ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+ROLL_CORR_FRAME = 20  # rows preceding => 21-row full frame
+ROLL_CORR_MIN_ROWS = ROLL_CORR_FRAME + 1
+# population stddev of positions 1..n, exact closed form sqrt((n^2-1)/12);
+# embedded as the SAME Python float literal in both engines so the
+# divisor is bit-identical.
+_ROLL_CORR_SD_RN = float(
+    ((ROLL_CORR_MIN_ROWS * ROLL_CORR_MIN_ROWS - 1) / 12.0) ** 0.5
+)
+
+
+@query(
+    "q_ts_rolling_corr",
+    float_dp={"roll_corr": 4, "roll_avg": 4},
+    oracle=f"""
+        WITH ranked AS (
+            SELECT event_type, ts, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        framed AS (
+            SELECT event_type, ts, event_id, rn,
+                   covar_pop(value, CAST(rn AS DOUBLE)) OVER wf AS cp,
+                   stddev_pop(value)                    OVER wf AS sx,
+                   avg(value)                           OVER wf AS mv
+            FROM ranked
+            WINDOW wf AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN {ROLL_CORR_FRAME} PRECEDING
+                                   AND CURRENT ROW)
+        )
+        SELECT event_type, ts, event_id,
+               round(cp / nullif(sx * {_ROLL_CORR_SD_RN!r}, 0), 6) AS roll_corr,
+               round(mv, 6)                                        AS roll_avg
+        FROM framed
+        WHERE rn >= {ROLL_CORR_MIN_ROWS} AND event_id % 5 = 0
+    """,
+    description="Rolling trend strength: windowed Pearson corr(value, position) + moving average",
+    tags=("timeseries", "window", "corr"),
+)
+def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling trend detection per series: Pearson correlation between
+    value and its position over a trailing 21-row frame (the "local
+    monotonicity" signal: +1 = strictly rising window, -1 = falling),
+    plus the moving average on the same frame. The regressor is the
+    ROW POSITION, not the raw timestamp — positions are gap-free by
+    construction, so inside a FULL frame the regressor's stddev is a
+    CONSTANT (closed form sqrt((n^2-1)/12)), embedded as the same
+    float literal on both engines, never recomputed per row.
+    Correlation is derived from co-moments (covar_pop / stddev)
+    exactly like q_agg_corr, so a zero-variance value window yields
+    NULL on both engines instead of an ANSI divide error.
+
+    Partial frames (rn < 21) are excluded — their position variance is
+    not the constant and tiny frames make the statistic meaningless;
+    the output is additionally sliced to event_id % 5 to bound result
+    volume WITHOUT affecting any frame (the slice is applied after the
+    windows are computed).
+
+    Scale shape: one partition/order spec = ONE exchange + sort on
+    event_type; row_number rides the unframed spec and every frame
+    aggregate (covar, stddev, avg) shares the framed one, so the whole
+    thing is two Window operators over a single sorted run (gated: one
+    Exchange). Per-series state is the 21-row frame, O(1) memory. At
+    100 TB the parallelism unit is the series key; a production run
+    over few huge series would pre-bucket by (series, coarse time) and
+    stitch frame boundaries, the standard streaming-window shard.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-ROLL_CORR_FRAME, 0)
+    ranked = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+    ).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "rn",
+        F.covar_pop(F.col("value"), F.col("rn").cast("double")).over(wf).alias("cp"),
+        F.stddev_pop("value").over(wf).alias("sx"),
+        F.avg("value").over(wf).alias("mv"),
+    )
+    return ranked.filter(
+        (F.col("rn") >= ROLL_CORR_MIN_ROWS) & (F.col("event_id") % 5 == 0)
+    ).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(
+            F.col("cp") / F.nullif(F.col("sx") * F.lit(_ROLL_CORR_SD_RN), F.lit(0.0)),
+            6,
+        ).alias("roll_corr"),
+        F.round("mv", 6).alias("roll_avg"),
+    )

@@ -105,6 +105,9 @@ def query(
 # DRIVER refreshes next.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # --- window 1 (50): first, the round-8 additions (never verified) ---
+    "q_agg_skew_salted",
+    "q_dq_profile",
+    "q_ts_rolling_corr",
     "q_tpch_q2",
     "q_tpch_q9",
     "q_llm_semdedup",

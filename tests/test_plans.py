@@ -721,3 +721,31 @@ def test_heavy_hitters_recount_broadcasts_candidates(spark):
     assert "BroadcastHashJoin" in text or "BroadcastExchange" in text
     assert "partial_count" in text or "partial_" in text
     assert "TakeOrderedAndProject" in text
+
+
+def test_skew_salted_two_stage_partials(spark):
+    # Both reduction stages must partial-aggregate map-side, and the
+    # salted stage's exchange must hash on (key, salt) — the whole
+    # point is that no single reducer ever owns a full hot key.
+    text = inspect.plan_str(q(spark, "q_agg_skew_salted"))
+    assert "partial_sum" in text
+    assert "salt" in text  # salt survives into the first exchange key
+
+
+def test_rolling_corr_single_series_exchange(spark):
+    # row_number and the three frame aggregates share the same
+    # partition/order spec, so the plan must contain exactly ONE
+    # shuffle exchange (on event_type) — a second exchange would mean
+    # the window specs failed to align and the series is re-shuffled
+    # per aggregate.
+    text = inspect.plan_str(q(spark, "q_ts_rolling_corr"))
+    assert text.count("Exchange hashpartitioning") == 1
+
+
+def test_dq_profile_single_scan(spark):
+    # Six constraints, ONE pass: the plan must scan orders exactly
+    # once (the mixed-distinct rewrite Expands the stream but must not
+    # re-read it) and the verdict unpivot must ride a 1-row frame.
+    text = inspect.plan_str(q(spark, "q_dq_profile"))
+    assert text.count("Scan parquet") == 1
+    assert "partial_count" in text or "partial_min" in text
