@@ -1298,3 +1298,276 @@ def q_llm_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url").alias("n_distinct_raw"),
         F.min("doc_id").alias("keep_doc_id"),
     )
+
+
+PMI_MIN_COUNT = 3
+PMI_TOP_K = 100
+
+
+@query(
+    "q_llm_pmi_bigrams",
+    float_dp={"pmi": 4},
+    oracle=f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS t FROM documents
+            WHERE text IS NOT NULL
+        ),
+        uni AS (
+            SELECT w, count(*) AS c
+            FROM (SELECT unnest(t) AS w FROM toks)
+            GROUP BY 1
+        ),
+        bi AS (
+            SELECT u.bg.w1 AS w1, u.bg.w2 AS w2, count(*) AS c_xy
+            FROM (
+                SELECT unnest(list_transform(
+                           range(1, len(t)),
+                           i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+                FROM toks
+                WHERE len(t) >= 2
+            ) u
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni)    AS n_uni,
+                   (SELECT CAST(sum(c_xy) AS BIGINT) FROM bi)  AS n_bi
+        )
+        SELECT w1, w2,
+               CAST(c_xy AS BIGINT) AS c_xy,
+               CAST(cx AS BIGINT)   AS c_x,
+               CAST(cy AS BIGINT)   AS c_y,
+               round(ln(CAST(c_xy AS DOUBLE) / (cx * cy)
+                        * n_uni * n_uni / n_bi), 6) AS pmi
+        FROM (
+            SELECT bi.w1, bi.w2, bi.c_xy, ux.c AS cx, uy.c AS cy,
+                   tot.n_uni, tot.n_bi
+            FROM bi
+            JOIN uni ux ON bi.w1 = ux.w
+            JOIN uni uy ON bi.w2 = uy.w
+            CROSS JOIN tot
+            WHERE bi.c_xy >= {PMI_MIN_COUNT}
+        )
+        ORDER BY CAST(c_xy AS DOUBLE) / (cx * cy) DESC, w1 ASC, w2 ASC
+        LIMIT {PMI_TOP_K}
+    """,
+    description="Collocation mining: top bigrams by pointwise mutual information",
+    tags=("llm", "text", "pmi"),
+)
+def q_llm_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over the corpus: pointwise mutual information
+    for adjacent token bigrams, PMI = ln(P(xy) / (P(x)P(y))), the
+    classic phrase-detection signal (word2vec's phrase pass, NLTK
+    collocations) — rare-but-always-together pairs rank first.
+
+    Determinism contract: the RANKING key is the exact IEEE double
+    c_xy / (c_x * c_y) — integer inputs, one correctly-rounded
+    division, bit-identical on both engines, and a monotone transform
+    of PMI because the corpus totals are constant across rows — so the
+    top-k cut can never flip on a libm ulp; only the DISPLAYED pmi
+    runs through ln (rounded 6 dp, tie-broken (w1, w2)). Bigrams
+    require >= 2 tokens (guarded identically on both sides: Spark
+    sequence(1, n) with n <= 0 would COUNT DOWN and fabricate pairs);
+    sub-threshold pairs (< {min_count}) are cut before any join.
+
+    Scale shape: TWO aggregations over the exploded token stream
+    (unigram + bigram counts), both map-side combined — bytes shuffled
+    scale with vocabulary and distinct-bigram cardinality (Heaps-law
+    sublinear), never corpus size. The corpus totals are derived from
+    the already-aggregated count tables (1-row aggregates, crossJoin
+    broadcast, the q_agg_histogram bounds pattern), and the two
+    unigram rejoins broadcast the vocabulary. The final top-k is a
+    TakeOrdered, never a global sort.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.split("text", " ").alias("t"))
+
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    "             element_at(t, i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi = bi.agg(F.sum("c_xy").alias("n_bi"))
+
+    scored = (
+        bi.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "cx")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "cy")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    ratio = F.col("c_xy").cast("double") / (F.col("cx") * F.col("cy"))
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.col("cx").alias("c_x"),
+            F.col("cy").alias("c_y"),
+            F.round(
+                F.log(
+                    ratio * F.col("n_uni") * F.col("n_uni") / F.col("n_bi")
+                ),
+                6,
+            ).alias("pmi"),
+            ratio.alias("_r"),
+        )
+        .orderBy(F.col("_r").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(PMI_TOP_K)
+        .drop("_r")
+    )
+
+
+q_llm_pmi_bigrams.__doc__ = q_llm_pmi_bigrams.__doc__.format(
+    min_count=PMI_MIN_COUNT
+)
+
+
+@query(
+    "q_llm_entropy",
+    float_dp={"avg_entropy": 4, "min_entropy": 4, "max_entropy": 4},
+    oracle="""
+        WITH tok_counts AS (
+            SELECT doc_id, source, tok, count(*) AS c
+            FROM (
+                SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+                WHERE text IS NOT NULL
+            )
+            GROUP BY 1, 2, 3
+        ),
+        doc_entropy AS (
+            SELECT doc_id, source,
+                   ln(CAST(sum(c) AS DOUBLE))
+                     - sum(c * ln(CAST(c AS DOUBLE))) / sum(c) AS h
+            FROM tok_counts
+            GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT)  AS n_docs,
+               round(avg(h), 6)          AS avg_entropy,
+               round(min(h), 6)          AS min_entropy,
+               round(max(h), 6)          AS max_entropy
+        FROM doc_entropy
+        GROUP BY source
+    """,
+    description="Per-source token Shannon entropy distribution (gibberish / repetition detector)",
+    tags=("llm", "text", "quality"),
+)
+def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level Shannon entropy per document, aggregated per source
+    — the quality signal that separates natural text (entropy near
+    ln(vocab-per-doc)) from degenerate repetition (entropy near 0) and
+    keyboard-mash gibberish (entropy near the uniform maximum). Uses
+    the algebraic identity H = ln(n) - sum(c*ln c)/n so the per-doc
+    reduction needs only the token counts, not the probabilities — one
+    extra pass over counts, zero over raw tokens.
+
+    Scale shape: two map-side-combined aggregations — (doc, token)
+    counts (bytes shuffled ~ distinct per-doc vocab, not token
+    stream), then per-doc entropy folding ~vocab rows per doc, then a
+    tiny per-source rollup. No joins, no windows, no Python. The
+    per-doc sum order differs between engines but the terms are O(10)
+    magnitude over O(100) counts, so fp drift sits ~1e-14, far below
+    the 6 dp rounding grid.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok_counts = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    doc_entropy = tok_counts.groupBy("doc_id", "source").agg(
+        (
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c")
+        ).alias("h")
+    )
+    return doc_entropy.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("h"), 6).alias("avg_entropy"),
+        F.round(F.min("h"), 6).alias("min_entropy"),
+        F.round(F.max("h"), 6).alias("max_entropy"),
+    )
+
+
+FEATURE_HASH_DIMS = 64
+FEATURE_HASH_SLICE = 7
+
+
+@query(
+    "q_llm_feature_hash",
+    float_dp={"tf": 4},
+    oracle=f"""
+        SELECT doc_id,
+               ('0x' || substring(md5(tok), 1, 4))::INT % {FEATURE_HASH_DIMS}
+                   AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               round(count(*) / CAST(any_value(n_tok) AS DOUBLE), 6) AS tf
+        FROM (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+            WHERE doc_id % {FEATURE_HASH_SLICE} = 0 AND text IS NOT NULL
+        )
+        GROUP BY 1, 2
+    """,
+    description="Feature hashing: fixed-width hashed bag-of-tokens vectors (fastText-style)",
+    tags=("llm", "text", "features"),
+)
+def q_llm_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (fastText / Vowpal Wabbit style): project each
+    document's bag of tokens into a FIXED {dims}-dimension space via a
+    stable hash, emitting sparse (doc, dim, count, tf) rows — the
+    input representation for a linear quality classifier that needs no
+    vocabulary build and therefore no extra corpus pass. The hash is
+    the md5-hex-prefix trick shared with q_llm_mix_sample, bit-equal
+    across engines and cluster layouts (never hash(): JVM and DuckDB
+    disagree). The tf denominator (doc token count) is computed
+    row-locally BEFORE the explode and carried through, so
+    normalization costs zero extra shuffles.
+
+    Scale shape: explode -> ONE map-side-combined groupBy(doc, dim);
+    output <= {dims} rows per document regardless of vocabulary, and
+    collisions degrade gracefully (that is the point of the trick).
+    The doc_id slice bounds fixture output volume only — the plan is
+    the full-corpus plan, and at 100 TB the slice is simply dropped.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % FEATURE_HASH_SLICE == 0) & F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.size("t").alias("n_tok"), F.explode("t").alias("tok"))
+    )
+    dim = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+        % FEATURE_HASH_DIMS
+    )
+    return docs.groupBy("doc_id", dim.alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.count(F.lit(1)) / F.any_value(F.col("n_tok")).cast("double"), 6
+        ).alias("tf"),
+    )
+
+
+q_llm_feature_hash.__doc__ = q_llm_feature_hash.__doc__.format(
+    dims=FEATURE_HASH_DIMS
+)

@@ -108,6 +108,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_agg_skew_salted",
     "q_dq_profile",
     "q_ts_rolling_corr",
+    "q_llm_pmi_bigrams",
+    "q_llm_entropy",
+    "q_llm_feature_hash",
     "q_tpch_q2",
     "q_tpch_q9",
     "q_llm_semdedup",

@@ -749,3 +749,31 @@ def test_dq_profile_single_scan(spark):
     text = inspect.plan_str(q(spark, "q_dq_profile"))
     assert text.count("Scan parquet") == 1
     assert "partial_count" in text or "partial_min" in text
+
+
+def test_pmi_vocab_broadcasts_topk_takeordered(spark):
+    # Both unigram rejoins must broadcast the vocabulary (Heaps-law
+    # small), the totals must fold in as 1-row broadcasts, and the
+    # final cut must be a TakeOrdered, never a global sort.
+    text = inspect.plan_str(q(spark, "q_llm_pmi_bigrams"))
+    assert "BroadcastHashJoin" in text or "BroadcastExchange" in text
+    assert "TakeOrderedAndProject" in text
+    assert "SortMergeJoin" not in text
+
+
+def test_entropy_two_combined_aggs_no_join(spark):
+    # Pure aggregation pipeline: (doc, token) counts then the per-doc
+    # entropy fold — both must partial-aggregate map-side and there
+    # must be no join anywhere.
+    text = inspect.plan_str(q(spark, "q_llm_entropy"))
+    assert "partial_count" in text
+    assert "Join" not in text
+
+
+def test_feature_hash_single_agg_no_shuffle_for_tf(spark):
+    # The tf denominator rides the row (computed before the explode),
+    # so the whole key is ONE map-side-combined aggregation — a second
+    # exchange would mean the normalization added a join or window.
+    text = inspect.plan_str(q(spark, "q_llm_feature_hash"))
+    assert text.count("Exchange hashpartitioning") == 1
+    assert "Join" not in text

@@ -55,6 +55,9 @@ KEYS = [
     "q_llm_url_normalize",
     "q_llm_ngram_containment",
     "q_llm_passage_dedup",
+    "q_llm_pmi_bigrams",
+    "q_llm_entropy",
+    "q_llm_feature_hash",
     # the rest of the deterministic documents-reading surface, now
     # exposed to NULL/whitespace/unicode/emoji/stopword-only texts
     "q_llm_text_stats",

@@ -115,6 +115,9 @@ KEYS = [
     "q_llm_url_normalize",
     "q_llm_ngram_containment",
     "q_llm_passage_dedup",
+    "q_llm_pmi_bigrams",
+    "q_llm_entropy",
+    "q_llm_feature_hash",
 ]
 
 
