@@ -1571,3 +1571,120 @@ def q_llm_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_llm_feature_hash.__doc__ = q_llm_feature_hash.__doc__.format(
     dims=FEATURE_HASH_DIMS
 )
+
+
+BIGRAM_LM_K = 0.5  # add-k smoothing mass
+
+
+@query(
+    "q_llm_bigram_lm",
+    float_dp={"avg_nll": 4, "min_nll": 4, "max_nll": 4},
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        stream AS (
+            SELECT doc_id, source, u.bg.w1 AS w1, u.bg.w2 AS w2
+            FROM (
+                SELECT doc_id, source,
+                       unnest(list_transform(
+                           range(1, len(t)),
+                           i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+                FROM toks
+                WHERE len(t) >= 2
+            ) u
+        ),
+        uni AS (
+            SELECT w, count(*) AS c
+            FROM (SELECT unnest(t) AS w FROM toks)
+            GROUP BY 1
+        ),
+        bi AS (
+            SELECT w1, w2, count(*) AS c_xy FROM stream GROUP BY 1, 2
+        ),
+        vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        doc_nll AS (
+            SELECT s.doc_id, s.source,
+                   avg(-ln((bi.c_xy + {BIGRAM_LM_K!r})
+                           / (uni.c + {BIGRAM_LM_K!r} * vocab.v))) AS nll
+            FROM stream s
+            JOIN bi  ON s.w1 = bi.w1 AND s.w2 = bi.w2
+            JOIN uni ON s.w1 = uni.w
+            CROSS JOIN vocab
+            GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(nll), 6)       AS avg_nll,
+               round(min(nll), 6)       AS min_nll,
+               round(max(nll), 6)       AS max_nll
+        FROM doc_nll
+        GROUP BY source
+    """,
+    description="CCNet-style bigram LM scoring: per-doc mean smoothed-NLL, per-source distribution",
+    tags=("llm", "text", "quality", "lm"),
+)
+def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional step up from q_llm_unigram_logprob: a corpus-fit
+    bigram language model P(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k*V)
+    with add-k smoothing, scoring every document by its mean bigram
+    negative log-likelihood — repetitive/templated docs score low,
+    shuffled-word salad scores high even when its unigram profile
+    looks natural, which is precisely the failure mode the unigram
+    signal cannot see.
+
+    Scale shape: the bigram count table is Heaps-sublinear but NOT
+    vocabulary-small, so the probe joins it on (w1, w2) as a hash
+    shuffle (documented: at 100 TB this is the one wide join; the
+    token stream and the count table co-partition on the bigram key).
+    The unigram context counts broadcast; the vocabulary size V is a
+    1-row broadcast. Smoothing means every observed bigram has
+    c_xy >= 1 — no missing-key branch, the join is inner by
+    construction (every stream bigram exists in its own count table).
+    Per-doc reduction and the per-source rollup are both map-side
+    combined.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+    stream = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", "bg.w1", "bg.w2")
+
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+
+    k = BIGRAM_LM_K
+    doc_nll = (
+        stream.join(bi, ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.avg(
+                -F.log(
+                    (F.col("c_xy") + F.lit(k)) / (F.col("c") + F.lit(k) * F.col("v"))
+                )
+            ).alias("nll")
+        )
+    )
+    return doc_nll.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.round(F.min("nll"), 6).alias("min_nll"),
+        F.round(F.max("nll"), 6).alias("max_nll"),
+    )

@@ -152,3 +152,109 @@ def commit_scd2(spark: SparkSession, sf_dir: str, table: str = "customer_scd2") 
         # (Iceberg/Delta) takes the writeTo branch above.
         result.write.mode("overwrite").format("parquet").saveAsTable(table)
     return spark.table(table)
+
+
+UPSERT_SINCE = "2001-01-01"
+
+
+@query(
+    "q_merge_upsert",
+    oracle=f"""
+        WITH target AS (
+            SELECT c_custkey, c_name, c_mktsegment,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+            FROM customer
+            WHERE c_custkey % 3 != 0
+        ),
+        source AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   bool_and(o_orderstatus = 'F') AS all_final
+            FROM orders
+            WHERE o_orderdate >= DATE '{UPSERT_SINCE}'
+            GROUP BY 1
+        )
+        SELECT t.c_custkey, t.c_name, t.c_mktsegment,
+               t.bal_cents + 100 * s.n_orders AS bal_cents,
+               'U' AS op
+        FROM target t JOIN source s USING (c_custkey)
+        WHERE NOT s.all_final
+        UNION ALL
+        SELECT t.c_custkey, t.c_name, t.c_mktsegment, t.bal_cents, 'K'
+        FROM target t LEFT JOIN source s USING (c_custkey)
+        WHERE s.c_custkey IS NULL
+        UNION ALL
+        SELECT s.c_custkey, 'NEW', 'UNKNOWN', 100 * s.n_orders, 'I'
+        FROM source s LEFT JOIN target t USING (c_custkey)
+        WHERE t.c_custkey IS NULL
+    """,
+    description="MERGE INTO rewrite with full branch coverage: update / insert / delete / keep",
+    tags=("merge", "upsert", "join"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 MERGE with every branch a real MERGE INTO supports:
+    WHEN MATCHED AND <cond> THEN DELETE (customers whose recent orders
+    are all final are retired — they vanish from the output, which IS
+    the delete semantic), WHEN MATCHED THEN UPDATE (balance bumped by
+    the order count), WHEN NOT MATCHED THEN INSERT (source keys absent
+    from the target snapshot arrive as new rows), plus the implicit
+    keep-unchanged branch. The target is deliberately a PARTIAL
+    snapshot (custkey % 3 != 0) so the insert branch is non-empty on
+    the fixture.
+
+    Like q_merge_scd2, this is the join rewrite every lakehouse engine
+    compiles MERGE INTO down to: ONE full-outer-shaped join on the
+    merge key (expressed as its three disjoint slices so each branch's
+    predicate stays readable and the oracle is engine-trivial), with
+    the source pre-aggregated so the join is key-unique on both sides
+    — the precondition real MERGE demands (duplicate source keys are a
+    runtime error in Delta/Iceberg).
+
+    Scale shape: source aggregation is map-side combined on the merge
+    key; the three slices reuse the same two co-partitioned inputs, so
+    AQE plans one shuffle per side and the union is append-only.
+    Balances ride as integer cents (the house float-free money rule).
+    Swapping the final return for writeTo().overwritePartitions() is
+    the only delta a transactional deployment needs.
+    """
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0)
+    target = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_cents"),
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(UPSERT_SINCE).cast("date")
+    )
+    source = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.every(F.col("o_orderstatus") == "F").alias("all_final"),
+    )
+
+    updated = (
+        target.join(source, "c_custkey")
+        .filter(~F.col("all_final"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            (F.col("bal_cents") + 100 * F.col("n_orders")).alias("bal_cents"),
+            F.lit("U").alias("op"),
+        )
+    )
+    kept = (
+        target.join(source, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment", "bal_cents", F.lit("K").alias("op"))
+    )
+    inserted = (
+        source.join(target, "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            F.lit("NEW").alias("c_name"),
+            F.lit("UNKNOWN").alias("c_mktsegment"),
+            (100 * F.col("n_orders")).alias("bal_cents"),
+            F.lit("I").alias("op"),
+        )
+    )
+    return updated.unionByName(kept).unionByName(inserted)

@@ -743,3 +743,97 @@ def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("roll_corr"),
         F.round("mv", 6).alias("roll_avg"),
     )
+
+
+EWMA_ALPHA = 0.25
+EWMA_HORIZON = 16
+# Truncated-EWMA weights (1-alpha)^j, j = 0 (current row) .. horizon-1,
+# precomputed as PYTHON floats and embedded as the SAME literals in both
+# engines — no pow() at query time, so the only fp ops are mul/add/div
+# in mirrored left-to-right order. The tail weight is
+# 0.75^15 ~ 0.013 of the head: the truncation error is documented, not
+# hidden (a production smoother picks the horizon from alpha).
+_EWMA_W = [(1.0 - EWMA_ALPHA) ** j for j in range(EWMA_HORIZON)]
+_EWMA_W_SQL = "[" + ", ".join(repr(w) for w in _EWMA_W) + "]"
+
+
+@query(
+    "q_ts_ewma",
+    float_dp={"ewma": 4},
+    oracle=f"""
+        WITH framed AS (
+            SELECT event_type, ts, event_id, value,
+                   list(value) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN {EWMA_HORIZON - 1} PRECEDING
+                                              AND CURRENT ROW) AS arr
+            FROM events
+        )
+        SELECT event_type, ts, event_id, round(value, 6) AS value,
+               round(
+                   list_sum(list_transform(range(1, len(arr) + 1),
+                       i -> arr[i] * ({_EWMA_W_SQL})[len(arr) - i + 1]))
+                   / list_sum(list_transform(range(1, len(arr) + 1),
+                       i -> ({_EWMA_W_SQL})[len(arr) - i + 1])),
+                   6) AS ewma
+        FROM framed
+        WHERE event_id % 5 = 0
+    """,
+    description="Sensor smoothing: truncated exponentially-weighted moving average per series",
+    tags=("timeseries", "window", "ewma"),
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per sensor series — THE
+    default smoother for noisy sensor streams — in its truncated-
+    horizon form: the infinite recursion ewma_t = a*v_t +
+    (1-a)*ewma_(t-1) is cut at 16 trailing rows and renormalized by
+    the weights actually present, which (a) makes it expressible as a
+    pure window + higher-order-function plan with NO recursion and NO
+    Python, (b) handles series heads gracefully (a partial frame is a
+    properly normalized weighted mean, not a bias), and (c) bounds the
+    error by the dropped tail mass (0.75^16 ~ 1% of total weight).
+
+    Determinism contract: the weights are PYTHON float literals
+    embedded identically in both engines (no pow() at query time); the
+    weighted fold is written left-to-right in frame order on both
+    sides, so the only cross-engine fp risk is summation ulps far
+    below the 6 dp grid.
+
+    Scale shape: one exchange + sort on the series key; collect_list
+    over the 16-row frame is O(horizon) state per row; the weighted
+    fold is row-local JVM HOF arithmetic. Output sliced to
+    event_id % 5 after the frames are computed. At 100 TB this
+    parallelizes by series key like every window op here; the
+    truncated form is exactly what makes EWMA shardable at all — the
+    exact recursion needs a sequential scan per series, the truncation
+    needs only a 16-row overlap between shards.
+    """
+    ev = load(spark, sf_dir, "events")
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_HORIZON - 1), 0)
+    )
+    w_arr = "array(" + ", ".join(repr(w) + "D" for w in _EWMA_W) + ")"
+    framed = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.collect_list("value").over(wf).alias("arr"),
+    )
+    num = (
+        f"aggregate(sequence(1, size(arr)), 0D, (acc, i) -> "
+        f"acc + element_at(arr, i) * element_at({w_arr}, size(arr) - i + 1))"
+    )
+    den = (
+        f"aggregate(sequence(1, size(arr)), 0D, (acc, i) -> "
+        f"acc + element_at({w_arr}, size(arr) - i + 1))"
+    )
+    return framed.filter(F.col("event_id") % 5 == 0).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(F.expr(num) / F.expr(den), 6).alias("ewma"),
+    )

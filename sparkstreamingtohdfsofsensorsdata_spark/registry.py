@@ -111,6 +111,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_pmi_bigrams",
     "q_llm_entropy",
     "q_llm_feature_hash",
+    "q_ts_ewma",
+    "q_llm_bigram_lm",
+    "q_merge_upsert",
     "q_tpch_q2",
     "q_tpch_q9",
     "q_llm_semdedup",

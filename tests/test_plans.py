@@ -777,3 +777,29 @@ def test_feature_hash_single_agg_no_shuffle_for_tf(spark):
     text = inspect.plan_str(q(spark, "q_llm_feature_hash"))
     assert text.count("Exchange hashpartitioning") == 1
     assert "Join" not in text
+
+
+def test_ewma_one_series_exchange_row_local_fold(spark):
+    # One exchange on the series key; the weighted fold is row-local
+    # HOF arithmetic over the 16-row frame — no join, no Python.
+    text = inspect.plan_str(q(spark, "q_ts_ewma"))
+    assert text.count("Exchange hashpartitioning") == 1
+    assert "Join" not in text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_bigram_lm_context_broadcast_probe_shuffle(spark):
+    # The unigram context table and the 1-row vocab must broadcast;
+    # the bigram-count probe is the one legitimate wide join.
+    text = inspect.plan_str(q(spark, "q_llm_bigram_lm"))
+    assert "BroadcastHashJoin" in text or "BroadcastExchange" in text
+    assert "partial_count" in text
+
+
+def test_merge_upsert_source_preaggregated_no_bnlj(spark):
+    # MERGE precondition: the source must reach every branch already
+    # key-unique (aggregated), and every branch join is an equi join —
+    # a nested-loop anywhere means the merge key was lost.
+    text = inspect.plan_str(q(spark, "q_merge_upsert"))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "partial_count" in text

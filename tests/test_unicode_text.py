@@ -118,6 +118,7 @@ KEYS = [
     "q_llm_pmi_bigrams",
     "q_llm_entropy",
     "q_llm_feature_hash",
+    "q_llm_bigram_lm",
 ]
 
 
