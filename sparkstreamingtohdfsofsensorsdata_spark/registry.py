@@ -114,6 +114,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_ts_ewma",
     "q_llm_bigram_lm",
     "q_merge_upsert",
+    "q_stream_chained_windows",
     "q_tpch_q2",
     "q_tpch_q9",
     "q_llm_semdedup",

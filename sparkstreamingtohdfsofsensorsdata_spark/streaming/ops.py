@@ -211,3 +211,46 @@ def purchases_left_joined_views(
     # unmatched purchases never null-emit). Sentinel rows are dropped by
     # the caller after materialization.
     return purchases.join(views, cond, "left_outer").select("p_id", "v_id", "p_user")
+
+
+def chained_window_rollup(
+    events: DataFrame,
+    inner: str = "30 minutes",
+    outer: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Chained streaming window aggregation (Spark >= 3.5): a fine
+    pre-aggregation re-aggregated to a coarser grain INSIDE one
+    streaming query — two stateful operators back to back, legal in
+    append mode because ``window_time`` re-exposes the inner window's
+    event-time column so the watermark propagates through the first
+    aggregation into the second.
+
+    This is the streaming rollup cascade a sensor pipeline runs in
+    production (30 min partials -> hourly rollup, each tier emitted
+    once finalized), and the state win is the point at scale: the
+    outer aggregation's state is keyed by (hour, type) over ALREADY
+    REDUCED partials — input volume touches only the inner tier.
+
+    Needs a real (tight) watermark, not RETAIN_ALL: append mode emits
+    a window only once the watermark passes its end, so the replay
+    must advance event time past the data (the flush-sentinel pattern,
+    see q_stream_chained_windows).
+    """
+    inner_agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", inner), "event_type")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
+    )
+    return (
+        inner_agg.groupBy(
+            F.window(F.window_time("window"), outer), "event_type"
+        )
+        .agg(F.sum("pn").alias("n"), F.round(F.sum("pv"), 6).alias("value_sum"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )

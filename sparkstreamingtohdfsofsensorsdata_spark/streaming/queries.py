@@ -373,11 +373,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       topologies inject heartbeat messages into quiet partitions.
       Sentinels join to nothing (negative user) and are dropped inside
       the op before the sink."""
-    import datetime
-    import glob as _glob
-    import os
-
-    from ..sources.factory import EVENTS_TS_SCHEMA, memo_replay_dir, stream_source
+    from ..sources.factory import memo_replay_dir, stream_source
 
     replay = memo_replay_dir(spark, sf_dir, n_chunks=2, tag="sslj")
     # ONE flush chunk: its sentinels advance max event time, and
@@ -387,24 +383,17 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # commit cost across both sides' stores, so the replay is kept to
     # 2 data chunks + flush — enough for the watermark to advance
     # between real batches (chunk 1's unmatched purchases emit during
-    # chunk 2), cheap enough for the bench.
-    flush = os.path.join(replay, "chunk_999.parquet")
-    if not os.path.exists(flush):
-        max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
-        flush_ts = max_ts + datetime.timedelta(days=365)
-        rows = [
+    # chunk 2), cheap enough for the bench. One sentinel per side so
+    # BOTH input watermarks advance (min-policy).
+    _flush_chunk(
+        spark,
+        sf_dir,
+        replay,
+        lambda flush_ts: [
             (-1, flush_ts, -1, "purchase", 0.0, ""),
             (-2, flush_ts, -1, "view", 0.0, ""),
-        ]
-        tmp = os.path.join(os.path.dirname(replay), "_flush_tmp")
-        (
-            spark.createDataFrame(rows, EVENTS_TS_SCHEMA)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
-        os.replace(part, flush)
+        ],
+    )
     stream = stream_source(spark, replay, max_files_per_trigger=1)
     result = run_to_memory(
         ops.purchases_left_joined_views(stream), output_mode="append"
@@ -474,3 +463,84 @@ def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "window_start timestamp, event_type string, n long, value_sum double"
     )
+
+
+def _flush_chunk(
+    spark: SparkSession, sf_dir: str, replay: str, rows_fn
+) -> None:
+    """Append a chunk_999 flush file (sentinel rows that advance event
+    time past all real data) to a memoized replay layout, once."""
+    import datetime
+    import glob as _glob
+    import os
+
+    from ..sources.factory import EVENTS_TS_SCHEMA
+
+    flush = os.path.join(replay, "chunk_999.parquet")
+    if os.path.exists(flush):
+        return
+    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    flush_ts = max_ts + datetime.timedelta(days=365)
+    tmp = os.path.join(os.path.dirname(replay), "_flush_tmp")
+    (
+        spark.createDataFrame(rows_fn(flush_ts), EVENTS_TS_SCHEMA)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+    os.replace(part, flush)
+
+
+@query(
+    "q_stream_chained_windows",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 6)     AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="Chained streaming window aggregation: 30-min partials re-aggregated hourly in ONE query",
+    tags=("streaming", "window", "chained"),
+)
+def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two stateful window aggregations chained inside one streaming
+    query (Spark >= 3.5 multiple-stateful-operator support): 30-minute
+    partial aggregates re-aggregated to the hourly grain via
+    ``window_time``, emitted in APPEND mode as each hour finalizes.
+    The batch equivalence that makes this oracle-checkable: summing
+    30-min partials into hours equals aggregating the raw stream
+    hourly, because count/sum are algebraic — the same property that
+    justifies map-side combine justifies the streaming cascade.
+
+    Rig notes: append mode emits nothing until the watermark passes a
+    window's end, so the replay is chunked (watermark advances between
+    micro-batches) and a flush sentinel (event_type '_flush', ts = max
+    + 1 year) pushes event time past all real windows; the availableNow
+    trailing no-data batch then finalizes and emits them. The
+    sentinel's own (still-open) window is dropped post-materialization
+    — an in-stream filter could be pushed below the watermark node and
+    stall it (the q_stream_stream_left_join trap).
+
+    Scale shape: inner state is (30-min window x type) keyed, evicted
+    at watermark + 1 h; outer state sees one partial row per closed
+    inner window, so the second tier's input scales with window
+    cardinality, not event volume — the streaming analogue of
+    q_agg_skew_salted's two-phase reduce.
+    """
+    from ..sources.factory import memo_replay_dir, stream_source
+
+    replay = memo_replay_dir(spark, sf_dir, n_chunks=2, tag="chw")
+    _flush_chunk(
+        spark,
+        sf_dir,
+        replay,
+        lambda flush_ts: [(-1, flush_ts, -1, "_flush", 0.0, "")],
+    )
+    stream = stream_source(spark, replay, max_files_per_trigger=1)
+    result = run_to_memory(
+        ops.chained_window_rollup(stream), output_mode="append"
+    )
+    return result.filter(F.col("event_type") != "_flush")

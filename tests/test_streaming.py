@@ -559,3 +559,37 @@ def test_observe_metrics_on_stream(spark, replay_dir):
         assert total_rows == ev.count()
     finally:
         q.stop()
+
+
+def test_chained_windows_drop_late_rows_in_inner_tier(spark, tmp_path):
+    """Chained window aggregation: a late row rejected by the INNER
+    tier's watermark can never resurrect in the outer hourly rollup —
+    the cascade drops it exactly once. Parity-split chunks make the
+    watermark jump to the stream's max after chunk 0, so chunk 1 is
+    (almost) entirely late under a tight 1h delay."""
+    ev = load(spark, SF_DIR, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        _write_chunk(ev.filter(F.col("event_id") % 2 == i), str(src / f"c{i}.parquet"))
+    result = run_to_memory(
+        ops.chained_window_rollup(
+            stream_source(spark, str(src), max_files_per_trigger=1),
+            watermark="1 hour",
+        ),
+        output_mode="append",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n"] for r in result.collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(got.values()) < sum(batch.values())  # late rows really dropped
+    for k, n in got.items():
+        assert n <= batch[k]  # never more than the true count
