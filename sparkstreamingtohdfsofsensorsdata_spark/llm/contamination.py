@@ -360,3 +360,95 @@ def q_llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").alias("tokens_total"),
         )
     )
+
+
+@query(
+    "q_llm_source_overlap",
+    float_dp={"overlap_coef": 4},
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT source,
+                   unnest({ngram_md5_sql(NGRAM, "string_split(text, ' ')")}) AS h
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        totals AS (
+            SELECT source, count(*) AS n_sh FROM sh GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.source AS s1, b.source AS s2,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.s1, p.s2, p.shared,
+               round(p.shared / CAST(least(ta.n_sh, tb.n_sh) AS DOUBLE), 6)
+                   AS overlap_coef
+        FROM pairs p
+        JOIN totals ta ON p.s1 = ta.source
+        JOIN totals tb ON p.s2 = tb.source
+    """,
+    description="Cross-source duplication matrix: shared 8-gram shingles + overlap coefficient per source pair",
+    tags=("llm", "contamination", "dedup"),
+)
+def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation diagnostic that tells you WHERE duplication
+    comes from before you pay for document-level dedup: for every pair
+    of sources, the count of distinct 8-gram shingles they share and
+    the overlap coefficient shared/min(|A|, |B|) (Szymkiewicz-Simpson
+    — robust when one source dwarfs the other, exactly the
+    CommonCrawl-vs-curated-wiki case). Shingles ride the canonical
+    md5 template shared with q_llm_contamination / q_llm_boilerplate.
+
+    Scale shape: the stream reduces to DISTINCT (source, shingle)
+    first (map-side partial dedup), so the self-join input scales with
+    distinct shingles x sources, never raw tokens; the join fan-out
+    per shingle is bounded by SOURCE cardinality (tens), not corpus
+    size — a boilerplate shingle present everywhere produces
+    |sources|^2/2 pair rows, still trivial, which is why this is safe
+    where a doc-level all-pairs join is not. Per-source totals are a
+    |sources|-row broadcast. The pair aggregation is map-side combined
+    on a |sources|^2-bounded key space.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sh = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(ngram_md5_expr(NGRAM, "split(text, ' ')"))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    totals = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ta = totals.select(
+        F.col("source").alias("s1"), F.col("n_sh").alias("n1")
+    )
+    tb = totals.select(
+        F.col("source").alias("s2"), F.col("n_sh").alias("n2")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "s1")
+        .join(F.broadcast(tb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "shared",
+            F.round(
+                F.col("shared") / F.least("n1", "n2").cast("double"), 6
+            ).alias("overlap_coef"),
+        )
+    )

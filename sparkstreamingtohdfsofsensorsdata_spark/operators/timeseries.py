@@ -837,3 +837,109 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.round(F.expr(num) / F.expr(den), 6).alias("ewma"),
     )
+
+
+CUSUM_THRESHOLD = 5.0
+
+
+@query(
+    "q_ts_cusum",
+    float_dp={"max_abs_s": 4, "final_s": 4},
+    oracle=f"""
+        WITH stats AS (
+            SELECT event_type,
+                   avg(value)        AS mu,
+                   stddev_pop(value) AS sigma
+            FROM events
+            GROUP BY 1
+        ),
+        cusum AS (
+            SELECT e.event_type, e.ts, e.event_id,
+                   round(sum((e.value - s.mu) / s.sigma)
+                             OVER (PARTITION BY e.event_type
+                                   ORDER BY e.ts, e.event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW), 6) AS s,
+                   row_number() OVER (PARTITION BY e.event_type
+                                      ORDER BY e.ts DESC, e.event_id DESC)
+                       AS rn_desc
+            FROM events e JOIN stats s USING (event_type)
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)                         AS n_points,
+               CAST(sum(CASE WHEN abs(s) > {CUSUM_THRESHOLD!r}
+                             THEN 1 ELSE 0 END) AS BIGINT)      AS n_alarms,
+               round(max(abs(s)), 6)                            AS max_abs_s,
+               round(max(CASE WHEN rn_desc = 1 THEN s END), 6)  AS final_s
+        FROM cusum
+        GROUP BY event_type
+    """,
+    description="CUSUM changepoint detection: standardized cumulative drift per series + alarm counts",
+    tags=("timeseries", "window", "anomaly"),
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per sensor series: standardize each
+    reading against the SERIES mean/stddev, accumulate the running sum
+    S_t of standardized deviations, and alarm where |S_t| crosses the
+    threshold — the classic Page-style changepoint statistic (a mean
+    shift of d sigma grows S_t by d per reading, so small persistent
+    drifts alarm fast while zero-mean noise random-walks slowly).
+    Reported per series: points, alarms, the peak |S|, and the closing
+    S (the drift still open at end-of-data).
+
+    Determinism contract: the alarm predicate compares the 6
+    dp-ROUNDED statistic on both engines — S_t is a prefix sum whose
+    cross-engine fp drift (~1e-11 over thousands of rows) sits far
+    below the rounding grid, so the count can never flip on an ulp;
+    `final_s` picks the last row via row_number over the unique
+    (ts, event_id) order on both sides (DuckDB's max_by takes no
+    composite key).
+
+    Scale shape: the per-series moments are a map-side-combined agg
+    broadcast back onto the stream (1 row per series); the prefix sum
+    is ONE exchange + sort on the series key; the alarm rollup is
+    map-side combined. Nothing is quadratic, nothing collects. A
+    production deployment computes mu/sigma on a trailing calibration
+    window instead of the full series — same plan with a date filter
+    on the stats subtree.
+    """
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(
+                F.sum(
+                    (F.col("value") - F.col("mu")) / F.col("sigma")
+                ).over(w),
+                6,
+            ).alias("s"),
+            F.row_number()
+            .over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            )
+            .alias("rn_desc"),
+        )
+    )
+    return cusum.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(
+            F.when(F.abs("s") > CUSUM_THRESHOLD, 1).otherwise(0)
+        ).alias("n_alarms"),
+        F.round(F.max(F.abs("s")), 6).alias("max_abs_s"),
+        F.round(
+            F.max(F.when(F.col("rn_desc") == 1, F.col("s"))), 6
+        ).alias("final_s"),
+    )

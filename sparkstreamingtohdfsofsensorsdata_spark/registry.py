@@ -115,6 +115,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_bigram_lm",
     "q_merge_upsert",
     "q_stream_chained_windows",
+    "q_ts_cusum",
+    "q_llm_source_overlap",
     "q_tpch_q2",
     "q_tpch_q9",
     "q_llm_semdedup",

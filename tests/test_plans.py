@@ -803,3 +803,20 @@ def test_merge_upsert_source_preaggregated_no_bnlj(spark):
     text = inspect.plan_str(q(spark, "q_merge_upsert"))
     assert "BroadcastNestedLoopJoin" not in text
     assert "partial_count" in text
+
+
+def test_source_overlap_distinct_before_selfjoin(spark):
+    # The self-join must consume the DISTINCT (source, shingle) set —
+    # partial aggregation before the exchange — and stay an equi join
+    # on the shingle hash (inequality as residual, never a BNLJ).
+    text = inspect.plan_str(q(spark, "q_llm_source_overlap"))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "SortMergeJoin" in text or "ShuffledHashJoin" in text or "BroadcastHashJoin" in text
+
+
+def test_cusum_one_series_exchange_stats_broadcast(spark):
+    # Per-series moments broadcast back onto the stream (1 row per
+    # series); both window passes ride ONE exchange on the series key.
+    text = inspect.plan_str(q(spark, "q_ts_cusum"))
+    assert "BroadcastHashJoin" in text or "BroadcastExchange" in text
+    assert text.count("Exchange hashpartitioning") <= 2
