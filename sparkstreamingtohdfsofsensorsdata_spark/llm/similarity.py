@@ -695,3 +695,100 @@ def q_llm_sim_topk_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("exact", 6).alias("cosine"),
         )
     )
+
+
+EMBED_DIM = 64
+
+
+@query(
+    "q_embed_centroid_stats",
+    float_dp={"avg_cos": 4, "min_cos": 4, "centroid_norm": 4},
+    oracle=f"""
+        WITH dims AS (
+            SELECT vec_id, label, i, embedding[i] AS val
+            FROM embeddings, range(1, {EMBED_DIM} + 1) t(i)
+        ),
+        centroid AS (
+            SELECT label, i, avg(val) AS cen
+            FROM dims GROUP BY 1, 2
+        ),
+        cnorm AS (
+            SELECT label, sqrt(sum(cen * cen)) AS nc FROM centroid GROUP BY 1
+        ),
+        cos AS (
+            SELECT d.vec_id, d.label,
+                   sum(d.val * c.cen)
+                     / (sqrt(sum(d.val * d.val)) * any_value(cn.nc)) AS cos_c
+            FROM dims d
+            JOIN centroid c ON d.label = c.label AND d.i = c.i
+            JOIN cnorm cn ON d.label = cn.label
+            GROUP BY 1, 2
+        )
+        SELECT cos.label,
+               CAST(count(*) AS BIGINT)   AS n_vecs,
+               round(avg(cos_c), 6)       AS avg_cos,
+               round(min(cos_c), 6)       AS min_cos,
+               round(any_value(cn.nc), 6) AS centroid_norm
+        FROM cos JOIN cnorm cn ON cos.label = cn.label
+        GROUP BY 1
+    """,
+    description="Embedding-space audit: per-label centroid norm + intra-class cosine coherence",
+    tags=("llm", "embedding", "quality"),
+)
+def q_embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit per class label: the centroid's norm
+    (uniform-random vectors cancel toward 0; clustered classes keep
+    mass) and the distribution of each member's cosine to its own
+    centroid (intra-class coherence — the signal that catches a broken
+    encoder or mislabeled shard before any training run pays for it).
+
+    Expressed fully relationally — posexplode to (vec, dim, val) rows,
+    per-(label, dim) mean, rejoin, dot product as a grouped sum — so
+    Catalyst sees ordinary aggregates. The centroid table is
+    |labels| x dim rows (tiny) and BROADCASTS back onto the dimension
+    stream; norms derive from already-aggregated tables.
+
+    Scale shape: the wide object (the vector) is exploded once and
+    reduced map-side both times; bytes shuffled scale with
+    |vectors| x dim for the per-vec reduction and |labels| x dim for
+    the centroid — at 100 TB the corpus never moves twice. The
+    blocked-GEMM alternative (q_llm_embed_neardup's applyInPandas)
+    wins when dim is large and Python/Arrow is warranted; this is the
+    pure-JVM form a SQL warehouse would run.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id", "label", (F.col("pos") + 1).alias("i"), F.col("val").cast("double")
+    )
+    centroid = dims.groupBy("label", "i").agg(F.avg("val").alias("cen"))
+    cnorm = centroid.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cen") * F.col("cen"))).alias("nc")
+    )
+    cos = (
+        dims.join(F.broadcast(centroid), ["label", "i"])
+        .join(F.broadcast(cnorm), "label")
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sum(F.col("val") * F.col("cen"))
+                / (
+                    F.sqrt(F.sum(F.col("val") * F.col("val")))
+                    * F.any_value("nc")
+                )
+            ).alias("cos_c")
+        )
+    )
+    return (
+        cos.join(F.broadcast(cnorm), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cos_c"), 6).alias("avg_cos"),
+            F.round(F.min("cos_c"), 6).alias("min_cos"),
+            F.round(F.any_value("nc"), 6).alias("centroid_norm"),
+        )
+    )

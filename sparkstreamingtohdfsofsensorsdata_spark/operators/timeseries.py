@@ -943,3 +943,81 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn_desc") == 1, F.col("s"))), 6
         ).alias("final_s"),
     )
+
+
+@query(
+    "q_ts_peak_detect",
+    float_dp={"max_peak": 4, "threshold": 4},
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   avg(value) + stddev_pop(value) AS thr
+            FROM events GROUP BY 1
+        ),
+        nbr AS (
+            SELECT e.event_type, e.ts, e.event_id, e.value, s.thr,
+                   lag(e.value)  OVER w AS prev,
+                   lead(e.value) OVER w AS nxt
+            FROM events e JOIN stats s USING (event_type)
+            WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id)
+        ),
+        peaks AS (
+            SELECT event_type, ts, event_id, value, thr
+            FROM nbr
+            WHERE prev IS NOT NULL AND nxt IS NOT NULL
+              AND value > prev AND value > nxt
+              AND round(value - thr, 6) > 0
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)  AS n_peaks,
+               round(max(value), 6)      AS max_peak,
+               round(any_value(thr), 6)  AS threshold
+        FROM peaks
+        GROUP BY event_type
+    """,
+    description="Local-maxima peak detection per series with a moment-based prominence floor",
+    tags=("timeseries", "window", "anomaly"),
+)
+def q_ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection per sensor series: a reading is a peak when it
+    strictly exceeds BOTH neighbors (series boundaries excluded — a
+    first/last reading has no two-sided evidence) and clears a
+    prominence floor of mean + 1 sigma for its series. Strict
+    neighbor comparisons operate on raw parquet doubles (bit-identical
+    on both engines); the prominence comparison is the only
+    cross-engine-derived boundary, so it compares the 6 dp-ROUNDED
+    margin — the moments' fp drift (~1e-14) can never flip a count.
+
+    Scale shape: per-series moments are a map-side-combined agg
+    broadcast back (1 row per series); lag/lead ride ONE window spec =
+    one exchange + sort on the series key; the peak rollup is map-side
+    combined. The neighbor test keeps O(1) state per row — at 100 TB
+    this shards by series like every window op here, with a 1-row
+    overlap at shard edges.
+    """
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        (F.avg("value") + F.stddev_pop("value")).alias("thr")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nbr = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        "thr",
+        F.lag("value").over(w).alias("prev"),
+        F.lead("value").over(w).alias("nxt"),
+    )
+    peaks = nbr.filter(
+        F.col("prev").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("value") > F.col("prev"))
+        & (F.col("value") > F.col("nxt"))
+        & (F.round(F.col("value") - F.col("thr"), 6) > 0)
+    )
+    return peaks.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_peaks"),
+        F.round(F.max("value"), 6).alias("max_peak"),
+        F.round(F.any_value("thr"), 6).alias("threshold"),
+    )

@@ -117,6 +117,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_stream_chained_windows",
     "q_ts_cusum",
     "q_llm_source_overlap",
+    "q_embed_centroid_stats",
+    "q_ts_peak_detect",
     "q_tpch_q2",
     "q_tpch_q9",
     "q_llm_semdedup",

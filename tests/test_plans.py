@@ -820,3 +820,20 @@ def test_cusum_one_series_exchange_stats_broadcast(spark):
     text = inspect.plan_str(q(spark, "q_ts_cusum"))
     assert "BroadcastHashJoin" in text or "BroadcastExchange" in text
     assert text.count("Exchange hashpartitioning") <= 2
+
+
+def test_centroid_stats_broadcasts_small_tables(spark):
+    # The centroid (|labels| x dim) and norm (|labels|) tables must
+    # broadcast back onto the exploded dimension stream — a shuffle
+    # join here would move the corpus twice.
+    text = inspect.plan_str(q(spark, "q_embed_centroid_stats"))
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+
+
+def test_peak_detect_one_window_pass_stats_broadcast(spark):
+    # lag + lead share one window spec (one exchange + sort); the
+    # moment floor broadcasts.
+    text = inspect.plan_str(q(spark, "q_ts_peak_detect"))
+    assert "BroadcastHashJoin" in text or "BroadcastExchange" in text
+    assert text.count("Exchange hashpartitioning") <= 2
