@@ -1021,3 +1021,98 @@ def q_ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("max_peak"),
         F.round(F.any_value("thr"), 6).alias("threshold"),
     )
+
+
+@query(
+    "q_ts_seasonal_hod",
+    float_dp={"var_total": 2, "var_resid": 2, "seasonality_strength": 4,
+              "peak_hour_mean": 4},
+    oracle="""
+        WITH seasonal AS (
+            SELECT event_type, hour(ts) AS hod,
+                   avg(value) AS s_mean, count(*) AS n
+            FROM events
+            GROUP BY 1, 2
+        ),
+        resid AS (
+            SELECT e.event_type, e.value, e.value - s.s_mean AS r
+            FROM events e
+            JOIN seasonal s
+              ON e.event_type = s.event_type AND hour(e.ts) = s.hod
+        ),
+        strength AS (
+            SELECT event_type,
+                   var_pop(value) AS v_tot,
+                   var_pop(r)     AS v_res
+            FROM resid GROUP BY 1
+        ),
+        peak AS (
+            SELECT event_type, s_mean AS peak_mean,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY s_mean DESC, hod ASC) AS rk
+            FROM seasonal
+        )
+        SELECT st.event_type,
+               round(st.v_tot, 2)                              AS var_total,
+               round(st.v_res, 2)                              AS var_resid,
+               round(1 - st.v_res / nullif(st.v_tot, 0), 6)    AS seasonality_strength,
+               round(p.peak_mean, 6)                           AS peak_hour_mean
+        FROM strength st
+        JOIN peak p ON st.event_type = p.event_type AND p.rk = 1
+    """,
+    description="Hour-of-day seasonal decomposition: profile means, residual variance, seasonality strength",
+    tags=("timeseries", "seasonal"),
+)
+def q_ts_seasonal_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition, the grouped-profile form: fit
+    a 24-slot hour-of-day profile per sensor series, subtract it, and
+    report how much variance the profile explains (STL's seasonal
+    strength statistic, 1 - Var(residual)/Var(total)) plus the peak
+    slot's mean. A strength near 0 says the series has no daily
+    rhythm; near 1 says the profile IS the signal — the triage that
+    decides whether downstream models need deseasonalizing at all.
+
+    Timestamps reach hour() only through the UTC-pinned session (the
+    registry wrapper guarantee), so both engines slot rows
+    identically. The peak slot is picked by row_number over
+    (mean DESC, hod ASC) — a deterministic tie-break even if two
+    hours' means are bit-equal.
+
+    Scale shape: the profile is a map-side-combined agg to
+    |series| x 24 rows — broadcast back onto the stream (never a
+    shuffle of the stream itself); the residual-variance pass is a
+    second map-side agg. Two scans of the fact table (profile fit +
+    residual scoring) is the honest cost of any fit-then-score
+    decomposition; a production pipeline amortizes the first by
+    persisting the profile, exactly like q_llm_dedup_incremental's
+    standing index.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod"), "value"
+    )
+    seasonal = ev.groupBy("event_type", "hod").agg(
+        F.avg("value").alias("s_mean")
+    )
+    resid = ev.join(F.broadcast(seasonal), ["event_type", "hod"]).select(
+        "event_type", "value", (F.col("value") - F.col("s_mean")).alias("r")
+    )
+    strength = resid.groupBy("event_type").agg(
+        F.var_pop("value").alias("v_tot"), F.var_pop("r").alias("v_res")
+    )
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.col("s_mean").desc(), F.col("hod").asc()
+    )
+    peak = (
+        seasonal.withColumn("rk", F.row_number().over(wpk))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("s_mean").alias("peak_mean"))
+    )
+    return strength.join(F.broadcast(peak), "event_type").select(
+        "event_type",
+        F.round("v_tot", 2).alias("var_total"),
+        F.round("v_res", 2).alias("var_resid"),
+        F.round(
+            1 - F.col("v_res") / F.nullif(F.col("v_tot"), F.lit(0.0)), 6
+        ).alias("seasonality_strength"),
+        F.round("peak_mean", 6).alias("peak_hour_mean"),
+    )

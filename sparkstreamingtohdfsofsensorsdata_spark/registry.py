@@ -119,6 +119,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_source_overlap",
     "q_embed_centroid_stats",
     "q_ts_peak_detect",
+    "q_ts_seasonal_hod",
     "q_tpch_q2",
     "q_tpch_q9",
     "q_llm_semdedup",

@@ -837,3 +837,11 @@ def test_peak_detect_one_window_pass_stats_broadcast(spark):
     text = inspect.plan_str(q(spark, "q_ts_peak_detect"))
     assert "BroadcastHashJoin" in text or "BroadcastExchange" in text
     assert text.count("Exchange hashpartitioning") <= 2
+
+
+def test_seasonal_profile_broadcast_never_shuffles_stream(spark):
+    # The 24-slot profile must broadcast back onto the event stream;
+    # the stream itself must never hash-exchange for the join.
+    text = inspect.plan_str(q(spark, "q_ts_seasonal_hod"))
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
