@@ -93,33 +93,19 @@ def query(
 # External harnesses may verify only a prefix of the registry (observed:
 # 50 keys/round). Listing keys here pins them to the front so every key
 # accumulates a verdict across rounds. Round-8 rotation (VERDICT r7 item
-# 1, extended as the round grew the surface 138 -> 168): a key with NO
-# driver verdict outranks any stale-but-green one, so all 30 round-8
-# additions lead window 1; the remaining 20 slots go to the stalest
-# (r4-or-older) verdicts — the exact-similarity tier and the whole
-# streaming family, the exact families rounds 5-6 modified. The rest of
-# the r4 cohort, the rows-only->oracle conversions, and the r5 cohort
-# queue behind them for the next windows; keys the driver greened in r7
-# sit at the tail. Every key is sweep-green locally at
-# sf0.001/0.01/0.1; the rotation only schedules whose verdict the
-# DRIVER refreshes next.
+# 1, extended as the round grew the surface 138 -> 189): the 36
+# session-2 additions (never verified) lead window 1; the remaining 14
+# slots + window 2 go to the stalest (r4-or-older) verdicts — the
+# exact-similarity tier and the whole streaming family, the exact
+# families rounds 5-6 modified — so the r7-verdict rotation still
+# lands. The 15 session-3 additions queue right behind the stale
+# cohort (each carries fresh local sweep + hostile-tier + plan-gate
+# evidence), then the rows-only->oracle conversions and the r5 cohort;
+# keys the driver greened in r7 sit at the tail. Every key is
+# sweep-green locally at sf0.001/0.01/0.1; the rotation only schedules
+# whose verdict the DRIVER refreshes next.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # --- window 1 (50): first, the round-8 additions (never verified) ---
-    "q_agg_skew_salted",
-    "q_dq_profile",
-    "q_ts_rolling_corr",
-    "q_llm_pmi_bigrams",
-    "q_llm_entropy",
-    "q_llm_feature_hash",
-    "q_ts_ewma",
-    "q_llm_bigram_lm",
-    "q_merge_upsert",
-    "q_stream_chained_windows",
-    "q_ts_cusum",
-    "q_llm_source_overlap",
-    "q_embed_centroid_stats",
-    "q_ts_peak_detect",
-    "q_ts_seasonal_hod",
     "q_tpch_q2",
     "q_tpch_q9",
     "q_llm_semdedup",
@@ -195,6 +181,24 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_sort_multi",
     "q_topk_global",
     "q_stream_sink",
+    # --- session-3 additions (never verified; behind the stale cohort so
+    # the r7-verdict rotation still lands — all 15 carry fresh local
+    # sweep + hostile-tier + plan-gate evidence and lead window 2) ---
+    "q_agg_skew_salted",
+    "q_dq_profile",
+    "q_ts_rolling_corr",
+    "q_llm_pmi_bigrams",
+    "q_llm_entropy",
+    "q_llm_feature_hash",
+    "q_ts_ewma",
+    "q_llm_bigram_lm",
+    "q_merge_upsert",
+    "q_stream_chained_windows",
+    "q_ts_cusum",
+    "q_llm_source_overlap",
+    "q_embed_centroid_stats",
+    "q_ts_peak_detect",
+    "q_ts_seasonal_hod",
     # --- window 1 cont.: rows-only->oracle conversions + oldest r5 ---
     "q_llm_sim_topk_lsh",
     "q_agg_approx_distinct",
