@@ -960,6 +960,17 @@ def _gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load as _load
 
     docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # The fixture ships documents as ONE parquet file, so without this
+    # the whole gram stream (and both Arrow mapInPandas passes) runs on
+    # a single core — 16 s at sf0.1 on a 32-core box. Repartitioning at
+    # the DOCUMENT level (hash on doc_id, deterministic) restores the
+    # parallelism a real multi-file corpus has natively; the shuffle
+    # moves documents, never the exploded grams. The MG superset
+    # guarantee is partitioning-independent (pigeonhole per partition),
+    # so the exact recount output is unchanged.
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = F.split(F.col("text"), " ")
     tri = F.when(
         F.size(toks) >= 3,
