@@ -1126,3 +1126,51 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("pp"), 2).alias("sum_price"),
         F.round(F.sum("pp") / F.sum("pn"), 4).alias("avg_price"),
     )
+
+
+@query(
+    "q_agg_decimal_exact",
+    oracle="""
+        SELECT l_returnflag,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18, 2))
+                        AS DECIMAL(38, 2)))                     AS gross,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18, 2))
+                        AS DECIMAL(38, 2))
+                   * CAST(CAST(l_discount AS DECIMAL(18, 2))
+                          AS DECIMAL(38, 2)))                   AS discount_amt,
+               CAST(count(*) AS BIGINT)                         AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    description="Exact decimal money aggregation: DECIMAL sums are order-independent and bit-equal",
+    tags=("agg", "decimal", "money"),
+)
+def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money math the way a ledger demands it: cast prices to
+    DECIMAL(18,2) at the scan and aggregate in decimal the whole way.
+    Unlike every double-summing key in this repo (which must round
+    because engines sum floats in different orders), decimal addition
+    is EXACT and associative — the sums here are bit-equal across
+    engines, partitionings, and retry orders with NO rounding anywhere.
+    This is the arithmetic regime a financial pipeline runs in, and the
+    reason it tolerates reshuffles that would twitch a float sum's low
+    bits.
+
+    The discount product widens to DECIMAL(38,4)-ish intermediate on
+    both engines before the sum; both sides pin the scale by casting
+    the operands identically, so the products (exact 4-dp rationals)
+    and their sums agree digit for digit.
+
+    Scale shape: one map-side-combined aggregation — decimal partials
+    are 128-bit values, so combine/merge cost is flat; the exchange
+    carries |keys| x partitions partial rows exactly like the double
+    path, just with exactness for free.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)").cast("decimal(38,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)").cast("decimal(38,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("gross"),
+        F.sum(price * disc).alias("discount_amt"),
+        F.count(F.lit(1)).alias("n"),
+    )

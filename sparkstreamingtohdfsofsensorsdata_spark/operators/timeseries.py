@@ -1116,3 +1116,63 @@ def q_ts_seasonal_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seasonality_strength"),
         F.round("peak_mean", 6).alias("peak_hour_mean"),
     )
+
+
+MEDIAN_FRAME = 5  # rows each side => 11-row centered frame
+
+
+@query(
+    "q_ts_median_filter",
+    float_dp={"med": 4},
+    oracle=f"""
+        SELECT event_type, ts, event_id,
+               round(value, 6) AS value,
+               round(quantile_cont(value, 0.5)
+                         OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN {MEDIAN_FRAME} PRECEDING
+                                        AND {MEDIAN_FRAME} FOLLOWING), 6)
+                   AS med
+        FROM events
+        QUALIFY event_id % 5 = 0
+    """,
+    description="Rolling-median despiking filter: exact centered 11-row median per series",
+    tags=("timeseries", "window", "median"),
+)
+def q_ts_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The median filter — signal processing's default despiker,
+    because unlike the mean a single glitch sample can NEVER drag the
+    output (breakdown point 50%). Centered 11-row frame, exact median:
+    over an odd full frame the median IS an order statistic of the raw
+    parquet doubles, so both engines return the same bit pattern; only
+    the even-sized partial frames at series edges interpolate (the
+    same midpoint arithmetic on both sides). That makes this the
+    rare float-valued key whose parity holds essentially without
+    rounding — the 6 dp round is belt-and-braces for the edge frames.
+
+    Scale shape: one exchange + sort on the series key; the frame
+    median keeps an O(frame) buffer per row. The output slice
+    (event_id % 5) is applied AFTER the window — Spark evaluates the
+    filter above the Window operator (gated), so no frame loses its
+    neighbors. A centered filter needs FOLLOWING rows, so at 100 TB
+    shards overlap by frame/2 on both edges — still bounded state,
+    unlike the unbounded lookahead a sort-based despiker would need.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-MEDIAN_FRAME, MEDIAN_FRAME)
+    )
+    return (
+        ev.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round(
+                F.expr("percentile(value, 0.5)").over(w), 6
+            ).alias("med"),
+        )
+        .filter(F.col("event_id") % 5 == 0)
+    )

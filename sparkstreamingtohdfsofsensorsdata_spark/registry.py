@@ -199,6 +199,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_embed_centroid_stats",
     "q_ts_peak_detect",
     "q_ts_seasonal_hod",
+    "q_ts_median_filter",
+    "q_agg_decimal_exact",
     # --- window 1 cont.: rows-only->oracle conversions + oldest r5 ---
     "q_llm_sim_topk_lsh",
     "q_agg_approx_distinct",

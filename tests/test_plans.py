@@ -845,3 +845,21 @@ def test_seasonal_profile_broadcast_never_shuffles_stream(spark):
     text = inspect.plan_str(q(spark, "q_ts_seasonal_hod"))
     assert "BroadcastHashJoin" in text
     assert "SortMergeJoin" not in text
+
+
+def test_median_filter_slice_stays_above_window(spark):
+    # The event_id % 5 output slice must evaluate ABOVE the Window
+    # operator — pushed below it, every frame would lose 4/5 of its
+    # neighbors and the medians would be wrong, not just slow.
+    df = q(spark, "q_ts_median_filter")
+    text = inspect.plan_str(df)
+    w = text.find("Window")
+    f = text.find("% 5) = 0")
+    assert w != -1 and f != -1 and f < w  # filter printed above Window
+
+
+def test_decimal_exact_partial_agg(spark):
+    # Decimal sums must still combine map-side — exactness is free,
+    # not a license to skip the partial aggregate.
+    text = inspect.plan_str(q(spark, "q_agg_decimal_exact"))
+    assert "partial_sum" in text
