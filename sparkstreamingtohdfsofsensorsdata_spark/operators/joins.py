@@ -604,3 +604,79 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("back_id"))
         .alias("nearest_view_id"),
     )
+
+
+BLOOM_CONFS = {
+    # Runtime bloom filters only fire when broadcast is off the table —
+    # at 100 TB the filtered dim is selective but NOT driver-small, the
+    # exact regime the rewrite exists for. Thresholds are floored so
+    # the fixture (tiny by design) still exercises the production plan.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+}
+
+
+def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy join plan q_join_bloom_runtime materializes (split out
+    so the plan gate can snapshot it under the same confs)."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 97 == 0)
+    return (
+        li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_bloom_runtime",
+    float_dp={"revenue": 2},
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT)       AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_partkey % 97 = 0
+        GROUP BY l_returnflag
+    """,
+    description="Runtime bloom-filter join: selective non-broadcastable dim prunes the fact scan side",
+    tags=("join", "bloom", "runtime-filter"),
+)
+def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's InjectRuntimeFilter rewrite, exercised end-to-end: when a
+    selective dim is too big to broadcast, Spark builds a bloom filter
+    from the dim's join keys and inserts might_contain() on the FACT
+    side, so ~99% of fact rows die before the shuffle instead of
+    crossing the wire to be dropped by the join. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~1% that can match — the single biggest lever on selective
+    star joins after broadcast itself.
+
+    The rewrite happens at OPTIMIZATION time, which for a lazy
+    DataFrame is collect time — so the confs are scoped with
+    try/finally around an EAGER localCheckpoint materialization (the
+    run_to_memory pattern): the returned frame carries the
+    bloom-filtered result, and no conf leaks into the next query's
+    plan (autoBroadcastJoinThreshold=-1 would wreck every broadcast
+    key in the registry).
+
+    The result is conf-independent (same rows with or without the
+    filter — a bloom false positive only wastes a probe, never adds a
+    row), which is what the plain-join oracle checks.
+    """
+    saved = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    try:
+        for k, v in BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        return _bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

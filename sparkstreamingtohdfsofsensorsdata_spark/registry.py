@@ -201,6 +201,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_ts_seasonal_hod",
     "q_ts_median_filter",
     "q_agg_decimal_exact",
+    "q_fn_variant",
+    "q_join_bloom_runtime",
     # --- window 1 cont.: rows-only->oracle conversions + oldest r5 ---
     "q_llm_sim_topk_lsh",
     "q_agg_approx_distinct",

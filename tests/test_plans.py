@@ -863,3 +863,33 @@ def test_decimal_exact_partial_agg(spark):
     # not a license to skip the partial aggregate.
     text = inspect.plan_str(q(spark, "q_agg_decimal_exact"))
     assert "partial_sum" in text
+
+
+def test_variant_row_local_pushdown(spark):
+    # VARIANT extraction is row-local: no shuffle, and the id slice is
+    # pushed to the parquet scan.
+    df = q(spark, "q_fn_variant")
+    text = inspect.plan_str(df)
+    assert "Exchange" not in text
+    assert inspect.has_pushed_filters(df, "event_id")
+
+
+def test_bloom_runtime_filter_injected_on_fact_side(spark):
+    # Under the scoped confs the optimized plan must carry a bloom
+    # might_contain probe on the lineitem (fact) side — proof the
+    # InjectRuntimeFilter rewrite fired where broadcast was unavailable.
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.joins import (
+        BLOOM_CONFS,
+        _bloom_join_frame,
+    )
+
+    saved = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    try:
+        for k, v in BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        text = inspect.plan_str(_bloom_join_frame(spark, SF))
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "might_contain" in text
+    assert "bloom_filter_agg" in text
