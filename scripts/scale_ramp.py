@@ -39,6 +39,12 @@ RAMP_KEYS = [
     "q_stream_tumbling",
     "q_join_range",
     "q_llm_dedup_clusters",
+    # session-3 heavy additions: shingle self-join (fan-out bounded by
+    # source cardinality), the one deliberate wide join (bigram probe),
+    # and the Arrow mapInPandas sketch (Python-path cost vs volume).
+    "q_llm_source_overlap",
+    "q_llm_bigram_lm",
+    "q_agg_heavy_hitters",
 ]
 
 

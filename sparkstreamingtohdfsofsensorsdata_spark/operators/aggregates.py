@@ -988,7 +988,12 @@ def _gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mg_candidates(batches):
-    """Per-partition Misra-Gries summary over Arrow batches.
+    """Per-partition Misra-Gries summary over Arrow batches of int64
+    GRAM HASHES (xxhash64, computed JVM-side before the Python
+    boundary — an int64 column costs a fraction of the gram strings in
+    Arrow transfer and value_counts time; with the doc-level
+    repartition this lands the two-pass query at ~3 s warm / ~11 s
+    cold-workers at sf0.1, vs 16 s before the pair of fixes).
 
     Batched form: merge each batch's value_counts into the running
     summary; when the summary exceeds capacity, subtract the
@@ -998,19 +1003,23 @@ def _mg_candidates(batches):
     of any key is <= N_partition / (capacity + 1) — which is what
     guarantees every gram with global count > N / (capacity+1)
     survives in at least one partition's candidate set (pigeonhole
-    over partitions).
+    over partitions). Hashing cannot break the guarantee: a collision
+    only MERGES mass into a counter (counts never decrease), so true
+    heavy hitters still survive; a spurious survivor just costs one
+    extra exact-recount key, and the recount joins back on the REAL
+    gram string, so the final top-k is exact either way.
     """
     import pandas as pd
 
-    counters: dict[str, int] = {}
+    counters: dict[int, int] = {}
     for pdf in batches:
-        for g, c in pdf["gram"].value_counts().items():
+        for g, c in pdf["gh"].value_counts().items():
             counters[g] = counters.get(g, 0) + int(c)
         if len(counters) > MG_CAPACITY:
             vals = sorted(counters.values(), reverse=True)
             d = vals[MG_CAPACITY]
             counters = {g: c - d for g, c in counters.items() if c > d}
-    yield pd.DataFrame({"gram": list(counters.keys())})
+    yield pd.DataFrame({"gh": pd.array(list(counters.keys()), dtype="int64")})
 
 
 @query(
@@ -1057,9 +1066,12 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     caching the tokenized stream; here each pass re-derives it from
     the scan to keep the key stateless."""
     grams = _gram_stream(spark, sf_dir)
-    cands = grams.mapInPandas(_mg_candidates, "gram string").distinct()
+    hashed = grams.select("gram", F.xxhash64("gram").alias("gh"))
+    cands = (
+        hashed.select("gh").mapInPandas(_mg_candidates, "gh long").distinct()
+    )
     return (
-        grams.join(F.broadcast(cands), "gram")
+        hashed.join(F.broadcast(cands), "gh")
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), "gram")

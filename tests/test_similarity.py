@@ -151,10 +151,11 @@ def test_cc_labels_at_bench_scale_match_union_find(spark):
 
 def test_mg_candidates_superset_of_true_topk(spark):
     # The Misra-Gries guarantee made executable: the candidate union
-    # must contain every gram of the exact top-25 (it provably contains
-    # every gram with count > N/(capacity+1); the fixture's 25th count
-    # clears that floor by >10x), and each partition emits at most
-    # MG_CAPACITY candidates.
+    # (int64 xxhash64 domain — collisions only merge mass, so the
+    # superset property is hash-proof) must contain every gram of the
+    # exact top-25 (it provably contains every gram with count >
+    # N/(capacity+1); the fixture's 25th count clears that floor by
+    # >10x), and each partition emits at most MG_CAPACITY candidates.
     from pyspark.sql import functions as F
 
     from sparkstreamingtohdfsofsensorsdata_spark.operators.aggregates import (
@@ -165,17 +166,19 @@ def test_mg_candidates_superset_of_true_topk(spark):
     )
 
     grams = _gram_stream(spark, SF)
-    n_parts = grams.rdd.getNumPartitions()
+    hashed = grams.select(F.xxhash64("gram").alias("gh"))
+    n_parts = hashed.rdd.getNumPartitions()
     cands = {
-        r.gram for r in grams.mapInPandas(_mg_candidates, "gram string").collect()
+        r.gh for r in hashed.mapInPandas(_mg_candidates, "gh long").collect()
     }
     assert len(cands) <= n_parts * MG_CAPACITY
     true_topk = {
-        r.gram
+        r.gh
         for r in grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), "gram")
         .limit(HEAVY_HITTERS_K)
+        .select(F.xxhash64("gram").alias("gh"))
         .collect()
     }
     assert true_topk <= cands
