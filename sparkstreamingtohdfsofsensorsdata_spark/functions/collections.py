@@ -215,13 +215,19 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_fn_variant",
     oracle="""
+        WITH src AS (
+            SELECT event_id,
+                   CASE WHEN props IS NOT NULL AND json_valid(props)
+                        THEN props END AS j
+            FROM events
+            WHERE event_id % 9 = 0
+        )
         SELECT event_id,
-               CAST(json_extract(props, '$.k') AS INTEGER)      AS k_int,
-               json_extract_string(props, '$.k')                AS k_str,
-               CAST(json_extract(props, '$.missing') AS INTEGER) AS absent,
-               CAST(json_extract(props, '$.k') AS INTEGER) >= 50 AS k_big
-        FROM events
-        WHERE event_id % 97 = 0
+               TRY_CAST(json_extract(j, '$.k') AS INTEGER)       AS k_int,
+               json_extract_string(j, '$.k')                     AS k_str,
+               TRY_CAST(json_extract(j, '$.missing') AS INTEGER) AS absent,
+               TRY_CAST(json_extract(j, '$.k') AS INTEGER) >= 50 AS k_big
+        FROM src
     """,
     description="Spark 4 VARIANT type: parse_json + typed variant_get path extraction",
     tags=("function", "variant", "json"),
@@ -234,8 +240,10 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     per extraction. On a 100 TB events table with wide props objects
     that is the difference between one parse and k parses per row;
     VARIANT also pushes through shuffles as compact binary instead of
-    raw text. An absent path returns typed NULL (not an error), and
-    downstream predicates consume the typed value directly (k_big).
+    raw text. An absent path, a malformed blob, or a non-castable leaf
+    returns typed NULL (try_parse_json / try_variant_get — never a
+    task failure), and downstream predicates consume the typed value
+    directly (k_big).
 
     The DuckDB oracle mirrors with json_extract — semantically the
     same path algebra, which is exactly the point: VARIANT is Spark
@@ -246,12 +254,16 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan. At 100 TB you'd persist the parsed VARIANT column once
     (write-time shredding) and pay zero parse on every later read.
     """
-    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
-    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0)
+    # try_parse_json / try_variant_get: malformed blobs and non-castable
+    # leaves become typed NULLs instead of task failures — the only
+    # semantics that survives a dirty 100 TB ingest (and the hostile
+    # events tier, where props includes "{bad" and {"k": "abc"}).
+    v = ev.select("event_id", F.try_parse_json("props").alias("v"))
     return v.select(
         "event_id",
-        F.expr("variant_get(v, '$.k', 'int')").alias("k_int"),
-        F.expr("variant_get(v, '$.k', 'string')").alias("k_str"),
-        F.expr("variant_get(v, '$.missing', 'int')").alias("absent"),
-        (F.expr("variant_get(v, '$.k', 'int')") >= 50).alias("k_big"),
+        F.expr("try_variant_get(v, '$.k', 'int')").alias("k_int"),
+        F.expr("try_variant_get(v, '$.k', 'string')").alias("k_str"),
+        F.expr("try_variant_get(v, '$.missing', 'int')").alias("absent"),
+        (F.expr("try_variant_get(v, '$.k', 'int')") >= 50).alias("k_big"),
     )

@@ -697,6 +697,8 @@ def q_llm_sim_topk_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixture embeddings are 64-dim; the query itself is dim-agnostic (the
+# explode and the oracle's lateral range are both data-driven).
 EMBED_DIM = 64
 
 
@@ -705,8 +707,15 @@ EMBED_DIM = 64
     float_dp={"avg_cos": 4, "min_cos": 4, "centroid_norm": 4},
     oracle=f"""
         WITH dims AS (
-            SELECT vec_id, label, i, embedding[i] AS val
-            FROM embeddings, range(1, {EMBED_DIM} + 1) t(i)
+            SELECT vec_id, label, u.i AS i, u.val AS val
+            FROM (
+                SELECT vec_id, label,
+                       unnest(list_transform(embedding,
+                           (x, i) -> struct_pack(i := i,
+                                                 val := CAST(x AS DOUBLE)))) AS u
+                FROM embeddings
+                WHERE {VEC_BOUNDARY_SQL}
+            )
         ),
         centroid AS (
             SELECT label, i, avg(val) AS cen
@@ -718,7 +727,8 @@ EMBED_DIM = 64
         cos AS (
             SELECT d.vec_id, d.label,
                    sum(d.val * c.cen)
-                     / (sqrt(sum(d.val * d.val)) * any_value(cn.nc)) AS cos_c
+                     / nullif(sqrt(sum(d.val * d.val)) * any_value(cn.nc), 0)
+                       AS cos_c
             FROM dims d
             JOIN centroid c ON d.label = c.label AND d.i = c.i
             JOIN cnorm cn ON d.label = cn.label
@@ -746,7 +756,11 @@ def q_embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(label, dim) mean, rejoin, dot product as a grouped sum — so
     Catalyst sees ordinary aggregates. The centroid table is
     |labels| x dim rows (tiny) and BROADCASTS back onto the dimension
-    stream; norms derive from already-aggregated tables.
+    stream; norms derive from already-aggregated tables. Inputs pass
+    the similarity family's boundary (non-empty, no NaN/NULL holes —
+    VEC_BOUNDARY_SQL, same rationale as _as_double), and an all-zero
+    vector or all-cancelling centroid yields NULL cosine via nullif on
+    both engines, never a 0/0 NaN.
 
     Scale shape: the wide object (the vector) is exploded once and
     reduced map-side both times; bytes shuffled scale with
@@ -756,7 +770,11 @@ def q_embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins when dim is large and Python/Arrow is warranted; this is the
     pure-JVM form a SQL warehouse would run.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") > 0)
+        .filter(~F.exists("embedding", lambda x: x.isNull() | F.isnan(x)))
+    )
     dims = emb.select(
         "vec_id",
         "label",
@@ -775,9 +793,10 @@ def q_embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(F.col("val") * F.col("cen"))
-                / (
+                / F.nullif(
                     F.sqrt(F.sum(F.col("val") * F.col("val")))
-                    * F.any_value("nc")
+                    * F.any_value("nc"),
+                    F.lit(0.0),
                 )
             ).alias("cos_c")
         )

@@ -855,7 +855,7 @@ CUSUM_THRESHOLD = 5.0
         ),
         cusum AS (
             SELECT e.event_type, e.ts, e.event_id,
-                   round(sum((e.value - s.mu) / s.sigma)
+                   round(sum((e.value - s.mu) / nullif(s.sigma, 0))
                              OVER (PARTITION BY e.event_type
                                    ORDER BY e.ts, e.event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING
@@ -895,6 +895,9 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) order on both sides (DuckDB's max_by takes no
     composite key).
 
+    A zero-variance series yields NULL drift via nullif on both
+    engines (never a 0/0 NaN, whose ordering the engines disagree on).
+
     Scale shape: the per-series moments are a map-side-combined agg
     broadcast back onto the stream (1 row per series); the prefix sum
     is ONE exchange + sort on the series key; the alarm rollup is
@@ -920,7 +923,8 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.round(
                 F.sum(
-                    (F.col("value") - F.col("mu")) / F.col("sigma")
+                    (F.col("value") - F.col("mu"))
+                    / F.nullif(F.col("sigma"), F.lit(0.0))
                 ).over(w),
                 6,
             ).alias("s"),

@@ -287,6 +287,23 @@ KEYS = [
     "q_agg_weighted_median",
     "q_win_running_distinct",
     "q_join_asof_nearest",
+    # session-3 additions over the same hostile surface: zero-variance
+    # series (cusum/rolling-corr/peaks/seasonal NULL paths), degenerate
+    # embeddings (boundary-excluded), malformed props (variant typed
+    # NULLs), extreme prices (decimal range), partial MERGE snapshots.
+    "q_ts_rolling_corr",
+    "q_ts_ewma",
+    "q_ts_cusum",
+    "q_ts_peak_detect",
+    "q_ts_seasonal_hod",
+    "q_ts_median_filter",
+    "q_agg_skew_salted",
+    "q_agg_decimal_exact",
+    "q_dq_profile",
+    "q_merge_upsert",
+    "q_fn_variant",
+    "q_join_bloom_runtime",
+    "q_embed_centroid_stats",
     "q_agg_group",
     "q_agg_global",
     "q_agg_count_distinct",
