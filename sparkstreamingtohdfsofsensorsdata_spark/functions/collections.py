@@ -250,8 +250,9 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     catching up to the native-JSON engines, and a user migrating from
     the reference's JSON accessors gets identical results.
 
-    Scale shape: row-local, no shuffle; the slice filter is pushed to
-    the scan. At 100 TB you'd persist the parsed VARIANT column once
+    Scale shape: row-local, no shuffle; the modulo slice is evaluated
+    in the scan stage (not parquet-pushable — only the derived
+    IsNotNull reaches PushedFilters). At 100 TB you'd persist the parsed VARIANT column once
     (write-time shredding) and pay zero parse on every later read.
     """
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0)

@@ -697,11 +697,6 @@ def q_llm_sim_topk_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fixture embeddings are 64-dim; the query itself is dim-agnostic (the
-# explode and the oracle's lateral range are both data-driven).
-EMBED_DIM = 64
-
-
 @query(
     "q_embed_centroid_stats",
     float_dp={"avg_cos": 4, "min_cos": 4, "centroid_norm": 4},

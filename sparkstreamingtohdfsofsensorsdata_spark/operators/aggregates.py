@@ -1129,6 +1129,10 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partial = salted.groupBy("l_returnflag", "salt").agg(
         F.count(F.lit(1)).alias("pn"),
+        # avg's denominator must count NON-NULL prices (SQL avg
+        # semantics, mirrored by the oracle's avg()), not rows — the
+        # two differ the moment a price is NULL (review s3).
+        F.count("l_extendedprice").alias("pp_n"),
         F.sum("l_quantity").alias("pq"),
         F.sum("l_extendedprice").alias("pp"),
     )
@@ -1136,7 +1140,7 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.round(F.sum("pq"), 2).alias("sum_qty"),
         F.round(F.sum("pp"), 2).alias("sum_price"),
-        F.round(F.sum("pp") / F.sum("pn"), 4).alias("avg_price"),
+        F.round(F.sum("pp") / F.sum("pp_n"), 4).alias("avg_price"),
     )
 
 

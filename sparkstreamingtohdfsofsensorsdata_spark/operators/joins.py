@@ -618,6 +618,27 @@ BLOOM_CONFS = {
 }
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def bloom_confs_scoped(spark: SparkSession):
+    """Set BLOOM_CONFS for the duration of the block and restore the
+    caller's values on exit (unset-if-absent) — the single owner of the
+    save/restore subtlety, shared by the query and its plan gate."""
+    saved = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    try:
+        for k, v in BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lazy join plan q_join_bloom_runtime materializes (split out
     so the plan gate can snapshot it under the same confs)."""
@@ -669,14 +690,5 @@ def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter — a bloom false positive only wastes a probe, never adds a
     row), which is what the plain-join oracle checks.
     """
-    saved = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
-    try:
-        for k, v in BLOOM_CONFS.items():
-            spark.conf.set(k, v)
+    with bloom_confs_scoped(spark):
         return _bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)

@@ -761,13 +761,16 @@ _EWMA_W_SQL = "[" + ", ".join(repr(w) for w in _EWMA_W) + "]"
     "q_ts_ewma",
     float_dp={"ewma": 4},
     oracle=f"""
-        WITH framed AS (
+        WITH src AS (
+            SELECT * FROM events WHERE value IS NOT NULL
+        ),
+        framed AS (
             SELECT event_type, ts, event_id, value,
                    list(value) OVER (PARTITION BY event_type
                                      ORDER BY ts, event_id
                                      ROWS BETWEEN {EWMA_HORIZON - 1} PRECEDING
                                               AND CURRENT ROW) AS arr
-            FROM events
+            FROM src
         )
         SELECT event_type, ts, event_id, round(value, 6) AS value,
                round(
@@ -808,7 +811,12 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact recursion needs a sequential scan per series, the truncation
     needs only a 16-row overlap between shards.
     """
-    ev = load(spark, sf_dir, "events")
+    # NULL readings are dropped BEFORE the window on both engines:
+    # Spark's collect_list silently skips NULLs while DuckDB's list()
+    # keeps them in place, so leaving them in would misalign weights
+    # and denominators between the two (review s3). Dropping the
+    # unmeasurable rows is also the right smoother semantics.
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     wf = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
