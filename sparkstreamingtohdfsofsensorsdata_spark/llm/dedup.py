@@ -1411,3 +1411,92 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+WINNOW_K = 4  # token k-gram size
+WINNOW_W = 5  # winnowing window (guarantee: every W-run yields a print)
+
+
+@query(
+    "q_llm_winnowing",
+    oracle=f"""
+        WITH kg AS (
+            SELECT doc_id, source,
+                   list_transform(
+                       range(1, greatest(len(t) - {WINNOW_K - 1}, 1) + 1),
+                       i -> md5(array_to_string(t[i : i + {WINNOW_K - 1}], ' '))
+                   ) AS kg
+            FROM (
+                SELECT doc_id, source, string_split(text, ' ') AS t
+                FROM documents WHERE text IS NOT NULL
+            )
+        ),
+        fps AS (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(kg) - {WINNOW_W - 1}, 1) + 1),
+                       j -> list_min(kg[j : j + {WINNOW_W - 1}])
+                   )) AS fp
+            FROM kg
+        )
+        SELECT doc_id, source,
+               CAST(len(fp) AS BIGINT) AS n_fp,
+               list_min(fp)            AS fp_min,
+               list_max(fp)            AS fp_max
+        FROM fps
+        WHERE doc_id % 5 = 0
+    """,
+    description="Winnowing fingerprints (Schleimer/MOSS): window-min k-gram hashes, guaranteed-density local dedup prints",
+    tags=("llm", "dedup", "fingerprint"),
+)
+def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson, Aiken — the MOSS algorithm):
+    hash every token {k}-gram, slide a window of {w} hashes, keep each
+    window's MINIMUM — the fingerprint set that q_llm_fingerprint's
+    plain min/max sketch approximates. The win over "min hash of the
+    whole doc" is the DENSITY GUARANTEE: any shared run of
+    w + k - 1 tokens between two documents yields at least one shared
+    fingerprint, so local (passage-level) overlap is always visible —
+    the property plagiarism/contamination detection actually needs.
+
+    Determinism: md5 hex strings ordered lexicographically — an
+    engine-identical total order, so the window minima, their distinct
+    set, and min/max summaries are all bit-equal with zero rounding.
+    Too-short docs degrade like the shared n-gram template
+    (ngram_md5_expr): the greatest() guard yields exactly one
+    truncated gram / one whole-array window, never a fabricated one.
+
+    Scale shape: entirely ROW-LOCAL — tokenize, k-gram hash, window
+    min, distinct: four HOFs in one projection, no shuffle anywhere
+    before the output slice (plan-gated: zero exchanges). At 100 TB
+    this is the cheapest dedup signal in the family; the fingerprints
+    would feed the same banded join the simhash path uses.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    kg = (
+        f"transform(sequence(1, greatest(size(t) - {WINNOW_K - 1}, 1)),"
+        f" i -> md5(array_join(slice(t, i, {WINNOW_K}), ' ')))"
+    )
+    fp = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(kg) - {WINNOW_W - 1}, 1)),"
+        f" j -> array_min(slice(kg, j, {WINNOW_W}))))"
+    )
+    return (
+        docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+        .select("doc_id", "source", F.expr(kg).alias("kg"))
+        .select("doc_id", "source", F.expr(fp).alias("fp"))
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size("fp").cast("long").alias("n_fp"),
+            F.array_min("fp").alias("fp_min"),
+            F.array_max("fp").alias("fp_max"),
+        )
+    )
+
+
+q_llm_winnowing.__doc__ = q_llm_winnowing.__doc__.format(
+    k=WINNOW_K, w=WINNOW_W
+)

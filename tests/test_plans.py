@@ -889,3 +889,11 @@ def test_bloom_runtime_filter_injected_on_fact_side(spark):
         text = inspect.plan_str(_bloom_join_frame(spark, SF))
     assert "might_contain" in text
     assert "bloom_filter_agg" in text
+
+
+def test_winnowing_entirely_row_local(spark):
+    # Four chained HOFs in projections — the plan must contain no
+    # exchange and no Python evaluator at all.
+    text = inspect.plan_str(q(spark, "q_llm_winnowing"))
+    assert "Exchange" not in text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text

@@ -60,6 +60,7 @@ KEYS = [
     "q_llm_feature_hash",
     "q_llm_bigram_lm",
     "q_llm_source_overlap",
+    "q_llm_winnowing",
     # the rest of the deterministic documents-reading surface, now
     # exposed to NULL/whitespace/unicode/emoji/stopword-only texts
     "q_llm_text_stats",

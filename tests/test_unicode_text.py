@@ -120,6 +120,7 @@ KEYS = [
     "q_llm_feature_hash",
     "q_llm_bigram_lm",
     "q_llm_source_overlap",
+    "q_llm_winnowing",
 ]
 
 
