@@ -1190,3 +1190,51 @@ def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price * disc).alias("discount_amt"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_agg_string_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+                   AS statuses,
+               string_agg(CAST(o_orderkey AS VARCHAR), ','
+                          ORDER BY o_totalprice DESC, o_orderkey) FILTER (
+                   WHERE o_totalprice > 490000)              AS top_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    description="Ordered string aggregation (Spark 4 listagg WITHIN GROUP) with DISTINCT and FILTER forms",
+    tags=("agg", "listagg", "string"),
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG, the SQL:2016 ordered string aggregation Spark gained in
+    4.0 — the report-facing aggregate every warehouse migration asks
+    about first. Three production forms in one key: DISTINCT + ORDER
+    BY (the canonical tag list), and a FILTERed ordered form (top
+    expensive orders, price-desc) — the one whose ORDER BY determinism
+    people get wrong: the sort key must be made total (price DESC,
+    THEN the unique key) or the concatenated string is
+    partition-order-dependent and unreproducible on any engine.
+
+    Scale shape: map-side combine still applies (Spark plans listagg
+    partials as ordered buffers); the FILTER prunes the buffered rows
+    before they're carried. The concatenated payload scales with group
+    row count, so a production query always bounds it (the FILTER
+    here) — an unbounded listagg over a hot group is the string
+    version of collect_list-on-the-driver.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "listagg(DISTINCT o_orderstatus, ',')"
+            " WITHIN GROUP (ORDER BY o_orderstatus)"
+        ).alias("statuses"),
+        F.expr(
+            "listagg(CAST(o_orderkey AS STRING), ',')"
+            " WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)"
+            " FILTER (WHERE o_totalprice > 490000)"
+        ).alias("top_orders"),
+    )

@@ -1188,3 +1188,88 @@ def q_ts_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("event_id") % 5 == 0)
     )
+
+
+ACF_LAGS = (1, 24)
+
+
+@query(
+    "q_ts_autocorr",
+    float_dp={"acf": 4},
+    oracle=f"""
+        WITH lagged AS (
+            SELECT event_type, value,
+                   lag(value, {ACF_LAGS[0]}) OVER w AS l1,
+                   lag(value, {ACF_LAGS[1]}) OVER w AS l24
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ),
+        pairs AS (
+            SELECT event_type, {ACF_LAGS[0]} AS lag_k, value, l1 AS lagged
+            FROM lagged WHERE l1 IS NOT NULL
+            UNION ALL
+            SELECT event_type, {ACF_LAGS[1]}, value, l24
+            FROM lagged WHERE l24 IS NOT NULL
+        )
+        SELECT event_type, lag_k,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(covar_pop(value, lagged)
+                     / nullif(stddev_pop(value) * stddev_pop(lagged), 0), 6)
+                   AS acf
+        FROM pairs
+        GROUP BY 1, 2
+    """,
+    description="Autocorrelation function at lags 1 and 24: periodicity detection per series",
+    tags=("timeseries", "window", "acf"),
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The autocorrelation function at a short and a daily-cycle lag —
+    the statistic that tells you whether a sensor series has memory
+    (ACF(1) high: smooth/trending) and whether it repeats on a daily
+    rhythm (ACF(24) high on hourly-ish data) — i.e., whether
+    q_ts_seasonal_hod's profile or q_ts_ewma's smoothing will do
+    anything useful. Standard Pearson form over the (value, lag-k
+    value) pairs, derived from co-moments exactly like q_agg_corr
+    (zero-variance series => NULL via nullif, never an engine-specific
+    0/0).
+
+    Scale shape: both lag columns ride ONE window spec (one exchange +
+    sort per series, O(max lag) state); the pair stream then unpivots
+    row-locally (the lag-k axis is data-independent) and reduces in a
+    single map-side-combined aggregation over |series| x |lags| keys.
+    Nothing is quadratic; at 100 TB the series key is the parallelism
+    unit as everywhere in this family.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        "value",
+        F.lag("value", ACF_LAGS[0]).over(w).alias("l1"),
+        F.lag("value", ACF_LAGS[1]).over(w).alias("l24"),
+    )
+    pairs = lagged.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(ACF_LAGS[0]).alias("lag_k"), F.col("l1").alias("lagged")
+                ),
+                F.struct(
+                    F.lit(ACF_LAGS[1]).alias("lag_k"), F.col("l24").alias("lagged")
+                ),
+            )
+        ).alias("p"),
+        "value",
+    ).filter(F.col("p.lagged").isNotNull())
+    return pairs.groupBy("event_type", F.col("p.lag_k").alias("lag_k")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.covar_pop(F.col("value"), F.col("p.lagged"))
+            / F.nullif(
+                F.stddev_pop("value") * F.stddev_pop(F.col("p.lagged")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("acf"),
+    )

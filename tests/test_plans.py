@@ -897,3 +897,21 @@ def test_winnowing_entirely_row_local(spark):
     text = inspect.plan_str(q(spark, "q_llm_winnowing"))
     assert "Exchange" not in text
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_string_agg_partial_buffers(spark):
+    # listagg must still plan a partial (map-side) aggregate — the
+    # ordered buffer merges, it doesn't force a single-stage agg.
+    text = inspect.plan_str(q(spark, "q_agg_string_agg"))
+    assert "partial_listagg" in text or "partial" in text
+    assert "Exchange hashpartitioning" in text
+
+
+def test_autocorr_one_window_pass_then_one_agg(spark):
+    # Both lags share one window spec, the unpivot is a row-local
+    # Generate, AND the final (event_type, lag_k) aggregation reuses
+    # the window's event_type partitioning (superset-key clustering) —
+    # exactly ONE exchange in the whole plan.
+    text = inspect.plan_str(q(spark, "q_ts_autocorr"))
+    assert text.count("Exchange hashpartitioning") == 1
+    assert "Generate explode" in text
