@@ -10,6 +10,8 @@ on a real JSON column.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -760,4 +762,164 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("user_id").alias("user_sum"),
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
+    )
+
+
+BINARY_SLICE = 11
+
+
+def _binary_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
+    """One tiny file per sliced document at a DETERMINISTIC memoized
+    path (the memo_replay_dir pattern): built once per fixture via a
+    distributed partitionBy-text write — never a driver-side loop —
+    and revalidated by a marker naming the source fingerprint."""
+    import hashlib
+    import tempfile
+
+    from ..tables import _dir_fingerprint
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(shm, f"bincorpus_{digest}")
+    marker = os.path.join(out, "_COMPLETE")
+    want = repr(_dir_fingerprint(sf_dir))
+    if os.path.exists(marker) and open(marker).read() == want:
+        return out
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % BINARY_SLICE == 0) & F.col("text").isNotNull()
+        )
+        .select("doc_id", "text")
+    )
+    docs.write.mode("overwrite").partitionBy("doc_id").text(out)
+    with open(marker, "w") as fh:
+        fh.write(want)
+    return out
+
+
+@query(
+    "q_scan_binary",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
+               md5(text || chr(10))             AS h
+        FROM documents
+        WHERE doc_id % {BINARY_SLICE} = 0 AND text IS NOT NULL
+    """,
+    description="binaryFile source: opaque-blob ingest (the image/audio path), content round-trip checked",
+    tags=("scan", "source", "binary", "multimodal"),
+)
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal ingest front door: ``spark.read.format
+    ("binaryFile")`` — how image/audio/video corpora actually enter
+    Spark (one opaque blob per file + path/length metadata), feeding
+    the q_llm_multimodal* decode plumbing downstream. The fixture
+    corpus is one tiny file per sliced document (distributed
+    partitionBy-text write, memoized per fixture), so the oracle can
+    verify the CONTENT round-trip relationally: byte length and md5 of
+    each blob must equal the source row's utf-8 bytes (+ the text
+    sink's trailing newline), with the doc identity recovered from the
+    hive path.
+
+    Scale shape: binaryFile is a real FileFormat — distributed
+    listing, per-file tasks, pathGlobFilter pushdown at the LISTING
+    level (directories are pruned before any byte is read), and
+    binary content never crosses a shuffle here (md5/length reduce it
+    row-locally). The small-file problem this fixture embodies on
+    purpose (one doc = one file) is the real corpus layout problem;
+    production packs blobs into parquet binary columns exactly like
+    q_llm_multimodal's table — this key is the BEFORE, that one the
+    AFTER.
+    """
+    src = _binary_corpus_dir(spark, sf_dir)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(os.path.join(src, "doc_id=*"))
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("h"),
+    )
+
+
+@query(
+    "q_sink_csv_roundtrip",
+    float_dp={"sum_price": 2},
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT)       AS n,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               min(l_shipdate) IS NOT NULL AS has_dates
+        FROM lineitem
+        WHERE l_orderkey % 13 = 0
+        GROUP BY l_returnflag
+    """,
+    description="CSV sink round-trip: typed write + schema-enforced read-back preserves the aggregate",
+    tags=("scan", "sink", "csv"),
+)
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interchange sink: write a lineitem slice as CSV (header,
+    pipe delimiter, explicit date format — every option a real
+    export contract pins; raw NTZ timestamps deliberately do NOT ride
+    along: they take the timestampNTZFormat option, not
+    timestampFormat, and the mismatch silently nulls the column on
+    read-back — dates have one text form) and read it back under an EXPLICIT schema
+    (schema-on-read, never inferSchema: inference is a full extra pass
+    at 100 TB and type-unstable between runs). The oracle checks the
+    aggregate over the round-tripped data against the source — the
+    contract that matters for an export: no row, value, or type drift
+    through the text encoding, including doubles surviving via
+    Spark's shortest-roundtrip float formatting.
+
+    Scale shape: the write is one distributed pass (no repartition —
+    export file count = upstream parallelism is the right default);
+    the read-back scans with the explicit schema and pushes the
+    aggregate map-side. CSV is quarantine-tier for analytics (no
+    pushdown, no pruning, row-parse cost) — this key exists because
+    pipelines still must EXPORT to it, not as a recommended store; the
+    parquet scans next door are the real path.
+    """
+    from ..session import scratch_dir
+
+    out = scratch_dir("csv_sink_")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 13 == 0)
+        .select(
+            "l_orderkey",
+            "l_returnflag",
+            "l_extendedprice",
+            # export DATE, not raw timestamp: the fixture's ns-precision
+            # NTZ timestamps take the timestampNTZFormat option (not
+            # timestampFormat), an asymmetry that silently nulls every
+            # value on read-back — a date column has ONE text form.
+            F.to_date("l_shipdate").alias("l_shipdate"),
+        )
+    )
+    (
+        li.write.mode("overwrite")
+        .option("header", "true")
+        .option("sep", "|")
+        .option("dateFormat", "yyyy-MM-dd")
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(
+            "l_orderkey long, l_returnflag string, "
+            "l_extendedprice double, l_shipdate date"
+        )
+        .option("header", "true")
+        .option("sep", "|")
+        .option("dateFormat", "yyyy-MM-dd")
+        .csv(out)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.min("l_shipdate").isNotNull().alias("has_dates"),
     )

@@ -93,12 +93,12 @@ def query(
 # External harnesses may verify only a prefix of the registry (observed:
 # 50 keys/round). Listing keys here pins them to the front so every key
 # accumulates a verdict across rounds. Round-8 rotation (VERDICT r7 item
-# 1, extended as the round grew the surface 138 -> 196): the 36
+# 1, extended as the round grew the surface 138 -> 198): the 36
 # session-2 additions (never verified) lead window 1; the remaining 14
 # slots + window 2 go to the stalest (r4-or-older) verdicts — the
 # exact-similarity tier and the whole streaming family, the exact
 # families rounds 5-6 modified — so the r7-verdict rotation still
-# lands. The 22 session-3 additions queue right behind the stale
+# lands. The 24 session-3 additions queue right behind the stale
 # cohort (each carries fresh local sweep + hostile-tier + plan-gate
 # evidence), then the rows-only->oracle conversions and the r5 cohort;
 # keys the driver greened in r7 sit at the tail. Every key is
@@ -182,7 +182,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_topk_global",
     "q_stream_sink",
     # --- session-3 additions (never verified; behind the stale cohort so
-    # the r7-verdict rotation still lands — all 22 carry fresh local
+    # the r7-verdict rotation still lands — all 24 carry fresh local
     # sweep + hostile-tier + plan-gate evidence and lead window 2) ---
     "q_agg_skew_salted",
     "q_dq_profile",
@@ -206,6 +206,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_winnowing",
     "q_agg_string_agg",
     "q_ts_autocorr",
+    "q_scan_binary",
+    "q_sink_csv_roundtrip",
     # --- window 1 cont.: rows-only->oracle conversions + oldest r5 ---
     "q_llm_sim_topk_lsh",
     "q_agg_approx_distinct",

@@ -915,3 +915,18 @@ def test_autocorr_one_window_pass_then_one_agg(spark):
     text = inspect.plan_str(q(spark, "q_ts_autocorr"))
     assert text.count("Exchange hashpartitioning") == 1
     assert "Generate explode" in text
+
+
+def test_scan_binary_reduces_blobs_row_locally(spark):
+    # The binary content must reduce (md5/length) before any exchange —
+    # blobs never cross a shuffle.
+    text = inspect.plan_str(q(spark, "q_scan_binary"))
+    assert "Exchange" not in text
+
+
+def test_csv_roundtrip_explicit_schema_no_infer_pass(spark):
+    # Schema-on-read: exactly ONE csv scan in the plan (inferSchema
+    # would add a hidden full extra pass) and a map-side partial agg.
+    text = inspect.plan_str(q(spark, "q_sink_csv_roundtrip"))
+    assert text.count("Scan csv") == 1
+    assert "partial_count" in text
