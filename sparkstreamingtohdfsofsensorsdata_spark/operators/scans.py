@@ -770,20 +770,22 @@ BINARY_SLICE = 11
 
 def _binary_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     """One tiny file per sliced document at a DETERMINISTIC memoized
-    path (the memo_replay_dir pattern): built once per fixture via a
-    distributed partitionBy-text write — never a driver-side loop —
-    and revalidated by a marker naming the source fingerprint."""
-    import hashlib
-    import tempfile
-
+    path (the memo_replay_dir pattern, via the shared factory helpers):
+    built once per fixture via a distributed partitionBy-text write —
+    never a driver-side loop. The marker stamps the source fingerprint
+    AND the slice constant, so changing BINARY_SLICE rebuilds instead
+    of silently serving the old layout (make_replay_dir's n_chunks
+    lesson, review s3)."""
+    from ..sources.factory import (
+        deterministic_memo_base,
+        memo_marker_valid,
+        write_memo_marker,
+    )
     from ..tables import _dir_fingerprint
 
-    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join(shm, f"bincorpus_{digest}")
-    marker = os.path.join(out, "_COMPLETE")
-    want = repr(_dir_fingerprint(sf_dir))
-    if os.path.exists(marker) and open(marker).read() == want:
+    out = deterministic_memo_base("bincorpus", sf_dir)
+    stamp = repr((_dir_fingerprint(sf_dir), BINARY_SLICE))
+    if memo_marker_valid(out, stamp):
         return out
     docs = (
         load(spark, sf_dir, "documents")
@@ -793,8 +795,7 @@ def _binary_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
         .select("doc_id", "text")
     )
     docs.write.mode("overwrite").partitionBy("doc_id").text(out)
-    with open(marker, "w") as fh:
-        fh.write(want)
+    write_memo_marker(out, stamp)
     return out
 
 
@@ -839,7 +840,7 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(os.path.join(src, "doc_id=*"))
     )
     return back.select(
-        F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1)
+        F.regexp_extract(F.col("path"), r"doc_id=(-?\d+)", 1)
         .cast("long")
         .alias("doc_id"),
         F.col("length").alias("n_bytes"),

@@ -289,6 +289,35 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deterministic_memo_base(tag: str, sf_dir: str) -> str:
+    """Deterministic per-fixture build dir on tmpfs: the shm-probe +
+    md5-of-abspath digest every memoized layout shares (single owner —
+    review s3 found a drifted copy that had lost the marker guards)."""
+    import hashlib
+    import tempfile
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(shm, f"{tag}_{digest}")
+
+
+def memo_marker_valid(out: str, stamp: str) -> bool:
+    """True iff out/_COMPLETE exists and records exactly ``stamp``.
+    The read is OSError-guarded: a concurrent rebuild may delete the
+    marker between the caller's existence check and the read — that
+    must mean "rebuild", never a crash (make_replay_dir's rule)."""
+    try:
+        with open(os.path.join(out, "_COMPLETE")) as fh:
+            return fh.read() == stamp
+    except OSError:
+        return False
+
+
+def write_memo_marker(out: str, stamp: str) -> None:
+    with open(os.path.join(out, "_COMPLETE"), "w") as fh:
+        fh.write(stamp)
+
+
 def memo_replay_dir(
     spark: SparkSession, sf_dir: str, n_chunks: int, tag: str
 ) -> str:

@@ -903,7 +903,7 @@ def test_string_agg_partial_buffers(spark):
     # listagg must still plan a partial (map-side) aggregate — the
     # ordered buffer merges, it doesn't force a single-stage agg.
     text = inspect.plan_str(q(spark, "q_agg_string_agg"))
-    assert "partial_listagg" in text or "partial" in text
+    assert "partial_listagg" in text  # listagg-specific, not any partial
     assert "Exchange hashpartitioning" in text
 
 
