@@ -92,98 +92,15 @@ def query(
 
 # External harnesses may verify only a prefix of the registry (observed:
 # 50 keys/round). Listing keys here pins them to the front so every key
-# accumulates a verdict across rounds. Round-8 rotation (VERDICT r7 item
-# 1, extended as the round grew the surface 138 -> 198): the 36
-# session-2 additions (never verified) lead window 1; the remaining 14
-# slots + window 2 go to the stalest (r4-or-older) verdicts — the
-# exact-similarity tier and the whole streaming family, the exact
-# families rounds 5-6 modified — so the r7-verdict rotation still
-# lands. The 24 session-3 additions queue right behind the stale
-# cohort (each carries fresh local sweep + hostile-tier + plan-gate
-# evidence), then the rows-only->oracle conversions and the r5 cohort;
-# keys the driver greened in r7 sit at the tail. Every key is
-# sweep-green locally at sf0.001/0.01/0.1; the rotation only schedules
-# whose verdict the DRIVER refreshes next.
+# accumulates a verdict across rounds. Round-9 rotation (VERDICT r8 item
+# 1): the r8 driver consumed exactly the previous head-50, so that
+# window moves to the tail and the head is rebuilt as (a) the 24 keys
+# that have NEVER appeared in any CORRECTNESS_r*.json (computed by
+# set-union over r1..r8 this session), then (b) every remaining key in
+# ascending order of its freshest driver verdict (r3/r4 cohort first).
+# Keys added in round 9 itself are PREPENDED as they land, so a
+# prefix-truncating driver always sees the newest surface first.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- window 1 (50): first, the round-8 additions (never verified) ---
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_llm_semdedup",
-    "q_agg_heavy_hitters",
-    "q_tpch_q11",
-    "q_tpch_q20",
-    "q_unpivot",
-    "q_subquery_not_in",
-    "q_join_null_safe",
-    "q_agg_weighted_median",
-    "q_win_running_distinct",
-    "q_join_asof_nearest",
-    "q_stream_stream_left_join",
-    "q_llm_url_normalize",
-    "q_tpch_q4",
-    "q_tpch_q8",
-    "q_tpch_q12",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q21",
-    "q_llm_ngram_containment",
-    "q_llm_passage_dedup",
-    "q_agg_histogram_quantile",
-    "q_stream_update_mode",
-    "q_ts_gap_islands",
-    "q_ts_outlier_mad",
-    "q_llm_dedup_incremental",
-    "q_llm_length_bucket",
-    "q_llm_split_assign",
-    "q_llm_unigram_logprob",
-    "q_agg_mode",
-    "q_join_interval_overlap",
-    "q_ts_interpolate",
-    "q_agg_bitmap_distinct",
-    "q_sample_group_topk",
-    "q_scan_schema_evolution",
-    # --- then the 38 r4-or-older driver verdicts ---
-    "q_llm_ngram_jaccard",
-    "q_llm_boilerplate",
-    "q_llm_sim_topk",
-    "q_llm_sim_topk_quant",
-    "q_llm_sim_topk_ivf",
-    "q_llm_embed_quantize",
-    "q_llm_embed_neardup",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_stream_stateful_alerts",
-    "q_stream_corpus_ingest",
-    "q_scan_parquet",
-    "q_join_inner_equi",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_theta",
-    "q_join_range",
-    "q_join_asof",
-    "q_agg_global",
-    "q_agg_group",
-    "q_agg_count_distinct",
-    "q_agg_percentile",
-    "q_win_ranking",
-    "q_win_lag_lead",
-    "q_win_frame_rows",
-    "q_win_frame_range",
-    "q_win_topk_group",
-    "q_sort_multi",
-    "q_topk_global",
-    "q_stream_sink",
-    # --- session-3 additions (never verified; behind the stale cohort so
-    # the r7-verdict rotation still lands — all 24 carry fresh local
-    # sweep + hostile-tier + plan-gate evidence and lead window 2) ---
     "q_agg_skew_salted",
     "q_dq_profile",
     "q_ts_rolling_corr",
@@ -208,7 +125,30 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_ts_autocorr",
     "q_scan_binary",
     "q_sink_csv_roundtrip",
-    # --- window 1 cont.: rows-only->oracle conversions + oldest r5 ---
+    "q_stream_sink",
+    "q_stream_corpus_ingest",
+    "q_scan_parquet",
+    "q_join_inner_equi",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_theta",
+    "q_join_range",
+    "q_join_asof",
+    "q_agg_global",
+    "q_agg_group",
+    "q_agg_count_distinct",
+    "q_agg_percentile",
+    "q_win_ranking",
+    "q_win_lag_lead",
+    "q_win_frame_rows",
+    "q_win_frame_range",
+    "q_win_topk_group",
+    "q_sort_multi",
+    "q_topk_global",
     "q_llm_sim_topk_lsh",
     "q_agg_approx_distinct",
     "q_agg_hll_union",
@@ -221,7 +161,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_set_union_distinct",
     "q_set_except",
     "q_agg_rollup",
-    # --- r5-latest verdicts ---
     "q_agg_cube",
     "q_agg_pivot",
     "q_agg_collect",
@@ -260,7 +199,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_contamination",
     "q_llm_split_leakage",
     "q_llm_domain_stats",
-    # --- r7-fresh verdicts (tail of the rotation) ---
     "q_scan_text_lines",
     "q_sink_compact",
     "q_join_dpp",
@@ -311,6 +249,56 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_fn_json",
     "q_scan_csv_json",
     "q_llm_pii_redact",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_llm_semdedup",
+    "q_agg_heavy_hitters",
+    "q_tpch_q11",
+    "q_tpch_q20",
+    "q_unpivot",
+    "q_subquery_not_in",
+    "q_join_null_safe",
+    "q_agg_weighted_median",
+    "q_win_running_distinct",
+    "q_join_asof_nearest",
+    "q_stream_stream_left_join",
+    "q_llm_url_normalize",
+    "q_tpch_q4",
+    "q_tpch_q8",
+    "q_tpch_q12",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q21",
+    "q_llm_ngram_containment",
+    "q_llm_passage_dedup",
+    "q_agg_histogram_quantile",
+    "q_stream_update_mode",
+    "q_ts_gap_islands",
+    "q_ts_outlier_mad",
+    "q_llm_dedup_incremental",
+    "q_llm_length_bucket",
+    "q_llm_split_assign",
+    "q_llm_unigram_logprob",
+    "q_agg_mode",
+    "q_join_interval_overlap",
+    "q_ts_interpolate",
+    "q_agg_bitmap_distinct",
+    "q_sample_group_topk",
+    "q_scan_schema_evolution",
+    "q_llm_ngram_jaccard",
+    "q_llm_boilerplate",
+    "q_llm_sim_topk",
+    "q_llm_sim_topk_quant",
+    "q_llm_sim_topk_ivf",
+    "q_llm_embed_quantize",
+    "q_llm_embed_neardup",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_stateful_alerts",
 )
 
 
