@@ -138,6 +138,19 @@ def _cc_materialize_labels(spark, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
+def _load_1m() -> float:
+    """1-minute load average — the contention index recorded per key.
+
+    Three rounds (r6/r7/r8) adjudicated bench spikes as host contention
+    by hand; recording the load the key actually ran under makes the
+    call auditable from bench_last.json alone (VERDICT r8 item 3).
+    """
+    try:
+        return round(os.getloadavg()[0], 1)
+    except OSError:  # pragma: no cover - getloadavg unsupported
+        return -1.0
+
+
 def _run_one(spec, spark, sf_dir: str, cold: str | None = None) -> float:
     # Rerun-phase honesty: the pair/label memos legitimately carry
     # across the sequential first pass, but a RERUN of a payer must not
@@ -209,12 +222,20 @@ def _stdout_line(payload: dict) -> dict:
     ]
     t_sha = hashlib.sha256("\n".join(skeys).encode()).hexdigest()[:8]
 
+    lvals = sorted(v for v in payload.get("load_1m", {}).values() if v >= 0)
+
     def build(keep: int, keep_failed: int, with_t: bool = True) -> dict:
         line = {
             "metric": payload["metric"],
             "value": payload["value"],
             "unit": payload["unit"],
             "sf": payload["sf"],
+            # host-contention headline: median/max 1-min load across the
+            # run + how many keys were floor-adjudicated by rerun; the
+            # per-key detail lives in bench_last.json (load_1m/rerun_s)
+            "load_med": lvals[len(lvals) // 2] if lvals else None,
+            "load_max": lvals[-1] if lvals else None,
+            "n_rerun": len(payload.get("rerun_s", {})),
             "queries_total": len(ranked) + len(failed),
             "queries_failed_total": len(failed),
             "queries_failed": failed[:keep_failed],
@@ -268,6 +289,8 @@ def main() -> None:
     _warmup(spark, sf_dir)
     specs = load_all()
     timings: dict[str, float] = {}
+    loads: dict[str, float] = {}  # 1-min load when the key's KEPT run started
+    reruns: dict[str, float] = {}  # rerun wall-clock for adjudicated keys
     # intermediate costs fronted for their canonical payers (see above)
     prepaid = {CC_PAYER_PAIRS: 0.0, CC_PAYER_LABELS: 0.0, ANN_PAYER_EXACT: 0.0}
     for name, spec in specs.items():
@@ -296,6 +319,7 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: prepay for {name} failed: {exc}", file=sys.stderr)
         try:
+            loads[name] = _load_1m()
             timings[name] = round(_run_one(spec, spark, sf_dir), 3)
         except Exception as exc:  # a failing query must not sink the run
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
@@ -360,18 +384,17 @@ def main() -> None:
             if time.perf_counter() > deadline:
                 break
             try:
-                timings[name] = round(
-                    min(
-                        timings[name],
-                        _run_one(
-                            specs[name],
-                            spark,
-                            sf_dir,
-                            cold=cold_mode.get(name),
-                        ),
+                rerun_load = _load_1m()
+                rerun = round(
+                    _run_one(
+                        specs[name], spark, sf_dir, cold=cold_mode.get(name)
                     ),
                     3,
                 )
+                reruns[name] = rerun
+                if rerun < timings[name]:
+                    timings[name] = rerun
+                    loads[name] = rerun_load
             except Exception as exc:
                 print(f"bench: {name} rerun FAILED: {exc}", file=sys.stderr)
     spark.stop()
@@ -383,6 +406,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Contention adjudication record (VERDICT r8 item 3): `load_1m`
+        # is the 1-min load when each key's KEPT run started; `rerun_s`
+        # lists every adjudicated rerun's own wall-clock (the kept
+        # number is min(first, rerun)). A key whose first pass spiked
+        # under load>>32 and whose rerun landed at floor is host
+        # contention by construction — no manual paragraph needed.
+        "load_1m": loads,
+        "rerun_s": reruns,
     }
     # Persist the full map next to this script: harnesses that keep only
     # a tail of stdout truncated the per-query timings in round 2

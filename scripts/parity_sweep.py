@@ -8,10 +8,11 @@ recently.
 
 Usage: python scripts/parity_sweep.py [sf_dir] [skip_key ...]
 Prints one status line per key and a final JSON summary line. Extra
-args name keys to skip — e.g. the CC-cluster keys at sf0.1, whose
-DuckDB recursive-CTE oracle is a full transitive closure and explodes
-on the 425k-edge near-dup graph long before the Spark side breaks a
-sweat.
+args name keys to skip. As of round 9 NO key needs skipping at any SF:
+the CC-cluster keys' old recursive-CTE transitive-closure oracle (which
+exploded on the 425k-edge sf0.1 graph) is now a bounded-round
+min-label + pointer-doubling chained-CTE mirror of the Spark algorithm
+(llm/dedup.py _cc_oracle_ctes) — ~10s at sf0.1.
 """
 
 from __future__ import annotations
