@@ -574,3 +574,32 @@ def test_block_pair_topk_all_tied_block_is_bounded_and_correct():
     got = _block_pair_topk((3, 3), pdf, k)
     want = [(1, b, 1.0) for b in range(2, 2 + k)]
     assert list(zip(got["id_a"], got["id_b"], got["dot"])) == want
+
+
+def test_upsert_writeto_commit_roundtrip(spark):
+    # The documented MERGE swap made executable (VERDICT r8 item 7):
+    # commit_upsert materializes the target as a catalog table and
+    # submits the V2 mergeInto builder (falling back to committing the
+    # join-rewrite result on the V1 session catalog). Committed state
+    # must equal the q_merge_upsert plan output row-for-row, minus the
+    # op marker (an output-contract column, not table state).
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.merge import (
+        commit_upsert,
+        q_merge_upsert,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    expected = sorted(
+        tuple(r) for r in q_merge_upsert(spark, sf).drop("op").collect()
+    )
+    back = commit_upsert(spark, sf, table="customer_upsert_test")
+    try:
+        got = sorted(
+            tuple(r)
+            for r in back.select(
+                "c_custkey", "c_name", "c_mktsegment", "bal_cents"
+            ).collect()
+        )
+        assert got == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS customer_upsert_test")
