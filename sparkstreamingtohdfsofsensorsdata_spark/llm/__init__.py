@@ -1,4 +1,12 @@
 """LLM-data-pipeline operators (SURVEY.md §2.10): dedup, similarity
 search, text analysis, multimodal columns."""
 
-from . import chunking, contamination, dedup, multimodal, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    chunking,
+    contamination,
+    corpus_stats,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

@@ -1,0 +1,332 @@
+"""Corpus-level statistical diagnostics (SURVEY.md §2.10 extension):
+Zipf rank-frequency slope, Heaps vocabulary-growth curve, duplicate
+n-gram coverage (the RefinedWeb/Gopher repetition metric), and
+cross-split n-gram novelty.
+
+These are the measurements a training-data pipeline runs BETWEEN
+filtering stages: dup-ngram coverage quantifies how much boilerplate
+dedup still has to remove, the Zipf slope and Heaps curve flag
+distribution shift after aggressive filtering (a too-steep slope or a
+flat vocab curve means the filter collapsed diversity), and n-gram
+novelty measures test-split independence beyond exact-duplicate
+leakage. All four are pure relational plans — explode + join + agg,
+no Python in the hot path — so they run as cheaply as any groupBy at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+from .contamination import (
+    SPLIT_TRAIN_FRAC,
+    SPLIT_VAL_FRAC,
+    ngram_md5_expr,
+    ngram_md5_sql,
+)
+
+ZIPF_TOP = 500  # rank-frequency regression depth per source
+
+
+@query(
+    "q_llm_zipf_slope",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ),
+        freq AS (
+            SELECT source, t, count(*) AS f
+            FROM tok WHERE t <> '' GROUP BY source, t
+        ),
+        ranked AS (
+            SELECT source, f,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY f DESC, t
+                   ) AS r
+            FROM freq
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT)            AS n_ranked,
+               round(regr_slope(ln(f), ln(r)), 6)  AS zipf_slope
+        FROM ranked WHERE r <= {ZIPF_TOP}
+        GROUP BY source
+    """,
+    float_dp={"zipf_slope": 6},
+    description=f"Zipf rank-frequency slope per source (log-log OLS over top {ZIPF_TOP} tokens)",
+    tags=("llm", "text", "stats"),
+)
+def q_llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: OLS slope of ln(freq) on ln(rank) over
+    each source's top tokens (natural text sits near -1; a corpus
+    whose filtering collapsed diversity drifts steep). Frequency ties
+    rank deterministically by token so both engines regress the same
+    point set.
+
+    Scale shape: explode + map-side-combined count per (source,
+    token), one window for ranks partitioned by source, and
+    regr_slope — a pure algebraic aggregate (sums of x, y, xy, xx) so
+    it combines map-side like any sum. The rank window's skew bound
+    is vocab size per source, not corpus size."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    freq = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("source").orderBy(F.col("f").desc(), F.col("t"))
+    ranked = freq.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= ZIPF_TOP
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.round(F.regr_slope(F.ln("f"), F.ln("r")), 6).alias("zipf_slope"),
+    )
+
+
+VOCAB_BUCKET_DOCS = 100  # Heaps-curve resolution: docs per bucket
+
+
+@query(
+    "q_llm_vocab_growth",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id // {VOCAB_BUCKET_DOCS} AS bucket,
+                   unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ),
+        per_bucket AS (
+            SELECT bucket, count(*) AS n_tok FROM tok
+            WHERE t <> '' GROUP BY bucket
+        ),
+        first_seen AS (
+            SELECT t, min(bucket) AS first_bucket FROM tok
+            WHERE t <> '' GROUP BY t
+        ),
+        new_vocab AS (
+            SELECT first_bucket AS bucket, count(*) AS n_new
+            FROM first_seen GROUP BY first_bucket
+        )
+        SELECT p.bucket,
+               CAST(sum(p.n_tok) OVER w AS BIGINT)                 AS cum_tokens,
+               CAST(sum(coalesce(v.n_new, 0)) OVER w AS BIGINT)    AS cum_vocab
+        FROM per_bucket p LEFT JOIN new_vocab v USING (bucket)
+        WINDOW w AS (ORDER BY p.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    description=f"Heaps'-law vocabulary growth: cumulative tokens vs cumulative distinct vocab per {VOCAB_BUCKET_DOCS}-doc bucket",
+    tags=("llm", "text", "stats"),
+)
+def q_llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: walking the corpus in doc_id order, cumulative
+    token count vs cumulative distinct-vocabulary size at every
+    VOCAB_BUCKET_DOCS-document boundary. A healthy corpus keeps
+    growing sublinearly; a flat curve after a filter stage means the
+    filter collapsed lexical diversity.
+
+    Scale shape: "first occurrence" is min(bucket) per token — one
+    map-side-combined groupBy over the exploded stream, never a sort
+    of the corpus; the cumulative window runs over the BUCKET spine
+    (corpus_size / {VOCAB_BUCKET_DOCS} rows), not over documents."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(
+            (F.floor(F.col("doc_id") / VOCAB_BUCKET_DOCS))
+            .cast("long")
+            .alias("bucket"),
+            F.explode(F.split("text", " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    per_bucket = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tok"))
+    new_vocab = (
+        tok.groupBy("t")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_bucket.join(new_vocab, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+
+
+DUP_NGRAM = 8  # the RefinedWeb duplicate-n-gram metric's n
+
+
+@query(
+    "q_llm_dup_ngram_coverage",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, source, unnest({ngram_md5_sql(DUP_NGRAM)}) AS h
+            FROM toks
+        ),
+        cnt AS (
+            SELECT h, count(*) AS n_docs_with FROM sh GROUP BY h
+        ),
+        per_doc AS (
+            SELECT s.doc_id, s.source,
+                   count(*) AS n_sh,
+                   sum(CASE WHEN c.n_docs_with >= 2 THEN 1 ELSE 0 END) AS n_dup
+            FROM sh s JOIN cnt c USING (h)
+            GROUP BY s.doc_id, s.source
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT)                       AS n_docs,
+               round(avg(n_dup * 1.0 / n_sh), 6)              AS avg_dup_frac,
+               CAST(sum(CASE WHEN n_dup * 2 > n_sh
+                             THEN 1 ELSE 0 END) AS BIGINT)    AS n_majority_dup
+        FROM per_doc GROUP BY source
+    """,
+    float_dp={"avg_dup_frac": 6},
+    description=f"Duplicate {DUP_NGRAM}-gram coverage per source (RefinedWeb repetition metric)",
+    tags=("llm", "dedup", "stats"),
+)
+def q_llm_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of token-8-grams shared with ANY other
+    document, averaged per source, plus the count of majority-
+    duplicated documents (the ones passage/fuzzy dedup should have
+    caught). Because each document contributes its DISTINCT shingle
+    set, a shingle's occurrence count IS its document frequency.
+
+    Scale shape: the shingle-frequency table joins back to the
+    exploded stream on the md5 key — both sides hash-partition on h,
+    one co-partitioned shuffle each; the shuffle carries 16-byte
+    hashes, never text (the q_llm_passage_dedup rule). The majority
+    test is integer (n_dup * 2 > n_sh), no float boundary."""
+    sh = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(ngram_md5_expr(DUP_NGRAM))).alias("h"),
+        )
+    )
+    cnt = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    per_doc = (
+        sh.join(cnt, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum((F.col("n_docs_with") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("n_dup") / F.col("n_sh")), 6).alias("avg_dup_frac"),
+        F.sum((F.col("n_dup") * 2 > F.col("n_sh")).cast("long")).alias(
+            "n_majority_dup"
+        ),
+    )
+
+
+NOVELTY_NGRAM = 3
+
+
+@query(
+    "q_llm_ngram_novelty",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                       / 65536.0 AS u
+            FROM documents
+        ),
+        train_sh AS (
+            SELECT DISTINCT unnest({ngram_md5_sql(NOVELTY_NGRAM)}) AS h
+            FROM d WHERE u < {SPLIT_TRAIN_FRAC}
+        ),
+        test_sh AS (
+            SELECT doc_id, source, unnest({ngram_md5_sql(NOVELTY_NGRAM)}) AS h
+            FROM d WHERE u >= {SPLIT_VAL_FRAC}
+        ),
+        per_doc AS (
+            SELECT s.doc_id, s.source,
+                   count(*) AS n_sh,
+                   sum(CASE WHEN t.h IS NULL THEN 1 ELSE 0 END) AS n_novel
+            FROM test_sh s LEFT JOIN train_sh t USING (h)
+            GROUP BY s.doc_id, s.source
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT)                    AS n_test_docs,
+               round(avg(n_novel * 1.0 / n_sh), 6)         AS avg_novelty,
+               CAST(sum(CASE WHEN n_novel = n_sh
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_fully_novel
+        FROM per_doc GROUP BY source
+    """,
+    float_dp={"avg_novelty": 6},
+    description=f"Test-split {NOVELTY_NGRAM}-gram novelty vs train split (beyond-exact-dup independence)",
+    tags=("llm", "split", "contamination"),
+)
+def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the test split is genuinely unseen: per test
+    document, the fraction of its distinct token-3-grams that never
+    occur in the train split (the q_llm_split_assign hash split, so
+    the measurement matches the splitter it audits). Exact-dup leakage
+    checks catch identical documents; this catches paraphrase-level
+    overlap that inflates eval scores.
+
+    Scale shape: the train shingle set is corpus-sized, so membership
+    is a co-partitioned left join on the hash key (NOT a broadcast —
+    contrast q_llm_contamination, whose benchmark side is tiny);
+    novelty is counted from the join's null side. One shuffle per
+    side, hashes only."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("toks"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+            ).cast("double")
+            / F.lit(65536.0)
+        ).alias("u"),
+    )
+    shingled = d.select(
+        "doc_id",
+        "source",
+        "u",
+        F.explode(F.expr(ngram_md5_expr(NOVELTY_NGRAM))).alias("h"),
+    )
+    train_sh = (
+        shingled.filter(F.col("u") < SPLIT_TRAIN_FRAC)
+        .select("h")
+        .distinct()
+        .withColumn("in_train", F.lit(True))
+    )
+    test_sh = shingled.filter(F.col("u") >= SPLIT_VAL_FRAC).select(
+        "doc_id", "source", "h"
+    )
+    per_doc = (
+        test_sh.join(train_sh, "h", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.col("in_train").isNull().cast("long")).alias("n_novel"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_test_docs"),
+        F.round(F.avg(F.col("n_novel") / F.col("n_sh")), 6).alias(
+            "avg_novelty"
+        ),
+        F.sum((F.col("n_novel") == F.col("n_sh")).cast("long")).alias(
+            "n_fully_novel"
+        ),
+    )

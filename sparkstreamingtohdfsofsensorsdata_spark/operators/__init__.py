@@ -4,6 +4,7 @@ registers every query in the central registry."""
 from . import (  # noqa: F401
     aggregates,
     bucketing,
+    graph,
     joins,
     merge,
     projections,

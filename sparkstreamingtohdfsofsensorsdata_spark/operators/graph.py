@@ -1,0 +1,276 @@
+"""Graph analytics over relational data (SURVEY.md §2.12 extension).
+
+The graph is derived, not stored: co-purchase edges between parts that
+appear in the same order (lineitem self-join on the order key, one
+co-partitioned shuffle). That is the production shape — at 100 TB the
+edge list is a DataFrame like any other, re-derived or materialized to
+parquet, never a driver-side adjacency structure.
+
+Three classic kernels, each expressed relationally so Catalyst/AQE plan
+them like any join-agg query:
+
+- degree distribution: one groupBy cascade.
+- triangle counting: the ordered-edge (a<b<c) two-hop join, each
+  triangle counted exactly once. At planetary scale the standard
+  refinement is degree-ordering the orientation (point edges from
+  low-degree to high-degree nodes) so the wedge join's fan-out is
+  bounded by the SMALLER endpoint degree; the id-ordering used here is
+  the same plan shape with a different orientation key.
+- PageRank: the canonical iterative join-agg. A fixed, oracle-mirrored
+  round count (damping 0.85) — on a cluster you add a convergence test
+  exactly like llm/dedup.propagate_min_labels does; the per-round plan
+  (edges JOIN ranks co-partitioned on the node key, then groupBy dst)
+  is what GraphX/GraphFrames compile to underneath.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# Chained-CTE technique shared with llm/dedup._cc_oracle_ctes: every
+# CTE is AS MATERIALIZED because DuckDB inlines references and an
+# iterative pipeline referencing the previous round twice would expand
+# exponentially.
+_EDGES_CTE = """
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst, src FROM edges
+        )
+"""
+
+PAGERANK_ROUNDS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges (src < dst) between parts
+    sharing an order. The self-join shuffles lineitem once on the order
+    key (both sides co-partitioned); DISTINCT collapses repeat
+    co-occurrences across orders. Parts appearing only in single-part
+    orders have no edge and are outside the graph by construction."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Both orientations; UNION ALL is exact because src < dst makes
+    the orientations disjoint."""
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+@query(
+    "q_graph_degree",
+    oracle=f"""
+        WITH {_EDGES_CTE}
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM (SELECT src AS node, count(*) AS degree FROM sym GROUP BY src)
+        GROUP BY degree
+    """,
+    description="Co-purchase graph degree distribution (degree -> node count)",
+    tags=("graph", "aggregate"),
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: two map-side
+    combined groupBys over the symmetric edge list. The first groupBy's
+    key (node) is the co-partitioning key of every other graph kernel
+    here, so at scale the edge table bucketed by src serves all of
+    them shuffle-free."""
+    sym = _symmetric(copurchase_edges(spark, sf_dir))
+    return (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+        WITH {_EDGES_CTE},
+        tri AS (
+            SELECT count(*) AS t
+            FROM edges e1
+            JOIN edges e2 ON e1.dst = e2.src
+            JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY src)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg)       AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM edges)     AS n_edges,
+               (SELECT CAST(t AS BIGINT) FROM tri)              AS n_triangles,
+               round(3.0 * (SELECT t FROM tri)
+                     / (SELECT sum(degree * (degree - 1) / 2.0) FROM deg),
+                     6)                                         AS global_clustering
+    """,
+    float_dp={"global_clustering": 6},
+    description="Triangle count + global clustering coefficient via ordered two-hop edge join",
+    tags=("graph", "join"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count: edges kept in id order (a<b<c), wedges
+    (a,b)-(b,c) built by one self-join, closed by a second join probing
+    (a,c). Every triangle is emitted exactly once — no /6 correction,
+    no symmetric blow-up. The global clustering coefficient divides by
+    the wedge count from the degree table.
+
+    Scale note: wedge fan-out is sum(deg_ordered^2); production
+    triangle counting orients edges low-degree -> high-degree to bound
+    it (same two joins, orientation key = (degree, id)) — noted in the
+    module docstring, not needed at fixture degrees."""
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    sym = _symmetric(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("degree") * (F.col("degree") - 1)) / 2.0).alias("wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(stats)
+        .crossJoin(n_edges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.round(3.0 * F.col("t") / F.col("wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Bounded-round PageRank as chained materialized CTEs — the DuckDB
+    mirror of the Spark loop below, same round count and damping."""
+    d = PAGERANK_DAMPING
+    ctes = [
+        """deg AS MATERIALIZED (
+            SELECT src AS node, count(*) AS degree FROM sym GROUP BY src
+        ),
+        n AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+        p0 AS MATERIALIZED (
+            SELECT node, 1.0 / (SELECT n FROM n) AS pr FROM deg
+        )"""
+    ]
+    for r in range(1, PAGERANK_ROUNDS + 1):
+        prev = f"p{r - 1}"
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+            SELECT d.node,
+                   (1 - {d}) / (SELECT n FROM n)
+                   + {d} * coalesce(s.acc, 0.0) AS pr
+            FROM deg d
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(p.pr / dg.degree) AS acc
+                FROM sym e
+                JOIN {prev} p ON e.src = p.node
+                JOIN deg dg ON dg.node = e.src
+                GROUP BY e.dst
+            ) s ON d.node = s.node
+        )"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTE
+        + ",\n        "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT node AS part_id,
+               round(p{PAGERANK_ROUNDS}.pr * (SELECT n FROM n), 6) AS pr_scaled
+        FROM p{PAGERANK_ROUNDS}
+    """
+    )
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    float_dp={"pr_scaled": 6},
+    description=f"PageRank ({PAGERANK_ROUNDS} damped rounds) over the co-purchase graph, scores scaled to mean 1",
+    tags=("graph", "iterative"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank, PAGERANK_ROUNDS rounds, over the undirected
+    co-purchase graph. Every node has degree >= 1 by construction
+    (edges define the node set), so there is no dangling-mass term.
+    Scores are reported scaled by N (mean 1.0) so the 6-dp rounding
+    grid keeps significance at any graph size.
+
+    Per round: one join of the rank table against the symmetric edge
+    list (both sides hash-partitioned on the node key — at scale,
+    bucket the edge table by src and every round reuses the layout) +
+    one map-side-combined groupBy on dst. The round count is fixed and
+    mirrored by the oracle; a deployment adds the |delta| < eps
+    convergence collect exactly like propagate_min_labels.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    sym = _symmetric(edges).localCheckpoint()
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+        .localCheckpoint()
+    )
+    n = deg.count()
+    # contribution weight rides WITH the edge list: src's rank share is
+    # pr(src)/deg(src), so pre-join degree onto edges once
+    weighted = sym.join(
+        deg.select(F.col("node").alias("src"), "degree"), "src"
+    ).localCheckpoint()
+    ranks = deg.select("node", (F.lit(1.0) / n).alias("pr"))
+    for _ in range(PAGERANK_ROUNDS):
+        acc = (
+            weighted.join(ranks, weighted["src"] == ranks["node"])
+            .select("dst", (F.col("pr") / F.col("degree")).alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("acc"))
+        )
+        ranks = (
+            deg.join(acc, deg["node"] == acc["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - PAGERANK_DAMPING) / n)
+                    + PAGERANK_DAMPING * F.coalesce("acc", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("part_id"),
+        F.round(F.col("pr") * n, 6).alias("pr_scaled"),
+    )

@@ -145,3 +145,75 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.constraint", "r.value", "r.passed")
+
+
+K_ANON = 5  # the k in k-anonymity
+ACCTBAL_BUCKET = 1000.0  # generalization step for the continuous QI
+
+
+@query(
+    "q_anon_kanonymity",
+    oracle=f"""
+        WITH classes AS (
+            SELECT c_mktsegment,
+                   c_nationkey,
+                   CAST(floor(c_acctbal / {ACCTBAL_BUCKET}) AS BIGINT) AS bal_bucket,
+                   count(*) AS class_size
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT c_mktsegment,
+               CAST(sum(class_size) AS BIGINT)  AS n_rows,
+               CAST(count(*) AS BIGINT)         AS n_classes,
+               CAST(sum(CASE WHEN class_size < {K_ANON}
+                             THEN class_size ELSE 0 END) AS BIGINT)
+                                                AS n_rows_at_risk,
+               round(sum(CASE WHEN class_size < {K_ANON}
+                              THEN class_size ELSE 0 END) * 1.0
+                     / sum(class_size), 6)      AS risk_frac
+        FROM classes GROUP BY c_mktsegment
+    """,
+    float_dp={"risk_frac": 6},
+    description=f"k-anonymity audit (k={K_ANON}) over generalized quasi-identifiers, per-segment re-identification risk",
+    tags=("quality", "privacy", "aggregate"),
+)
+def q_anon_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for training-data release: group rows by their
+    generalized quasi-identifier tuple (market segment, nation,
+    account-balance bucket) and report, per segment, how many rows sit
+    in equivalence classes smaller than k — the rows an adversary
+    joining public attributes could re-identify. The generalization
+    step (balance bucketed to {bucket}) is the knob a release pipeline
+    widens until risk_frac hits its budget.
+
+    Scale shape: one map-side-combined groupBy on the QI tuple, then a
+    per-segment roll-up of class sizes — the same two-level agg
+    cascade as q_graph_degree; no join, no window, no Python. At
+    100 TB the QI cardinality (|segments| x |nations| x |buckets|) is
+    bounded, so the second agg is trivially small.
+    """
+    classes = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET)
+            .cast("long")
+            .alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    at_risk = F.when(F.col("class_size") < K_ANON, F.col("class_size")).otherwise(
+        F.lit(0)
+    )
+    return classes.groupBy("c_mktsegment").agg(
+        F.sum("class_size").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(at_risk).alias("n_rows_at_risk"),
+        F.round(F.sum(at_risk) / F.sum("class_size"), 6).alias("risk_frac"),
+    )
+
+
+q_anon_kanonymity.__doc__ = q_anon_kanonymity.__doc__.format(
+    bucket=int(ACCTBAL_BUCKET)
+)

@@ -101,6 +101,15 @@ def query(
 # Keys added in round 9 itself are PREPENDED as they land, so a
 # prefix-truncating driver always sees the newest surface first.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
+    # round-9 additions (newest surface first — see comment above)
+    "q_graph_degree",
+    "q_graph_triangles",
+    "q_graph_pagerank",
+    "q_anon_kanonymity",
+    "q_llm_zipf_slope",
+    "q_llm_vocab_growth",
+    "q_llm_dup_ngram_coverage",
+    "q_llm_ngram_novelty",
     "q_agg_skew_salted",
     "q_dq_profile",
     "q_ts_rolling_corr",

@@ -1,0 +1,114 @@
+"""Semantic invariants for the round-9 graph / governance / corpus
+keys — properties the DuckDB parity oracle cannot distinguish from a
+shared bug (both engines running the same wrong SQL), pinned
+independently: brute-force triangle recount, PageRank mass
+conservation, partition-law checks on the audit aggregates.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from sparkstreamingtohdfsofsensorsdata_spark import registry
+from sparkstreamingtohdfsofsensorsdata_spark.operators.graph import (
+    PAGERANK_ROUNDS,
+    copurchase_edges,
+)
+from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _spec(name):
+    return registry.load_all()[name]
+
+
+def test_triangles_match_bruteforce(spark):
+    # Independent recount: pull the (small at sf0.001) edge list to the
+    # driver and count triangles by adjacency-set intersection — a
+    # different algorithm than the ordered two-hop join.
+    edges = [(r.src, r.dst) for r in copurchase_edges(spark, SF).collect()]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if c > b  # a < b by construction; c > b counts each triangle once
+    )
+    row = _spec("q_graph_triangles").fn(spark, SF).collect()[0]
+    assert row.n_triangles == brute
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(adj)
+
+
+def test_pagerank_mass_conserved_and_positive(spark):
+    # No dangling nodes (every node has degree >= 1), so total PageRank
+    # mass is exactly 1 after any number of rounds; scaled scores
+    # average 1. Also: every score strictly positive (teleport floor).
+    rows = _spec("q_graph_pagerank").fn(spark, SF).collect()
+    n = len(rows)
+    total = sum(r.pr_scaled for r in rows)
+    assert abs(total - n) < 1e-3 * n
+    assert all(r.pr_scaled > 0 for r in rows)
+    assert PAGERANK_ROUNDS >= 3  # the oracle mirrors this constant
+
+
+def test_degree_distribution_sums_to_node_and_edge_counts(spark):
+    deg = _spec("q_graph_degree").fn(spark, SF).collect()
+    tri = _spec("q_graph_triangles").fn(spark, SF).collect()[0]
+    assert sum(r.n_nodes for r in deg) == tri.n_nodes
+    # handshake lemma: sum(degree * count) = 2 |E|
+    assert sum(r.degree * r.n_nodes for r in deg) == 2 * tri.n_edges
+
+
+def test_kanonymity_partitions_the_table(spark):
+    rows = _spec("q_anon_kanonymity").fn(spark, SF).collect()
+    n_customers = load(spark, SF, "customer").count()
+    assert sum(r.n_rows for r in rows) == n_customers
+    for r in rows:
+        assert 0 <= r.n_rows_at_risk <= r.n_rows
+        assert r.n_classes <= r.n_rows
+        assert 0.0 <= r.risk_frac <= 1.0
+
+
+def test_vocab_growth_monotone_and_totals(spark):
+    rows = sorted(
+        _spec("q_llm_vocab_growth").fn(spark, SF).collect(),
+        key=lambda r: r.bucket,
+    )
+    toks = (
+        load(spark, SF, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    assert rows[-1].cum_tokens == toks.count()
+    assert rows[-1].cum_vocab == toks.distinct().count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.cum_tokens > prev.cum_tokens
+        assert cur.cum_vocab >= prev.cum_vocab
+
+
+def test_dup_coverage_and_novelty_fractions_bounded(spark):
+    for key, frac_col in (
+        ("q_llm_dup_ngram_coverage", "avg_dup_frac"),
+        ("q_llm_ngram_novelty", "avg_novelty"),
+    ):
+        rows = _spec(key).fn(spark, SF).collect()
+        assert rows, key
+        for r in rows:
+            assert 0.0 <= r[frac_col] <= 1.0, (key, r)
+
+
+def test_zipf_slope_negative_on_natural_ranking(spark):
+    # Rank-frequency by construction: freq is non-increasing in rank,
+    # so the log-log OLS slope can never be positive.
+    rows = _spec("q_llm_zipf_slope").fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.zipf_slope <= 0.0
+        assert r.n_ranked >= 1
