@@ -326,3 +326,76 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin.getField("total").alias("s_total"),
         fin.getField("yr").alias("s_year"),
     )
+
+
+# INT64 max, the try_add/try_multiply overflow boundary.
+_I64_MAX = 9223372036854775807
+# A base large enough that adding a small key overflows for some rows:
+# overflow iff l_orderkey > 7.
+_NEAR_MAX = _I64_MAX - 7
+
+
+@query(
+    "q_fn_try_arith",
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN CAST({_NEAR_MAX} AS HUGEINT) + l_orderkey
+                         > {_I64_MAX} THEN NULL
+                    ELSE CAST(CAST({_NEAR_MAX} AS HUGEINT) + l_orderkey
+                              AS BIGINT) END                    AS add_overflow,
+               CASE WHEN CAST(l_orderkey AS HUGEINT)
+                         * {_NEAR_MAX} > {_I64_MAX} THEN NULL
+                    ELSE CAST(CAST(l_orderkey AS HUGEINT) * {_NEAR_MAX}
+                              AS BIGINT) END                    AS mul_overflow,
+               round(l_extendedprice
+                     / nullif(CAST(l_quantity AS BIGINT) % 5, 0),
+                     6)                                         AS div_maybe_zero,
+               CASE WHEN CAST(l_quantity AS BIGINT) % 5 = 0 THEN NULL
+                    ELSE CAST(l_orderkey
+                              % nullif(CAST(l_quantity AS BIGINT) % 5, 0)
+                              AS BIGINT) END                    AS mod_maybe_zero,
+               TRY_CAST(l_returnflag AS BIGINT)                 AS cast_flag,
+               TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT)  AS cast_key,
+               TRY_CAST(l_returnflag AS TIMESTAMP) IS NOT NULL  AS ts_parsed,
+               [l_orderkey, CAST(l_linenumber AS BIGINT)][4]    AS elem_oob
+        FROM lineitem
+        WHERE l_orderkey % 19 = 0
+    """,
+    description="ANSI-safe try_* family: overflow/zero-div/malformed-cast return NULL, never a runtime error",
+    tags=("function", "ansi"),
+)
+def q_fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode safety valves: `try_add`/`try_multiply` NULL on
+    int64 overflow, `try_divide`/`try_mod` NULL on zero divisors,
+    `try_cast`/`try_to_timestamp` NULL on malformed input,
+    `try_element_at` NULL out of bounds — where the plain operators
+    under `spark.sql.ansi.enabled` raise and kill the job. A 100 TB
+    pipeline cannot afford a task retry storm because one row of a
+    trillion has a zero denominator; the try_* family localizes the
+    poison row as a NULL that flows to a quarantine filter.
+
+    The DuckDB oracle cannot spell try_add (no such function), so it
+    mirrors the SEMANTICS: the overflow branches compute in HUGEINT
+    and NULL outside the int64 range, the divisors go through
+    nullif — which is precisely the rewrite the try_* functions
+    compile to, so both engines state the same contract."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 19 == 0)
+    near_max = F.lit(_NEAR_MAX)
+    denom = F.nullif(F.col("l_quantity").cast("long") % 5, F.lit(0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_add(near_max, F.col("l_orderkey")).alias("add_overflow"),
+        F.try_multiply(F.col("l_orderkey"), near_max).alias("mul_overflow"),
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), denom), 6
+        ).alias("div_maybe_zero"),
+        F.try_mod(F.col("l_orderkey"), denom).alias("mod_maybe_zero"),
+        F.col("l_returnflag").try_cast("long").alias("cast_flag"),
+        F.col("l_orderkey").cast("string").try_cast("long").alias("cast_key"),
+        F.try_to_timestamp(F.col("l_returnflag")).isNotNull().alias("ts_parsed"),
+        F.try_element_at(
+            F.array(F.col("l_orderkey"), F.col("l_linenumber").cast("long")),
+            F.lit(4),
+        ).alias("elem_oob"),
+    )
