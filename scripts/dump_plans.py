@@ -43,6 +43,9 @@ HEADLINE = (
     ("q_ts_ewma", "one series exchange; truncated-EWMA fold is row-local HOF arithmetic over the 16-row frame"),
     ("q_llm_source_overlap", "DISTINCT (source, shingle) reduced map-side BEFORE the self-join; fan-out bounded by source cardinality"),
     ("q_llm_bigram_lm", "unigram contexts + vocab broadcast; the bigram-count probe is the one deliberate wide join"),
+    ("q_graph_pagerank", "iterative join-agg rounds, JVM-side throughout; rank join keyed on the node column every round"),
+    ("q_anon_kanonymity", "single-pass QI groupBy -> per-segment rollup; map-side partials, no Expand, no Python"),
+    ("q_llm_dup_ngram_coverage", "shingle-frequency join keyed on md5; text pruned before every Exchange"),
 )
 
 

@@ -930,3 +930,43 @@ def test_csv_roundtrip_explicit_schema_no_infer_pass(spark):
     text = inspect.plan_str(q(spark, "q_sink_csv_roundtrip"))
     assert text.count("Scan csv") == 1
     assert "partial_count" in text
+
+
+# --- round-9 additions: graph / governance / corpus diagnostics ---
+
+
+def test_kanonymity_is_pure_two_level_agg(spark):
+    # One QI groupBy then a per-segment rollup: both aggs must combine
+    # map-side, and the plan must stay Python-free (no UDF in a DQ
+    # gate that scans the whole table).
+    df = q(spark, "q_anon_kanonymity")
+    assert inspect.has_partial_aggregation(df)
+    assert "Python" not in inspect.plan_str(df)
+
+
+def test_zipf_single_window_exchange(spark):
+    # The rank window partitions by source; the regression agg groups
+    # by source again — Spark must not add a second exchange for the
+    # agg (superset-key clustering reuse, the q_ts_autocorr property).
+    plan = inspect.plan_str(q(spark, "q_llm_zipf_slope"))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    # one for (source, t) freq agg, one for the source window; the
+    # final agg must reuse the window's partitioning
+    assert n_exchanges <= 2, plan
+    assert "Python" not in plan
+
+
+def test_graph_pagerank_stays_jvm_side(spark):
+    # Iterative kernel: every round is joins + aggs — any Python eval
+    # in the loop would multiply by the round count.
+    df = q(spark, "q_graph_pagerank")
+    assert "Python" not in inspect.plan_str(df)
+
+
+def test_dup_ngram_coverage_shuffles_hashes_not_text(spark):
+    # The shingle-frequency join must key on the 16-byte md5, and the
+    # raw text column must be pruned before any exchange.
+    plan = inspect.plan_str(q(spark, "q_llm_dup_ngram_coverage"))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
