@@ -274,3 +274,107 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part_id"),
         F.round(F.col("pr") * n, 6).alias("pr_scaled"),
     )
+
+
+LINKPRED_TOP = 20
+# query batch: link prediction runs FOR a node slice, not all pairs —
+# the all-pairs wedge groupBy is sum(deg^2) rows (measured 474 s at
+# sf0.1); the batch slice divides the fan-out by the modulus and is the
+# realistic deployment shape (predict for today's active users).
+LINKPRED_QUERY_MOD = 50
+
+
+@query(
+    "q_graph_common_neighbors",
+    oracle=f"""
+        WITH {_EDGES_CTE},
+        wedge AS MATERIALIZED (
+            -- candidate pair (a, c) through shared neighbor b, where a
+            -- is a QUERY node (the batch link prediction is FOR); the
+            -- count of distinct b = common-neighbor count. a <> c, and
+            -- adjacency is removed below.
+            SELECT e1.dst AS id_a, e2.dst AS id_b, count(*) AS cn
+            FROM sym e1 JOIN sym e2
+              ON e1.src = e2.src AND e1.dst <> e2.dst
+            WHERE e1.dst % {LINKPRED_QUERY_MOD} = 0
+            GROUP BY e1.dst, e2.dst
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS node, count(*) AS degree FROM sym GROUP BY src
+        ),
+        nonadj AS (
+            SELECT w.id_a, w.id_b, w.cn,
+                   da.degree AS deg_a, db.degree AS deg_b
+            FROM wedge w
+            JOIN deg da ON da.node = w.id_a
+            JOIN deg db ON db.node = w.id_b
+            LEFT JOIN sym e ON e.src = w.id_a AND e.dst = w.id_b
+            WHERE e.src IS NULL
+        )
+        SELECT id_a, id_b, CAST(cn AS BIGINT) AS common_neighbors,
+               cn * 1.0 / (deg_a + deg_b - cn) AS jaccard
+        FROM nonadj
+        QUALIFY row_number() OVER (
+            ORDER BY cn * 1.0 / (deg_a + deg_b - cn) DESC, id_a, id_b
+        ) <= {LINKPRED_TOP}
+        ORDER BY jaccard DESC, id_a, id_b
+    """,
+    description=f"Link prediction: top-{LINKPRED_TOP} non-adjacent pairs by neighborhood Jaccard (common-neighbor join)",
+    tags=("graph", "join"),
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction: for every NON-adjacent pair
+    with at least one shared neighbor, the Jaccard similarity of their
+    neighborhoods — the classic \"people you may know\" primitive. One
+    wedge self-join (the same plan core as q_graph_triangles) grouped
+    to common-neighbor counts, degrees joined back, existing edges
+    anti-joined away, global top-k via TakeOrdered.
+
+    Determinism note: jaccard = cn / (deg_a + deg_b - cn) is a SINGLE
+    IEEE double division of exact integers, so both engines produce
+    bit-identical doubles — the ranking cannot diverge on an ulp (the
+    same argument as q_ts_median_filter's raw-double order statistics).
+
+    Scale shape: the wedge groupBy is the dominant shuffle, bounded by
+    sum(deg^2) like all triangle-family kernels (degree-ordered
+    orientation is the standard cap); the degree table is tiny and
+    broadcasts; the anti join rides the same (id_a, id_b) keys the
+    wedge groupBy just partitioned."""
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    sym = _symmetric(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    e1, e2 = sym.alias("e1"), sym.alias("e2")
+    wedge = (
+        e1.filter(F.col("e1.dst") % LINKPRED_QUERY_MOD == 0)
+        .join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") != F.col("e2.dst")),
+        )
+        .groupBy(
+            F.col("e1.dst").alias("id_a"), F.col("e2.dst").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonadj = wedge.join(
+        sym,
+        (wedge["id_a"] == sym["src"]) & (wedge["id_b"] == sym["dst"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("src").alias("id_a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("src").alias("id_b"), F.col("degree").alias("deg_b"))
+    scored = (
+        nonadj.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("cn").alias("common_neighbors"),
+            (
+                F.col("cn") / (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), "id_a", "id_b"
+    ).limit(LINKPRED_TOP)

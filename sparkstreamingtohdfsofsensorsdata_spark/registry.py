@@ -102,6 +102,7 @@ def query(
 # prefix-truncating driver always sees the newest surface first.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # round-9 additions (newest surface first — see comment above)
+    "q_graph_common_neighbors",
     "q_fn_try_arith",
     "q_graph_degree",
     "q_graph_triangles",

@@ -124,42 +124,42 @@ def test_dedup_memos_evict_superseded_same_path_entries(spark):
 
 
 def test_registry_window_is_the_stale_cohort():
-    # Round-8 rotation contract (VERDICT r7 item 1): the driver
-    # verifies a 50-key prefix; the r7 window re-checked the
-    # already-fresh r6 cohort, so the stalest verdicts are the 38
-    # r4-or-older keys (joins, windows, core aggs, streaming, exact
-    # similarity) plus the rows-only->oracle conversions. Spot-pin the
-    # boundary so a future reorder cannot silently push a stale key
-    # out of the window.
+    # Round-9 rotation contract (VERDICT r8 item 1): the driver
+    # verifies a 50-key prefix, and the r8 window consumed exactly the
+    # previous head-50 — so the head is rebuilt as (a) keys added THIS
+    # round (never had any chance of a verdict), then (b) the keys that
+    # have never appeared in any CORRECTNESS_r*.json through r8, then
+    # (c) everything else in ascending freshest-driver-verdict order.
+    # Spot-pin the boundary so a future reorder cannot silently push a
+    # stale key out of the window.
     front = list(registry.load_all())[:50]
-    # ALL 36 never-verified round-8 additions lead everything — a key
-    # with no driver verdict outranks any stale-but-green one.
-    additions = {
-        "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q20",
-        "q_llm_semdedup", "q_agg_heavy_hitters",
-        "q_unpivot", "q_subquery_not_in", "q_join_null_safe",
-        "q_agg_weighted_median", "q_win_running_distinct",
-        "q_join_asof_nearest", "q_stream_stream_left_join",
-        "q_llm_url_normalize", "q_tpch_q4", "q_tpch_q8", "q_tpch_q12",
-        "q_tpch_q15", "q_tpch_q17", "q_tpch_q21",
-        "q_llm_ngram_containment", "q_llm_passage_dedup",
-        "q_agg_histogram_quantile", "q_stream_update_mode",
-        "q_ts_gap_islands", "q_ts_outlier_mad",
-        "q_llm_dedup_incremental", "q_llm_length_bucket",
-        "q_llm_split_assign", "q_llm_unigram_logprob", "q_agg_mode",
-        "q_join_interval_overlap", "q_ts_interpolate",
-        "q_agg_bitmap_distinct", "q_sample_group_topk",
-        "q_scan_schema_evolution",
+    r9_additions = [
+        "q_graph_degree", "q_graph_triangles", "q_graph_pagerank",
+        "q_anon_kanonymity", "q_llm_zipf_slope", "q_llm_vocab_growth",
+        "q_llm_dup_ngram_coverage", "q_llm_ngram_novelty",
+        "q_fn_try_arith", "q_graph_common_neighbors",
+    ]
+    # every registered round-9 addition leads the window (order within
+    # the block is insertion order, not the list above)
+    registered = [k for k in r9_additions if k in registry.load_all()]
+    n_new = len(registered)
+    assert set(front[:n_new]) == set(registered)
+    # next: the 24 keys with no driver verdict in ANY CORRECTNESS_r*.json
+    never_verified = {
+        "q_agg_skew_salted", "q_dq_profile", "q_ts_rolling_corr",
+        "q_llm_pmi_bigrams", "q_llm_entropy", "q_llm_feature_hash",
+        "q_ts_ewma", "q_llm_bigram_lm", "q_merge_upsert",
+        "q_stream_chained_windows", "q_ts_cusum", "q_llm_source_overlap",
+        "q_embed_centroid_stats", "q_ts_peak_detect", "q_ts_seasonal_hod",
+        "q_ts_median_filter", "q_agg_decimal_exact", "q_fn_variant",
+        "q_join_bloom_runtime", "q_llm_winnowing", "q_agg_string_agg",
+        "q_ts_autocorr", "q_scan_binary", "q_sink_csv_roundtrip",
     }
-    assert set(front[:36]) == additions
-    # the remaining 14 slots go to the stalest (r4-or-older) driver
-    # verdicts — similarity exact tier + the streaming family lead
-    assert "q_stream_tumbling" in front
-    assert "q_stream_stream_join" in front
-    assert "q_llm_sim_topk" in front
-    assert "q_llm_embed_neardup" in front
-    assert "q_stream_stateful_alerts" in front
-    # keys the driver just greened in r7 must NOT occupy window slots
+    assert set(front[n_new : n_new + 24]) == never_verified
+    # the stalest r4-cohort keys fill the remaining slots
+    assert "q_join_inner_equi" in front
+    assert "q_agg_group" in front
+    # keys the driver greened in r7/r8 must NOT occupy window slots
+    assert "q_tpch_q2" not in front
     assert "q_scan_text_lines" not in front
-    assert "q_llm_pii_redact" not in front
-    assert "q_ts_gapfill" not in front
+    assert "q_llm_semdedup" not in front
