@@ -399,3 +399,59 @@ def q_fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(4),
         ).alias("elem_oob"),
     )
+
+
+@query(
+    "q_fn_url_parse",
+    oracle="""
+        WITH u AS (
+            SELECT c_custkey,
+                   'https://' || lower(c_mktsegment) || '.example.com/acct/'
+                   || c_custkey || '?nation=' || c_nationkey
+                   || '&seg=' || lower(c_mktsegment) AS url
+            FROM customer WHERE c_custkey % 11 = 0
+        )
+        SELECT c_custkey,
+               regexp_extract(url, '^([a-z]+)://', 1)            AS proto,
+               regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)     AS host,
+               regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?(.*)$', 1)                AS query,
+               regexp_extract(url, '[?&]nation=([^&#]*)', 1)     AS nation_param
+        FROM u
+    """,
+    description="URL decomposition: protocol/host/path/query + single-parameter extraction (parse_url family)",
+    tags=("function", "string", "url"),
+)
+def q_fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's JVM `parse_url` (protocol, host, path, query, and keyed
+    query-parameter extraction) over deterministic synthetic URLs —
+    the front half of every weblog/corpus-domain pipeline
+    (q_llm_url_normalize and q_llm_domain_stats consume exactly these
+    pieces). The DuckDB oracle mirrors each part with anchored
+    regexp_extract, exact on well-formed URLs; parse_url's extra
+    value over the regex is its RFC edge handling (userinfo, ports,
+    fragments), which the generator deliberately does not emit so the
+    two specifications coincide. Row-local, codegen-friendly, zero
+    shuffles beyond the scan."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 11 == 0)
+    url = F.concat(
+        F.lit("https://"),
+        F.lower("c_mktsegment"),
+        F.lit(".example.com/acct/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?nation="),
+        F.col("c_nationkey").cast("string"),
+        F.lit("&seg="),
+        F.lower("c_mktsegment"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("nation")).alias(
+            "nation_param"
+        ),
+    )

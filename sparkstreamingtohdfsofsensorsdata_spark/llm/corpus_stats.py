@@ -330,3 +330,131 @@ def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_fully_novel"
         ),
     )
+
+
+# Safety blocklist: tokens that flag a document for review. The fixture
+# vocabulary is synthetic query-plan words, so the list names three of
+# them; a deployment swaps in its real lexicon (same plan shape at any
+# list size up to the broadcast threshold).
+SAFETY_BLOCKLIST = ("slow", "error", "drop")
+
+
+@query(
+    "q_llm_safety_wordlist",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents
+        ),
+        scored AS (
+            SELECT source,
+                   len(list_filter(t, x -> x IN
+                       ({", ".join(repr(w) for w in SAFETY_BLOCKLIST)})))
+                       AS n_blocked
+            FROM d
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT)                        AS n_docs,
+               CAST(sum(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)                                 AS n_flagged,
+               round(avg(CASE WHEN n_blocked > 0
+                              THEN 1.0 ELSE 0.0 END), 6)       AS flag_rate,
+               CAST(sum(n_blocked) AS BIGINT)                  AS tokens_blocked
+        FROM scored GROUP BY source
+    """,
+    float_dp={"flag_rate": 6},
+    description="Safety wordlist filter: per-source flagged-doc rate + blocked-token totals (blocklist held as a literal, row-local membership)",
+    tags=("llm", "text", "safety"),
+)
+def q_llm_safety_wordlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus safety gate: documents containing any blocklisted
+    token are flagged, reported as per-source rates plus the total
+    blocked-token volume (the review-queue sizing number). The
+    blocklist rides INSIDE the expression as a literal array — at
+    deployment size (thousands of terms) it becomes a broadcast join
+    against an exploded token stream, same answer, and the row-local
+    HOF form here is the plan you want while the list fits in a
+    closure. No shuffle before the per-source agg; the filter is pure
+    JVM codegen."""
+    blocked = F.array(*[F.lit(w) for w in SAFETY_BLOCKLIST])
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.filter(
+                F.split("text", " "),
+                lambda t: F.array_contains(blocked, t),
+            )
+        ).alias("n_blocked"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_blocked") > 0).cast("long")).alias("n_flagged"),
+        F.round(F.avg((F.col("n_blocked") > 0).cast("double")), 6).alias(
+            "flag_rate"
+        ),
+        F.sum("n_blocked").alias("tokens_blocked"),
+    )
+
+
+DOMAIN_CAP = 30  # max docs kept per source
+
+
+@query(
+    "q_llm_domain_cap",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   CAST(ceil(length(coalesce(text, '')) / 4.0) AS BIGINT)
+                       AS toks,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT)                          AS n_docs,
+               CAST(sum(CASE WHEN rn <= {DOMAIN_CAP}
+                             THEN 1 ELSE 0 END) AS BIGINT)       AS n_kept,
+               CAST(sum(CASE WHEN rn > {DOMAIN_CAP}
+                             THEN 1 ELSE 0 END) AS BIGINT)       AS n_dropped,
+               CAST(sum(CASE WHEN rn <= {DOMAIN_CAP}
+                             THEN toks ELSE 0 END) AS BIGINT)    AS tokens_kept
+        FROM ranked GROUP BY source
+    """,
+    description=f"Domain frequency capping: keep at most {DOMAIN_CAP} docs per source in deterministic hash order, per-source funnel",
+    tags=("llm", "sampling", "dedup"),
+)
+def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency capping, the anti-head-domain step of corpus prep: no
+    source contributes more than DOMAIN_CAP documents, the survivors
+    chosen in md5(doc_id) order — a deterministic shuffle-stable
+    "random" draw (the q_llm_split_assign idiom), so reprocessing
+    keeps the same documents. Output is the per-source funnel the
+    pipeline dashboard plots.
+
+    Scale shape: one window partitioned by source (the capped entity —
+    its cardinality bounds skew; a hot source with millions of docs is
+    exactly what the cap exists to trim, and at 100 TB you pre-filter
+    with an approximate per-source count before ranking only the
+    sources over cap). The rank and the funnel agg share the source
+    partitioning — one exchange total."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = load(spark, sf_dir, "documents").select(
+        "source",
+        F.ceil(F.length(F.coalesce("text", F.lit(""))) / 4.0)
+        .cast("long")
+        .alias("toks"),
+        F.row_number().over(w).alias("rn"),
+    )
+    kept = F.col("rn") <= DOMAIN_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((~kept).cast("long")).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("toks")).otherwise(0)).alias("tokens_kept"),
+    )

@@ -1238,3 +1238,44 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             " FILTER (WHERE o_totalprice > 490000)"
         ).alias("top_orders"),
     )
+
+
+@query(
+    "q_agg_linear_regr",
+    oracle="""
+        SELECT event_type,
+               CAST(regr_count(value, hour(ts)) AS BIGINT)       AS n,
+               round(regr_slope(value, hour(ts)), 6)             AS slope,
+               round(regr_intercept(value, hour(ts)), 6)         AS intercept,
+               round(regr_r2(value, hour(ts)), 6)                AS r2,
+               round(regr_avgx(value, hour(ts)), 6)              AS avg_x,
+               round(regr_avgy(value, hour(ts)), 6)              AS avg_y
+        FROM events
+        GROUP BY event_type
+    """,
+    float_dp={"slope": 6, "intercept": 6, "r2": 6, "avg_x": 6, "avg_y": 6},
+    description="OLS regression aggregate family (regr_slope/intercept/r2/avgx/avgy/count) per event type",
+    tags=("aggregate", "stats"),
+)
+def q_agg_linear_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2003 linear-regression aggregate family — value
+    regressed on hour-of-day per event type (does the metric drift
+    through the day?). Every regr_* member is ALGEBRAIC: partials are
+    (n, sum x, sum y, sum xy, sum x2, sum y2), so the whole family
+    map-side combines like a sum — one scan, one exchange on the
+    5-value group key, no window, no second pass. The same moments
+    power q_agg_corr and q_llm_zipf_slope; this key pins the complete
+    family surface. Hour-of-day is extracted above microsecond
+    precision, so the ns-fixture truncation boundary (tables.
+    _normalize_ts) cannot split the engines."""
+    ev = load(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    y = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+    )

@@ -1273,3 +1273,110 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     )
+
+
+@query(
+    "q_events_ab_test",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id,
+                   CASE WHEN ('0x' || substring(
+                            md5(CAST(user_id AS VARCHAR)), 1, 4))::INT
+                        / 65536.0 < 0.5
+                        THEN 'A' ELSE 'B' END AS variant,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY 1, 2
+        ),
+        arm AS (
+            SELECT variant,
+                   count(*)                       AS n_users,
+                   sum(converted)                 AS n_converted
+            FROM assign GROUP BY variant
+        ),
+        wide AS (
+            SELECT
+                max(CASE WHEN variant = 'A' THEN n_users END)     AS na,
+                max(CASE WHEN variant = 'A' THEN n_converted END) AS ca,
+                max(CASE WHEN variant = 'B' THEN n_users END)     AS nb,
+                max(CASE WHEN variant = 'B' THEN n_converted END) AS cb
+            FROM arm
+        )
+        SELECT CAST(na AS BIGINT)            AS n_users_a,
+               CAST(nb AS BIGINT)            AS n_users_b,
+               CAST(ca AS BIGINT)            AS n_conv_a,
+               CAST(cb AS BIGINT)            AS n_conv_b,
+               round(ca * 1.0 / na, 6)       AS rate_a,
+               round(cb * 1.0 / nb, 6)       AS rate_b,
+               round((cb * 1.0 / nb) - (ca * 1.0 / na), 6) AS lift,
+               round(((cb * 1.0 / nb) - (ca * 1.0 / na))
+                     / nullif(sqrt(((ca + cb) * 1.0 / (na + nb))
+                            * (1 - (ca + cb) * 1.0 / (na + nb))
+                            * (1.0 / na + 1.0 / nb)), 0), 6) AS z_score
+        FROM wide
+    """,
+    float_dp={"rate_a": 6, "rate_b": 6, "lift": 6, "z_score": 6},
+    description="A/B experiment readout: hash-assigned variants, per-user conversion, pooled two-proportion z-score",
+    tags=("timeseries", "events", "stats"),
+)
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis over the event stream: users are assigned
+    to arms by the md5 unit-fraction idiom (deterministic,
+    reprocessing-stable — the same splitter q_llm_split_assign uses),
+    conversion is "ever purchased", and the readout is the standard
+    pooled two-proportion z-test computed from exact integer counts
+    (rates/lift/z rounded on both engines).
+
+    Scale shape: one map-side-combined groupBy(user) for per-user
+    conversion, one tiny groupBy(variant), then a 2-row pivot to a
+    1-row readout — the z-score arithmetic runs on the driver-free
+    1-row frame. At 100 TB the only wide exchange is the user rollup,
+    keyed on the experiment's randomization unit."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+        ).cast("double")
+        / F.lit(65536.0)
+    )
+    assign = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.when(u < 0.5, "A").otherwise("B").alias("variant"),
+            (F.col("event_type") == "purchase").cast("int").alias("is_purch"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(F.max("is_purch").alias("converted"))
+    )
+    arm = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arm.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    na, ca, nb, cb = F.col("na"), F.col("ca"), F.col("nb"), F.col("cb")
+    pooled = (ca + cb) / (na + nb)
+    return wide.select(
+        na.alias("n_users_a"),
+        nb.alias("n_users_b"),
+        ca.alias("n_conv_a"),
+        cb.alias("n_conv_b"),
+        F.round(ca / na, 6).alias("rate_a"),
+        F.round(cb / nb, 6).alias("rate_b"),
+        F.round(cb / nb - ca / na, 6).alias("lift"),
+        # pooled = 0 or 1 (every user converted, as on the synthetic
+        # fixture, or none) makes the z denominator exactly 0: that is
+        # "no variance to test against", so the statistic is NULL —
+        # nullif on both engines, not an ANSI divide error.
+        F.round(
+            (cb / nb - ca / na)
+            / F.nullif(
+                F.sqrt(pooled * (1 - pooled) * (1 / na + 1 / nb)), F.lit(0.0)
+            ),
+            6,
+        ).alias("z_score"),
+    )

@@ -102,6 +102,11 @@ def query(
 # prefix-truncating driver always sees the newest surface first.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # round-9 additions (newest surface first — see comment above)
+    "q_fn_url_parse",
+    "q_agg_linear_regr",
+    "q_llm_safety_wordlist",
+    "q_llm_domain_cap",
+    "q_events_ab_test",
     "q_graph_common_neighbors",
     "q_fn_try_arith",
     "q_graph_degree",

@@ -138,6 +138,8 @@ def test_registry_window_is_the_stale_cohort():
         "q_anon_kanonymity", "q_llm_zipf_slope", "q_llm_vocab_growth",
         "q_llm_dup_ngram_coverage", "q_llm_ngram_novelty",
         "q_fn_try_arith", "q_graph_common_neighbors",
+        "q_fn_url_parse", "q_agg_linear_regr", "q_llm_safety_wordlist",
+        "q_llm_domain_cap", "q_events_ab_test",
     ]
     # every registered round-9 addition leads the window (order within
     # the block is insertion order, not the list above)
@@ -158,7 +160,7 @@ def test_registry_window_is_the_stale_cohort():
     assert set(front[n_new : n_new + 24]) == never_verified
     # the stalest r4-cohort keys fill the remaining slots
     assert "q_join_inner_equi" in front
-    assert "q_agg_group" in front
+    assert "q_join_broadcast" in front
     # keys the driver greened in r7/r8 must NOT occupy window slots
     assert "q_tpch_q2" not in front
     assert "q_scan_text_lines" not in front
