@@ -455,3 +455,45 @@ def q_fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation_param"
         ),
     )
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+        SELECT p_partkey,
+               md5(p_name)                                   AS h_md5,
+               sha256(p_name)                                AS h_sha256,
+               length(md5(p_name || '|' || p_brand))         AS h_comp_len,
+               md5(p_name) = md5(p_name)                     AS stable,
+               CAST(('0x' || substring(md5(p_name), 1, 8))::BIGINT
+                    % 1024 AS BIGINT)                        AS h_bucket
+        FROM part WHERE p_partkey % 13 = 0
+    """,
+    description="Content-hash family: md5 / sha2-256 / composite-key hash / hash bucketing (the dedup + split + shard primitives)",
+    tags=("function", "hash"),
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing primitives every other pipeline stage builds on:
+    md5 / sha2-256 content digests (exact dedup, split assignment),
+    composite-key hashing (multi-column identity), determinism
+    (hash(x) = hash(x) — trivially true, pinned so an engine swap that
+    salts per-session would fail loudly), and hex-prefix bucketing
+    (shard assignment). xxhash64/crc32 exist Spark-side and power the
+    internal salting/banding paths, but DuckDB has no mirror, so this
+    contract key pins the portable md5/sha256 subset; bucketing goes
+    through the md5 prefix (the q_llm_split_assign idiom) for the
+    same reason. Row-local, codegen, zero shuffles."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 13 == 0)
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("h_md5"),
+        F.sha2(F.col("p_name"), 256).alias("h_sha256"),
+        F.length(
+            F.md5(F.concat_ws("|", "p_name", "p_brand"))
+        ).alias("h_comp_len"),
+        (F.md5("p_name") == F.md5("p_name")).alias("stable"),
+        (
+            F.conv(F.substring(F.md5("p_name"), 1, 8), 16, 10).cast("long")
+            % 1024
+        ).alias("h_bucket"),
+    )

@@ -458,3 +458,87 @@ def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~kept).cast("long")).alias("n_dropped"),
         F.sum(F.when(kept, F.col("toks")).otherwise(0)).alias("tokens_kept"),
     )
+
+
+# Snapshot diff: two corpus versions modeled as deterministic slices —
+# v1 = doc_id % 10 != 9 plus doc_id % 10 == 3 with MUTATED text;
+# v2 = the current table. Between versions: docs 9 (mod 10) were added,
+# docs 3 (mod 10) changed content, the rest are unchanged.
+SNAP_ADD_REM = 9
+SNAP_CHG_REM = 3
+
+
+@query(
+    "q_llm_snapshot_diff",
+    oracle=f"""
+        WITH v2 AS (
+            SELECT doc_id, source, md5(text) AS h FROM documents
+        ),
+        v1 AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 10 = {SNAP_CHG_REM}
+                        THEN md5(text || ' [stale]')
+                        ELSE md5(text) END AS h
+            FROM documents WHERE doc_id % 10 <> {SNAP_ADD_REM}
+        )
+        SELECT v2.source,
+               CAST(count(*) AS BIGINT)                          AS n_docs_v2,
+               CAST(sum(CASE WHEN v1.doc_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)       AS n_added,
+               CAST(sum(CASE WHEN v1.doc_id IS NOT NULL
+                              AND v1.h <> v2.h
+                             THEN 1 ELSE 0 END) AS BIGINT)       AS n_changed,
+               CAST(sum(CASE WHEN v1.h = v2.h
+                             THEN 1 ELSE 0 END) AS BIGINT)       AS n_unchanged
+        FROM v2 LEFT JOIN v1 USING (doc_id)
+        GROUP BY v2.source
+    """,
+    description="Corpus snapshot diff: added / content-changed / unchanged docs per source via content-hash join on the stable id",
+    tags=("llm", "versioning", "dedup"),
+)
+def q_llm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset versioning's core audit: diff two corpus snapshots by
+    stable doc_id, classifying each current document as added (absent
+    from v1), changed (present, content hash differs), or unchanged —
+    what a training-data release sign-off reads before shipping v2.
+    The fixture models v1 as a deterministic slice with mutated
+    content for one residue class (inject-what-you-audit, the
+    q_llm_split_leakage approach).
+
+    Scale shape: both sides reduce to (doc_id, source, md5) BEFORE the
+    join — 16-byte digests shuffle, text never does (the
+    q_llm_passage_dedup rule); one co-partitioned join on the id, one
+    per-source rollup. Removed-doc counting is the same join with the
+    sides swapped; it is omitted here so every output row keys on the
+    v2 corpus the release actually ships."""
+    docs = load(spark, sf_dir, "documents")
+    v2 = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    v1 = (
+        docs.filter(F.col("doc_id") % 10 != SNAP_ADD_REM)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == SNAP_CHG_REM,
+                F.md5(F.concat(F.col("text"), F.lit(" [stale]"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("h_v1"),
+        )
+    )
+    joined = v2.join(v1, "doc_id", "left")
+    # src19's doc_ids are all ≡ 9 (mod 10) — the WHOLE source is new in
+    # v2, so (h_v1 = h) is NULL on every row and a bare sum() would
+    # return NULL where the oracle's CASE yields 0. Count the TRUE rows
+    # with a null-excluding predicate sum on both aggregates.
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_v2"),
+        F.sum(F.col("h_v1").isNull().cast("long")).alias("n_added"),
+        F.sum(
+            (F.col("h_v1").isNotNull() & (F.col("h_v1") != F.col("h")))
+            .cast("long")
+        ).alias("n_changed"),
+        F.sum(
+            (F.col("h_v1").isNotNull() & (F.col("h_v1") == F.col("h")))
+            .cast("long")
+        ).alias("n_unchanged"),
+    )

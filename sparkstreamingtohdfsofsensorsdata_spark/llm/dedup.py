@@ -1542,3 +1542,122 @@ def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_llm_winnowing.__doc__ = q_llm_winnowing.__doc__.format(
     k=WINNOW_K, w=WINNOW_W
 )
+
+
+LSH_AUDIT_SLICE = 60  # doc_id bound for the exact-tier audit
+
+
+@query(
+    "q_llm_lsh_audit",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < {LSH_AUDIT_SLICE}
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+            FROM tok
+        ),
+        sig AS (
+            SELECT doc_id, shingles,
+                   list_transform(range(0, {N_MINHASH}),
+                       s -> list_min(list_transform(
+                            list_transform(shingles,
+                                sh2 -> md5(sh2) || md5('x' || sh2)),
+                            h -> substr(h, s * 5 + 1, 5)))) AS sig
+            FROM sh
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.shingles, b.shingles)) AS ni,
+                   len(list_distinct(list_concat(a.shingles, b.shingles)))
+                       AS nu,
+                   list_sum(list_transform(range(1, {N_MINHASH + 1}),
+                       i -> CASE WHEN a.sig[i] = b.sig[i]
+                                 THEN 1 ELSE 0 END)) AS matches
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(ni / CAST(nu AS DOUBLE), 6)            AS true_jaccard,
+               round(matches / {float(N_MINHASH)}, 6)       AS est_jaccard,
+               round(abs(matches / {float(N_MINHASH)}
+                         - ni / CAST(nu AS DOUBLE)), 6)     AS abs_err
+        FROM pairs
+        WHERE nu > 0
+        QUALIFY row_number() OVER (
+            ORDER BY ni / CAST(nu AS DOUBLE) DESC, id_a, id_b
+        ) <= 20
+        ORDER BY true_jaccard DESC, id_a, id_b
+    """,
+    float_dp={"true_jaccard": 6, "est_jaccard": 6, "abs_err": 6},
+    description="MinHash estimator audit: signature-estimated vs exact word-bigram Jaccard, top-20 true pairs with absolute error",
+    tags=("llm", "dedup", "minhash", "audit"),
+)
+def q_llm_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the MinHash estimate the LSH pipeline trusts? On
+    the exact-tier slice, compute TRUE word-bigram Jaccard and the
+    12-hash signature estimate for every pair and report the top true
+    pairs with the estimator's absolute error — the calibration table
+    that justifies (or indicts) the N_MINHASH/band choice before a
+    full-corpus run. Uses the exact same shingle/signature
+    expressions as q_llm_minhash_lsh, so the audit measures the
+    SHIPPED estimator, not a reimplementation.
+
+    Scale shape: all-pairs is the point (exactness tier, bounded
+    slice — the q_llm_simhash contract); the full-corpus path stays
+    banded. Signatures are computed once per doc before the pair
+    join; the join carries (shingles, sig) for {LSH_AUDIT_SLICE}
+    docs only."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < LSH_AUDIT_SLICE)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.expr(WORD_SHINGLES_EXPR).alias("shingles"))
+        .select(
+            "doc_id",
+            "shingles",
+            F.expr(SIG_EXPR).alias("hs"),
+        )
+        .select("doc_id", "shingles", F.expr(MIN_EXPR).alias("sig"))
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    ni = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    nu = F.size(
+        F.array_distinct(F.concat(F.col("a.shingles"), F.col("b.shingles")))
+    )
+    matches = F.expr(
+        f"aggregate(transform(sequence(1, {N_MINHASH}),"
+        " i -> if(element_at(a.sig, i) = element_at(b.sig, i), 1, 0)),"
+        " 0, (acc, x) -> acc + x)"
+    )
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ni.alias("ni"),
+            nu.alias("nu"),
+            matches.alias("matches"),
+        )
+        .filter(F.col("nu") > 0)
+    )
+    true_j = F.col("ni") / F.col("nu").cast("double")
+    est_j = F.col("matches") / F.lit(float(N_MINHASH))
+    # Rank on the RAW division (a single IEEE op, bit-identical across
+    # engines — the oracle's QUALIFY does the same) so the top-20 cut
+    # can never differ where two raw values round to the same 6dp.
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            true_j.alias("_raw"),
+            F.round(true_j, 6).alias("true_jaccard"),
+            F.round(est_j, 6).alias("est_jaccard"),
+            F.round(F.abs(est_j - true_j), 6).alias("abs_err"),
+        )
+        .orderBy(F.col("_raw").desc(), "id_a", "id_b")
+        .limit(20)
+        .drop("_raw")
+    )

@@ -378,3 +378,115 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc(), "id_a", "id_b"
     ).limit(LINKPRED_TOP)
+
+
+BFS_ROUNDS = 4  # bounded frontier expansion; oracle-mirrored
+BFS_SEED_MOD = 100  # seed set: part ids divisible by this
+
+
+def _bfs_oracle() -> str:
+    """Bounded-round BFS as chained materialized CTEs: d0 = seeds at
+    distance 0, each round relaxes dist over one edge hop (min of self
+    and neighbors+1) — the unit-weight Bellman-Ford step, the same
+    shape as the PageRank/CC oracles."""
+    ctes = [
+        f"""d0 AS MATERIALIZED (
+            SELECT src AS node,
+                   CASE WHEN src % {BFS_SEED_MOD} = 0 THEN 0 END AS dist
+            FROM (SELECT DISTINCT src FROM sym)
+        )"""
+    ]
+    for r in range(1, BFS_ROUNDS + 1):
+        prev = f"d{r - 1}"
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+            SELECT d.node,
+                   least(
+                       coalesce(d.dist, {BFS_ROUNDS + 1}),
+                       coalesce(m.reach + 1, {BFS_ROUNDS + 1})
+                   ) AS raw,
+                   CASE WHEN least(
+                       coalesce(d.dist, {BFS_ROUNDS + 1}),
+                       coalesce(m.reach + 1, {BFS_ROUNDS + 1})
+                   ) <= {BFS_ROUNDS} THEN least(
+                       coalesce(d.dist, {BFS_ROUNDS + 1}),
+                       coalesce(m.reach + 1, {BFS_ROUNDS + 1})
+                   ) END AS dist
+            FROM {prev} d
+            LEFT JOIN (
+                SELECT e.dst AS node, min(p.dist) AS reach
+                FROM sym e JOIN {prev} p ON e.src = p.node
+                WHERE p.dist IS NOT NULL
+                GROUP BY e.dst
+            ) m ON m.node = d.node
+        )"""
+        )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {_EDGES_CTE},
+        {body}
+        SELECT CAST(dist AS BIGINT) AS dist,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM d{BFS_ROUNDS}
+        WHERE dist IS NOT NULL
+        GROUP BY dist
+    """
+
+
+@query(
+    "q_graph_bfs",
+    oracle=_bfs_oracle(),
+    description=f"BFS hop-distance histogram from the seed set (ids % {BFS_SEED_MOD} = 0), {BFS_ROUNDS} bounded rounds",
+    tags=("graph", "iterative"),
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: hop distance from the seed set over the
+    co-purchase graph, reported as a (distance -> node count)
+    histogram — the reachability primitive under influence/blast-
+    radius questions. Each round is one edge join + groupBy taking
+    min(dist)+1 over in-neighbors (unit-weight Bellman-Ford), the
+    identical per-round plan as PageRank with min() in place of
+    sum(); rounds are FIXED and oracle-mirrored, and nodes still
+    unreached after BFS_ROUNDS hops are reported as unreached
+    (excluded), which is the honest bounded-frontier contract. At
+    scale, each frontier join reuses the edge table's src bucketing,
+    and localCheckpoint truncates the per-round lineage exactly as in
+    propagate_min_labels."""
+    sym = _symmetric(copurchase_edges(spark, sf_dir)).localCheckpoint()
+    nodes = sym.select("src").distinct()
+    dist = nodes.select(
+        F.col("src").alias("node"),
+        F.when(F.col("src") % BFS_SEED_MOD == 0, F.lit(0)).alias("dist"),
+    )
+    for _ in range(BFS_ROUNDS):
+        reach = (
+            sym.join(
+                dist.filter(F.col("dist").isNotNull()),
+                sym["src"] == F.col("node"),
+            )
+            .select(F.col("dst"), (F.col("dist") + 1).alias("via"))
+            .groupBy("dst")
+            .agg(F.min("via").alias("reach"))
+        )
+        dist = (
+            dist.join(reach, dist["node"] == reach["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(BFS_ROUNDS + 1)),
+                    F.coalesce("reach", F.lit(BFS_ROUNDS + 1)),
+                ).alias("raw"),
+            )
+            .select(
+                "node",
+                F.when(
+                    F.col("raw") <= BFS_ROUNDS, F.col("raw")
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        dist.filter(F.col("dist").isNotNull())
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

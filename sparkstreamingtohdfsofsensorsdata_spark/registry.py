@@ -102,6 +102,10 @@ def query(
 # prefix-truncating driver always sees the newest surface first.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # round-9 additions (newest surface first — see comment above)
+    "q_graph_bfs",
+    "q_fn_hash",
+    "q_llm_snapshot_diff",
+    "q_llm_lsh_audit",
     "q_fn_url_parse",
     "q_agg_linear_regr",
     "q_llm_safety_wordlist",
