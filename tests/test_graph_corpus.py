@@ -112,3 +112,59 @@ def test_zipf_slope_negative_on_natural_ranking(spark):
     for r in rows:
         assert r.zipf_slope <= 0.0
         assert r.n_ranked >= 1
+
+
+def test_bfs_seeds_at_distance_zero_and_monotone_reach(spark):
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.graph import (
+        BFS_SEED_MOD,
+    )
+
+    hist = {r.dist: r.n_nodes for r in _spec("q_graph_bfs").fn(spark, SF).collect()}
+    seeds = (
+        copurchase_edges(spark, SF)
+        .select(F.explode(F.array("src", "dst")).alias("n"))
+        .distinct()
+        .filter(F.col("n") % BFS_SEED_MOD == 0)
+        .count()
+    )
+    assert hist.get(0) == seeds  # every in-graph seed is at distance 0
+    assert all(d >= 0 for d in hist)
+
+
+def test_domain_cap_funnel_law(spark):
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.corpus_stats import (
+        DOMAIN_CAP,
+    )
+
+    for r in _spec("q_llm_domain_cap").fn(spark, SF).collect():
+        assert r.n_kept + r.n_dropped == r.n_docs
+        assert r.n_kept <= DOMAIN_CAP
+        assert (r.n_dropped > 0) == (r.n_docs > DOMAIN_CAP)
+
+
+def test_snapshot_diff_partitions_v2(spark):
+    for r in _spec("q_llm_snapshot_diff").fn(spark, SF).collect():
+        assert r.n_added + r.n_changed + r.n_unchanged == r.n_docs_v2
+
+
+def test_ab_test_counts_partition_users(spark):
+    row = _spec("q_events_ab_test").fn(spark, SF).collect()[0]
+    n_users = (
+        load(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert row.n_users_a + row.n_users_b == n_users
+    assert 0 <= row.n_conv_a <= row.n_users_a
+    assert 0 <= row.n_conv_b <= row.n_users_b
+    assert 0.0 <= row.rate_a <= 1.0 and 0.0 <= row.rate_b <= 1.0
+
+
+def test_lsh_audit_estimator_granularity(spark):
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import N_MINHASH
+
+    rows = _spec("q_llm_lsh_audit").fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # the estimate is k/N_MINHASH by construction
+        assert abs(r.est_jaccard * N_MINHASH - round(r.est_jaccard * N_MINHASH)) < 1e-4  # 6dp rounding of k/12 leaves <=6e-6 slack
+        assert 0.0 <= r.true_jaccard <= 1.0
+        assert 0.0 <= r.abs_err <= 1.0
