@@ -517,6 +517,12 @@ def q_llm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 != SNAP_ADD_REM)
         .select(
             "doc_id",
+            # presence marker: "added" means the ID is absent from v1 —
+            # a NULL-text doc (md5 -> NULL) is still PRESENT, and using
+            # the hash as the presence test misclassified it as added
+            # (caught by the hostile-value tier). The oracle tests
+            # v1.doc_id IS NULL for the same reason.
+            F.lit(True).alias("in_v1"),
             F.when(
                 F.col("doc_id") % 10 == SNAP_CHG_REM,
                 F.md5(F.concat(F.col("text"), F.lit(" [stale]"))),
@@ -529,10 +535,12 @@ def q_llm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # src19's doc_ids are all ≡ 9 (mod 10) — the WHOLE source is new in
     # v2, so (h_v1 = h) is NULL on every row and a bare sum() would
     # return NULL where the oracle's CASE yields 0. Count the TRUE rows
-    # with a null-excluding predicate sum on both aggregates.
+    # with null-excluding predicate sums. A present doc whose hash is
+    # NULL on both sides (NULL text) lands in NONE of the three change
+    # classes — mirroring the oracle's three-valued CASE logic.
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs_v2"),
-        F.sum(F.col("h_v1").isNull().cast("long")).alias("n_added"),
+        F.sum(F.col("in_v1").isNull().cast("long")).alias("n_added"),
         F.sum(
             (F.col("h_v1").isNotNull() & (F.col("h_v1") != F.col("h")))
             .cast("long")

@@ -1551,7 +1551,11 @@ LSH_AUDIT_SLICE = 60  # doc_id bound for the exact-tier audit
     "q_llm_lsh_audit",
     oracle=f"""
         WITH tok AS (
-            SELECT doc_id, string_split(text, ' ') AS toks
+            -- coalesce: NULL text must become the empty shingle set on
+            -- BOTH engines (DuckDB would otherwise NULL the whole
+            -- pipeline and silently drop the doc's pairs where Spark
+            -- keeps them with ni = 0)
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
             FROM documents WHERE doc_id < {LSH_AUDIT_SLICE}
         ),
         sh AS (
@@ -1613,7 +1617,10 @@ def q_llm_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < LSH_AUDIT_SLICE)
-        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.split(F.coalesce("text", F.lit("")), " ").alias("toks"),
+        )
         .select("doc_id", F.expr(WORD_SHINGLES_EXPR).alias("shingles"))
         .select(
             "doc_id",

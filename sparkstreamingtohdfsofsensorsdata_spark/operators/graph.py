@@ -247,6 +247,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n = deg.count()
+    if n == 0:
+        # a corpus with no co-purchased pairs has no graph: return the
+        # empty result with the contract schema rather than letting the
+        # Python-side 1/n seed literal raise ZeroDivisionError
+        return deg.select(
+            F.col("node").alias("part_id"),
+            F.lit(0.0).alias("pr_scaled"),
+        )
     # contribution weight rides WITH the edge list: src's rank share is
     # pr(src)/deg(src), so pre-join degree onto edges once
     weighted = sym.join(

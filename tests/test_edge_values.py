@@ -298,6 +298,29 @@ KEYS = [
     "q_ts_seasonal_hod",
     "q_ts_median_filter",
     "q_agg_skew_salted",
+    # round-9 additions: tiny/degenerate graphs (possibly zero edges),
+    # zero-variance regressors (regr_* NULL paths), NULL-text docs in
+    # the hash/shingle pipelines, single-arm A/B splits, all-NULL
+    # snapshot-compare groups
+    "q_graph_degree",
+    "q_graph_triangles",
+    "q_graph_pagerank",
+    "q_graph_bfs",
+    "q_graph_common_neighbors",
+    "q_anon_kanonymity",
+    "q_fn_try_arith",
+    "q_fn_hash",
+    "q_fn_url_parse",
+    "q_agg_linear_regr",
+    "q_events_ab_test",
+    "q_llm_zipf_slope",
+    "q_llm_vocab_growth",
+    "q_llm_dup_ngram_coverage",
+    "q_llm_ngram_novelty",
+    "q_llm_safety_wordlist",
+    "q_llm_domain_cap",
+    "q_llm_snapshot_diff",
+    "q_llm_lsh_audit",
     "q_agg_decimal_exact",
     "q_dq_profile",
     "q_merge_upsert",
