@@ -806,3 +806,120 @@ def q_embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.any_value("nc"), 6).alias("centroid_norm"),
         )
     )
+
+
+@query(
+    "q_embed_label_separation",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+            WHERE {VEC_BOUNDARY_SQL} AND label IS NOT NULL
+        ),
+        ex AS (
+            -- parallel unnests zip in DuckDB (range() rejects lateral
+            -- column args, so the positions ride a second unnest)
+            SELECT vec_id, label,
+                   unnest(range(1, len(e) + 1)) AS pos,
+                   unnest(e) AS val
+            FROM v
+        ),
+        lcent AS (
+            SELECT label, pos, avg(val) AS c FROM ex GROUP BY label, pos
+        ),
+        gcent AS (
+            SELECT pos, avg(val) AS g FROM ex GROUP BY pos
+        ),
+        lnorm AS (
+            SELECT label, sqrt(sum(c * c)) AS cn FROM lcent GROUP BY label
+        ),
+        gnorm AS (
+            SELECT sqrt(sum(g * g)) AS gn FROM gcent
+        ),
+        dots AS (
+            SELECT x.vec_id, x.label,
+                   sum(x.val * lc.c) AS dot_own,
+                   sum(x.val * gc.g) AS dot_global
+            FROM ex x
+            JOIN lcent lc ON lc.label = x.label AND lc.pos = x.pos
+            JOIN gcent gc ON gc.pos = x.pos
+            GROUP BY x.vec_id, x.label
+        )
+        SELECT d.label,
+               CAST(count(*) AS BIGINT)                     AS n_vecs,
+               round(avg(d.dot_own / ln.cn), 6)             AS cos_own,
+               round(avg(d.dot_global / (SELECT gn FROM gnorm)), 6)
+                                                            AS cos_global,
+               round(avg(d.dot_own / ln.cn)
+                     - avg(d.dot_global / (SELECT gn FROM gnorm)), 6)
+                                                            AS separation
+        FROM dots d JOIN lnorm ln USING (label)
+        GROUP BY d.label
+    """,
+    float_dp={"cos_own": 6, "cos_global": 6, "separation": 6},
+    description="Embedding label separability: mean cosine to own-label centroid vs global centroid, per label",
+    tags=("llm", "embedding", "stats"),
+)
+def q_embed_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are the labels real clusters in embedding space? Per label: the
+    mean cosine of members to their OWN label centroid vs to the
+    GLOBAL centroid (vectors are unit-norm by fixture construction,
+    so cosine = dot / |centroid|). separation >> 0 means the label
+    structure is geometrically recoverable — the go/no-go check
+    before trusting SemDeDup-style semantic clustering or a
+    classifier probe on these embeddings.
+
+    Fully relational (the q_embed_centroid_stats pattern): ONE
+    posexplode of the vector stream feeds both centroid aggregations
+    map-side; the dot products are a join back on (label, pos) /
+    (pos) followed by a per-vector sum — no numpy, no driver, no
+    all-pairs anything (contrast q_llm_embed_neardup's O(n²) exact
+    tier). At 100 TB the exploded stream is dim x n rows of three
+    scalars, and every agg combines map-side."""
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .filter(F.size("embedding") > 0)
+        .filter(~F.exists("embedding", lambda x: x.isNull() | F.isnan(x)))
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+    ex = base.select(
+        "vec_id", "label", F.posexplode("e").alias("pos0", "val")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+    lcent = ex.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    gcent = ex.groupBy("pos").agg(F.avg("val").alias("g"))
+    lnorm = lcent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    gnorm = gcent.agg(F.sqrt(F.sum(F.col("g") * F.col("g"))).alias("gn"))
+    dots = (
+        ex.join(F.broadcast(lcent), ["label", "pos"])
+        .join(F.broadcast(gcent), ["pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dot_own"),
+            F.sum(F.col("val") * F.col("g")).alias("dot_global"),
+        )
+    )
+    per_label = (
+        dots.join(F.broadcast(lnorm), "label")
+        .crossJoin(F.broadcast(gnorm))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.avg(F.col("dot_own") / F.col("cn")).alias("a_own"),
+            F.avg(F.col("dot_global") / F.col("gn")).alias("a_global"),
+        )
+    )
+    return per_label.select(
+        "label",
+        "n_vecs",
+        F.round("a_own", 6).alias("cos_own"),
+        F.round("a_global", 6).alias("cos_global"),
+        F.round(F.col("a_own") - F.col("a_global"), 6).alias("separation"),
+    )

@@ -1279,3 +1279,62 @@ def q_agg_linear_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
     )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+        WITH pw AS (
+            SELECT event_type,
+                   count(*)      AS n,
+                   avg(value)    AS m1,
+                   avg(value * value) AS e2,
+                   avg(value * value * value) AS e3,
+                   avg(value * value * value * value) AS e4
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ),
+        cm AS (
+            SELECT event_type, n, m1,
+                   e2 - m1 * m1                              AS m2,
+                   e3 - 3 * m1 * e2 + 2 * m1 * m1 * m1       AS m3,
+                   e4 - 4 * m1 * e3 + 6 * m1 * m1 * e2
+                      - 3 * m1 * m1 * m1 * m1                AS m4
+            FROM pw
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT)                             AS n,
+               round(m1, 4)                                  AS mean,
+               round(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END, 4)
+                                                             AS skewness,
+               round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END, 4)
+                                                             AS kurtosis
+        FROM cm
+    """,
+    float_dp={"mean": 4, "skewness": 4, "kurtosis": 4},
+    description="Higher central moments per group: population skewness + excess kurtosis (Spark built-ins vs power-sum oracle)",
+    tags=("aggregate", "stats"),
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape diagnostics: population skewness
+    (m3/m2^1.5) and excess kurtosis (m4/m2^2 - 3) per event type —
+    Spark's built-in `skewness`/`kurtosis` use exactly these
+    population definitions, while DuckDB's built-ins apply SAMPLE
+    bias corrections, so the oracle spells the population formulas
+    from raw power sums instead of calling them. Rounding is 4dp
+    (declared in float_dp): the power-sum expansion the oracle uses
+    cancels catastrophically compared to Spark's streaming central-
+    moment updates, and value^4 sums amplify the float-order spread.
+
+    Scale shape: one scan, algebraic partials (Spark maintains
+    central moments incrementally per partition and merges), one
+    5-row exchange. The zero-variance guard (CASE WHEN m2 > 0)
+    matches Spark's NULL-on-constant behavior so degenerate groups
+    agree."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean"),
+        F.round(F.skewness("value"), 4).alias("skewness"),
+        F.round(F.kurtosis("value"), 4).alias("kurtosis"),
+    )

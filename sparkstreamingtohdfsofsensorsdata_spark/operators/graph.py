@@ -498,3 +498,67 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dist")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+def _wcc_oracle() -> str:
+    """CC size distribution over the co-purchase graph: reuses the
+    bounded-round min-label chained-CTE generator the SimHash dedup
+    oracle ships (llm/dedup._cc_oracle_ctes) — the generator expects an
+    in-scope ``edges(src, dst)`` CTE with both orientations, which is
+    exactly `sym` renamed."""
+    from ..llm.dedup import _cc_oracle_ctes
+
+    ctes, final = _cc_oracle_ctes()
+    return f"""
+        WITH
+        oedges AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM oedges
+            UNION ALL
+            SELECT dst, src FROM oedges
+        ),
+        {ctes},
+        comp AS (
+            SELECT label, count(*) AS comp_size FROM {final} GROUP BY label
+        )
+        SELECT CAST(comp_size AS BIGINT) AS comp_size,
+               CAST(count(*) AS BIGINT)  AS n_components
+        FROM comp GROUP BY comp_size
+    """
+
+
+@query(
+    "q_graph_wcc",
+    oracle=_wcc_oracle(),
+    description="Weakly-connected-component size distribution via the shared min-label propagation library",
+    tags=("graph", "iterative"),
+)
+def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph, reported as a
+    (component size -> count) distribution — the fragmentation
+    question ("is the catalog one market or many islands?"). The
+    iteration is llm/dedup.propagate_min_labels REUSED AS A LIBRARY
+    (pointer doubling + neighbor min, localCheckpoint per round,
+    convergence-tested against a union-find oracle in the property
+    suite); the DuckDB oracle reuses the matching bounded-round
+    chained-CTE generator. One operator, two graphs, one kernel —
+    the library story the CC family was built for."""
+    from ..llm.dedup import propagate_min_labels
+
+    # propagate_min_labels' caller contract names the pair columns
+    # (id_a, id_b), deduplicated with id_a != id_b — the ordered edge
+    # list renamed
+    pairs = copurchase_edges(spark, sf_dir).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    labels = propagate_min_labels(pairs)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("comp_size"))
+        .groupBy("comp_size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )

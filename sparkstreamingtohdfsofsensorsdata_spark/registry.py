@@ -102,6 +102,9 @@ def query(
 # prefix-truncating driver always sees the newest surface first.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # round-9 additions (newest surface first — see comment above)
+    "q_graph_wcc",
+    "q_agg_moments",
+    "q_embed_label_separation",
     "q_graph_bfs",
     "q_fn_hash",
     "q_llm_snapshot_diff",

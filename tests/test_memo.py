@@ -141,7 +141,8 @@ def test_registry_window_is_the_stale_cohort():
         "q_fn_url_parse", "q_agg_linear_regr", "q_llm_safety_wordlist",
         "q_llm_domain_cap", "q_events_ab_test",
         "q_graph_bfs", "q_fn_hash", "q_llm_snapshot_diff",
-        "q_llm_lsh_audit",
+        "q_llm_lsh_audit", "q_graph_wcc", "q_agg_moments",
+        "q_embed_label_separation",
     ]
     # every registered round-9 addition leads the window (order within
     # the block is insertion order, not the list above)
