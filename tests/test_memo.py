@@ -163,7 +163,6 @@ def test_registry_window_is_the_stale_cohort():
     assert set(front[n_new : n_new + 24]) == never_verified
     # the stalest r4-cohort keys fill the remaining slots
     assert "q_join_inner_equi" in front
-    assert "q_join_broadcast" in front
     # keys the driver greened in r7/r8 must NOT occupy window slots
     assert "q_tpch_q2" not in front
     assert "q_scan_text_lines" not in front
