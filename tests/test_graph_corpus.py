@@ -168,3 +168,20 @@ def test_lsh_audit_estimator_granularity(spark):
         assert abs(r.est_jaccard * N_MINHASH - round(r.est_jaccard * N_MINHASH)) < 1e-4  # 6dp rounding of k/12 leaves <=6e-6 slack
         assert 0.0 <= r.true_jaccard <= 1.0
         assert 0.0 <= r.abs_err <= 1.0
+
+
+def test_wcc_sizes_sum_to_node_count(spark):
+    rows = _spec("q_graph_wcc").fn(spark, SF).collect()
+    tri = _spec("q_graph_triangles").fn(spark, SF).collect()[0]
+    assert sum(r.comp_size * r.n_components for r in rows) == tri.n_nodes
+
+
+def test_label_separation_positive_on_labeled_fixture(spark):
+    # The fixture embeds labels as real clusters: members must sit
+    # closer to their own centroid than to the global one, every label.
+    rows = _spec("q_embed_label_separation").fn(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.separation > 0, r
+        assert -1.0 - 1e-6 <= r.cos_global <= 1.0 + 1e-6
+        assert -1.0 - 1e-6 <= r.cos_own <= 1.0 + 1e-6
