@@ -848,11 +848,11 @@ def q_embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT d.label,
                CAST(count(*) AS BIGINT)                     AS n_vecs,
-               round(avg(d.dot_own / ln.cn), 6)             AS cos_own,
-               round(avg(d.dot_global / (SELECT gn FROM gnorm)), 6)
+               round(avg(d.dot_own / nullif(ln.cn, 0)), 6)  AS cos_own,
+               round(avg(d.dot_global / nullif((SELECT gn FROM gnorm), 0)), 6)
                                                             AS cos_global,
-               round(avg(d.dot_own / ln.cn)
-                     - avg(d.dot_global / (SELECT gn FROM gnorm)), 6)
+               round(avg(d.dot_own / nullif(ln.cn, 0))
+                     - avg(d.dot_global / nullif((SELECT gn FROM gnorm), 0)), 6)
                                                             AS separation
         FROM dots d JOIN lnorm ln USING (label)
         GROUP BY d.label
@@ -912,8 +912,15 @@ def q_embed_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.avg(F.col("dot_own") / F.col("cn")).alias("a_own"),
-            F.avg(F.col("dot_global") / F.col("gn")).alias("a_global"),
+            # a zero-vector label (hostile corpus) has a zero-norm
+            # centroid: cosine to it is undefined -> NULL, mirrored with
+            # nullif on both engines (ANSI would raise, DuckDB would inf)
+            F.avg(
+                F.col("dot_own") / F.nullif(F.col("cn"), F.lit(0.0))
+            ).alias("a_own"),
+            F.avg(
+                F.col("dot_global") / F.nullif(F.col("gn"), F.lit(0.0))
+            ).alias("a_global"),
         )
     )
     return per_label.select(

@@ -321,6 +321,9 @@ KEYS = [
     "q_llm_domain_cap",
     "q_llm_snapshot_diff",
     "q_llm_lsh_audit",
+    "q_graph_wcc",
+    "q_agg_moments",
+    "q_embed_label_separation",
     "q_agg_decimal_exact",
     "q_dq_profile",
     "q_merge_upsert",
