@@ -692,3 +692,85 @@ def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     with bloom_confs_scoped(spark):
         return _bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+
+
+ASOF_TOLERANCE_MIN = 15  # max staleness a reading may carry
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle=f"""
+        WITH matched AS (
+            SELECT p.event_id, p.user_id, p.ts,
+                   (SELECT v.event_id FROM events v
+                     WHERE v.user_id = p.user_id
+                       AND v.event_type = 'view'
+                       AND v.ts <= p.ts
+                       AND v.ts >= p.ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+                     ORDER BY v.ts DESC, v.event_id DESC
+                     LIMIT 1) AS asof_view_id,
+                   (SELECT v.ts FROM events v
+                     WHERE v.user_id = p.user_id
+                       AND v.event_type = 'view'
+                       AND v.ts <= p.ts
+                       AND v.ts >= p.ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+                     ORDER BY v.ts DESC, v.event_id DESC
+                     LIMIT 1) AS vts
+            FROM events p
+            WHERE p.event_type = 'purchase'
+        )
+        SELECT event_id, user_id, asof_view_id,
+               CAST(epoch_us(ts) - epoch_us(vts) AS BIGINT) // 1000000
+                   AS staleness_s
+        FROM matched
+    """,
+    description=f"As-of join with a staleness tolerance ({ASOF_TOLERANCE_MIN}m): stale readings report NULL, matched ones their exact lag",
+    tags=("join", "asof", "tolerance"),
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor-fusion as-of: each purchase takes the latest view
+    at-or-before it ONLY if that reading is fresher than the
+    tolerance — beyond it the match is NULL (merge_asof's `tolerance`
+    parameter; the rule that stops a 3-day-old sensor reading from
+    silently fusing into the record). Same union-window core as
+    q_join_asof (one user_id shuffle, linear state, no range
+    explosion) carrying the matched ts alongside the id; the
+    tolerance test and the exact integer-microsecond staleness are
+    row-local afterthoughts. An out-of-tolerance match NULLs the id
+    but keeps the row — the consumer decides whether stale means
+    drop or impute."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"),
+        F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(1).alias("side"), "event_id",
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    merged = v.unionByName(p)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "view_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        merged
+        .withColumn(
+            "m_id", F.last("view_event_id", ignorenulls=True).over(w)
+        )
+        .withColumn("m_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    lag_us = F.unix_micros("ts") - F.unix_micros("m_ts")
+    fresh = lag_us <= ASOF_TOLERANCE_MIN * 60 * 1_000_000
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("m_id")).alias("asof_view_id"),
+        F.when(fresh, F.floor(lag_us / 1_000_000).cast("long")).alias(
+            "staleness_s"
+        ),
+    )

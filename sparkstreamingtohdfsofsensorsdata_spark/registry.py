@@ -102,6 +102,7 @@ def query(
 # prefix-truncating driver always sees the newest surface first.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # round-9 additions (newest surface first — see comment above)
+    "q_join_asof_tolerance",
     "q_graph_wcc",
     "q_agg_moments",
     "q_embed_label_separation",

@@ -142,7 +142,7 @@ def test_registry_window_is_the_stale_cohort():
         "q_llm_domain_cap", "q_events_ab_test",
         "q_graph_bfs", "q_fn_hash", "q_llm_snapshot_diff",
         "q_llm_lsh_audit", "q_graph_wcc", "q_agg_moments",
-        "q_embed_label_separation",
+        "q_embed_label_separation", "q_join_asof_tolerance",
     ]
     # every registered round-9 addition leads the window (order within
     # the block is insertion order, not the list above)
@@ -161,8 +161,18 @@ def test_registry_window_is_the_stale_cohort():
         "q_ts_autocorr", "q_scan_binary", "q_sink_csv_roundtrip",
     }
     assert set(front[n_new : n_new + 24]) == never_verified
-    # the stalest r4-cohort keys fill the remaining slots
-    assert "q_join_inner_equi" in front
+    # whatever slots remain go to the stalest cohort IN ORDER (r3
+    # first, then the r4 block) — structural, so adding more round-9
+    # keys shrinks the stale window without breaking the pin
+    stale_head = [
+        # q_stream_sink / q_stream_corpus_ingest carry r3 verdicts (the
+        # oldest anywhere), then the r4 join cohort
+        "q_stream_sink", "q_stream_corpus_ingest", "q_scan_parquet",
+        "q_join_inner_equi", "q_join_broadcast", "q_join_left",
+        "q_join_right", "q_join_full", "q_join_semi", "q_join_anti",
+    ]
+    k = 50 - n_new - 24
+    assert front[n_new + 24:] == stale_head[:k]
     # keys the driver greened in r7/r8 must NOT occupy window slots
     assert "q_tpch_q2" not in front
     assert "q_scan_text_lines" not in front
