@@ -970,3 +970,26 @@ def test_dup_ngram_coverage_shuffles_hashes_not_text(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_graph_bfs_stays_jvm_side(spark):
+    assert "Python" not in inspect.plan_str(q(spark, "q_graph_bfs"))
+
+
+def test_asof_tolerance_single_user_exchange_no_join(spark):
+    # The union-window as-of core: ONE exchange on user_id, ZERO join
+    # operators — the property that keeps it linear where a range join
+    # would explode (same gate as q_join_asof).
+    plan = inspect.plan_str(q(spark, "q_join_asof_tolerance"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_moments_partial_aggregation(spark):
+    assert inspect.has_partial_aggregation(q(spark, "q_agg_moments"))
+
+
+def test_label_separation_centroids_broadcast(spark):
+    # the (label, pos) and (pos) centroid tables are dim-bounded and
+    # must broadcast back onto the exploded stream, never shuffle it
+    assert inspect.has_broadcast_join(q(spark, "q_embed_label_separation"))
