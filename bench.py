@@ -79,6 +79,39 @@ CC_LABEL_CONSUMERS = ("q_llm_dedup_clusters", "q_llm_dedup_keep")
 ANN_PAYER_EXACT = "q_llm_sim_topk_lsh"
 ANN_EXACT_CONSUMERS = ("q_llm_sim_topk_lsh", "q_llm_sim_topk_ivf")
 
+# And for the co-purchase edge table all six graph kernels read
+# (operators/graph.copurchase_edges, memoized per session/sf): the
+# build (lineitem self-join + distinct) is charged to the degree key.
+GRAPH_PAYER = "q_graph_degree"
+GRAPH_FAMILY = (
+    "q_graph_degree",
+    "q_graph_triangles",
+    "q_graph_pagerank",
+    "q_graph_common_neighbors",
+    "q_graph_bfs",
+    "q_graph_wcc",
+)
+
+
+def _graph_edges_cold(spark, sf_dir: str) -> bool:
+    from sparkstreamingtohdfsofsensorsdata_spark.operators import graph
+
+    return not graph.edges_warm(spark, sf_dir)
+
+
+def _graph_materialize_edges(spark, sf_dir: str) -> float:
+    """Build the shared co-purchase edge table now; return the cost
+    (charged to GRAPH_PAYER's slot by the caller)."""
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    start = time.perf_counter()
+    copurchase_edges(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.perf_counter() - start
+
 
 def _ann_exact_cold(spark, sf_dir: str) -> bool:
     from sparkstreamingtohdfsofsensorsdata_spark.llm import similarity
@@ -174,6 +207,10 @@ def _run_one(spec, spark, sf_dir: str, cold: str | None = None) -> float:
         from sparkstreamingtohdfsofsensorsdata_spark.llm import similarity
 
         similarity.clear_exact_memo(spark)
+    elif cold == "graph_edges":
+        from sparkstreamingtohdfsofsensorsdata_spark.operators import graph
+
+        graph.clear_edges_memo(spark)
     start = time.perf_counter()
     df = spec.fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
@@ -292,7 +329,12 @@ def main() -> None:
     loads: dict[str, float] = {}  # 1-min load when the key's KEPT run started
     reruns: dict[str, float] = {}  # rerun wall-clock for adjudicated keys
     # intermediate costs fronted for their canonical payers (see above)
-    prepaid = {CC_PAYER_PAIRS: 0.0, CC_PAYER_LABELS: 0.0, ANN_PAYER_EXACT: 0.0}
+    prepaid = {
+        CC_PAYER_PAIRS: 0.0,
+        CC_PAYER_LABELS: 0.0,
+        ANN_PAYER_EXACT: 0.0,
+        GRAPH_PAYER: 0.0,
+    }
     for name, spec in specs.items():
         # The payer-charged materializations sit OUTSIDE the consumer's
         # try: a pair/label build failure must not mark the CONSUMER
@@ -316,6 +358,12 @@ def main() -> None:
                 and _ann_exact_cold(spark, sf_dir)
             ):
                 prepaid[ANN_PAYER_EXACT] += _ann_materialize_exact(spark, sf_dir)
+            if (
+                name in GRAPH_FAMILY
+                and name != GRAPH_PAYER
+                and _graph_edges_cold(spark, sf_dir)
+            ):
+                prepaid[GRAPH_PAYER] += _graph_materialize_edges(spark, sf_dir)
         except Exception as exc:
             print(f"bench: prepay for {name} failed: {exc}", file=sys.stderr)
         try:
@@ -374,6 +422,7 @@ def main() -> None:
             CC_PAYER_PAIRS: "pairs",
             CC_PAYER_LABELS: "labels",
             ANN_PAYER_EXACT: "ann_exact",
+            GRAPH_PAYER: "graph_edges",
         }
         # Biggest absolute excess over the proven floor first: a 7s key
         # 2s over floor outranks a 0.5s key 0.3s over, and the cheap
