@@ -1338,3 +1338,42 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("value"), 4).alias("skewness"),
         F.round(F.kurtosis("value"), 4).alias("kurtosis"),
     )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT)                          AS n,
+               bool_and(o_totalprice > 1000)                     AS all_over_1k,
+               bool_or(o_orderpriority = '1-URGENT')             AS any_urgent,
+               CAST(count(*) FILTER (o_totalprice > 100000)
+                    AS BIGINT)                                   AS n_big,
+               max_by(o_orderkey, o_totalprice)                  AS max_price_key,
+               min_by(o_orderkey, o_totalprice)                  AS min_price_key
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    description="Boolean + selection aggregate family: every/some, count_if, max_by/min_by per status",
+    tags=("aggregate", "bool"),
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The predicate-aggregate surface: `every`/`some` (ANSI
+    BOOL_AND/BOOL_OR), `count_if`, and the argmax/argmin selection
+    pair `max_by`/`min_by` — the aggregates that turn per-row checks
+    into per-group verdicts without a self-join (the q_tpch_q15
+    argmax-by-join is what these REPLACE when the payload is a single
+    column). All algebraic; count_if combines as a conditional sum;
+    max_by carries (key, ordering-value) partials. The fixture's
+    o_totalprice is unique per order (verified by the min_by/max_by
+    determinism this oracle requires), so the selection pair is
+    tie-free on both engines."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.max_by("o_orderkey", "o_totalprice").alias("max_price_key"),
+        F.min_by("o_orderkey", "o_totalprice").alias("min_price_key"),
+    )

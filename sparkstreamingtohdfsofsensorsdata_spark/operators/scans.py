@@ -924,3 +924,78 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.min("l_shipdate").isNotNull().alias("has_dates"),
     )
+
+
+@query(
+    "q_scan_csv_malformed",
+    oracle="""
+        SELECT o_orderstatus          AS bucket,
+               count(*)               AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        WHERE o_orderkey % 5 <> 0 AND o_orderkey % 2 = 0
+        GROUP BY o_orderstatus
+        UNION ALL
+        SELECT '_malformed'           AS bucket,
+               count(*)               AS n,
+               CAST(NULL AS BIGINT)   AS key_sum
+        FROM orders
+        WHERE o_orderkey % 5 = 0 AND o_orderkey % 2 = 0
+    """,
+    description="Malformed-CSV ingest: PERMISSIVE typed parse quarantines rows whose cells break the schema, counted vs clean buckets",
+    tags=("scan", "csv", "robustness"),
+)
+def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV twin of q_scan_json_corrupt: a typed (non-inferred)
+    CSV read in PERMISSIVE mode routes rows whose cells violate the
+    schema (here: a deterministic slice whose numeric key cell is
+    replaced by garbage text) into `_corrupt_record` instead of
+    killing the job (FAILFAST) or silently vanishing (DROPMALFORMED).
+    The corruption is injected on every (orderkey % 5 == 0) row of an
+    even-key slice, so the oracle derives both buckets arithmetically
+    from the source table without touching CSV at all.
+
+    Note the CSV-specific trap this pins: unlike JSON, a PERMISSIVE
+    CSV parse only quarantines when a CELL fails its declared TYPE —
+    schema-width mismatches alone backfill nulls — so the injected
+    garbage lands in the LONG column specifically."""
+    from pyspark.sql import types as T
+
+    from ..session import scratch_dir
+
+    out = scratch_dir("csv_malformed_")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0)
+    lines = orders.select(
+        F.concat_ws(
+            ",",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("garbage"))
+            .otherwise(F.col("o_orderkey").cast("string")),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return parsed.groupBy(
+        F.when(F.col("_corrupt_record").isNotNull(), "_malformed")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("o_orderkey"))
+        ).alias("key_sum"),
+    )

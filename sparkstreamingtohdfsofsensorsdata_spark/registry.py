@@ -102,6 +102,8 @@ def query(
 # prefix-truncating driver always sees the newest surface first.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # round-9 additions (newest surface first — see comment above)
+    "q_scan_csv_malformed",
+    "q_agg_bool",
     "q_join_asof_tolerance",
     "q_graph_wcc",
     "q_agg_moments",

@@ -288,6 +288,7 @@ KEYS = [
     "q_win_running_distinct",
     "q_join_asof_nearest",
     "q_join_asof_tolerance",
+    "q_agg_bool",
     # session-3 additions over the same hostile surface: zero-variance
     # series (cusum/rolling-corr/peaks/seasonal NULL paths), degenerate
     # embeddings (boundary-excluded), malformed props (variant typed

@@ -143,6 +143,7 @@ def test_registry_window_is_the_stale_cohort():
         "q_graph_bfs", "q_fn_hash", "q_llm_snapshot_diff",
         "q_llm_lsh_audit", "q_graph_wcc", "q_agg_moments",
         "q_embed_label_separation", "q_join_asof_tolerance",
+        "q_scan_csv_malformed", "q_agg_bool",
     ]
     # every registered round-9 addition leads the window (order within
     # the block is insertion order, not the list above)
