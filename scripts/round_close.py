@@ -11,7 +11,14 @@ unless every gate the r7 post-mortem named is satisfied:
 4. open ADVICE.md items were triaged (a commit references ADVICE);
 5. the full-registry parity sweep is green AND fresher than every
    tracked source file (run scripts/parity_sweep.py to refresh
-   sweep_last.json).
+   sweep_last.json);
+6. (since r10 — VERDICT r9 item 4) the ZERO-tolerance exact sweep is
+   green and fresh too (scripts/parity_sweep.py --exact →
+   sweep_exact_last.json): it catches the -0.0 / Decimal / NaN cell
+   classes the tolerant compare canonicalizes away, which is exactly
+   how both r9 driver-hash failures shipped. An exact-diff key is
+   only acceptable with a documented explanation in SCALE.md and an
+   explicit --waive exact=... here.
 
 Gates 2-4 accept an explicit documented waiver (--waive GATE=REASON,
 repeatable) because a legitimate round can e.g. skip rotation when every
@@ -129,6 +136,32 @@ def main(argv: list[str]) -> int:
                 f"  ok       sweep: {sweep.get('pass')} pass + "
                 f"{sweep.get('rows_only')} rows-only / {sweep.get('total')} at {sweep.get('sf_dir')}"
             )
+
+    # Gate 6 — exact sweep: green + fresh, waivable only with a reason
+    # (which SCALE.md must then carry per exact-diff key).
+    exact_path = os.path.join(REPO, "sweep_exact_last.json")
+    if not os.path.exists(exact_path):
+        gate(
+            "exact",
+            False,
+            "sweep_exact_last.json absent — run scripts/parity_sweep.py --exact",
+        )
+    else:
+        with open(exact_path) as fh:
+            esweep = json.load(fh)
+        stale = os.path.getmtime(exact_path) < _newest_source_mtime()
+        bad = esweep.get("fail", 1) != 0 or esweep.get("exact_diff", 1) != 0
+        detail = (
+            f"{esweep.get('pass')} exact / {esweep.get('total')} at "
+            f"{esweep.get('sf_dir')}"
+            + (
+                f"; diffs {esweep.get('exact_diff_keys')}"
+                if esweep.get("exact_diff")
+                else ""
+            )
+            + ("; STALE — re-run with --exact" if stale else "")
+        )
+        gate("exact", not (bad or stale), detail)
 
     if failures:
         print(f"round NOT closeable: {', '.join(failures)}")

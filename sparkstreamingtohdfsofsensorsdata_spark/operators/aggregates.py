@@ -1148,12 +1148,14 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_decimal_exact",
     oracle="""
         SELECT l_returnflag,
-               sum(CAST(CAST(l_extendedprice AS DECIMAL(18, 2))
-                        AS DECIMAL(38, 2)))                     AS gross,
-               sum(CAST(CAST(l_extendedprice AS DECIMAL(18, 2))
-                        AS DECIMAL(38, 2))
-                   * CAST(CAST(l_discount AS DECIMAL(18, 2))
-                          AS DECIMAL(38, 2)))                   AS discount_amt,
+               CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18, 2))
+                                   AS DECIMAL(38, 2))) * 100)
+                    AS BIGINT)                                  AS gross_cents,
+               CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18, 2))
+                                   AS DECIMAL(38, 2))
+                              * CAST(CAST(l_discount AS DECIMAL(18, 2))
+                                     AS DECIMAL(38, 2))) * 10000)
+                    AS BIGINT)                                  AS discount_amt_e4,
                CAST(count(*) AS BIGINT)                         AS n
         FROM lineitem
         GROUP BY l_returnflag
@@ -1177,6 +1179,17 @@ def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operands identically, so the products (exact 4-dp rationals)
     and their sums agree digit for digit.
 
+    Output contract: the decimal math stays internal, but the REPORTED
+    columns are BIGINT integer units (cents for the scale-2 sum, 1e-4
+    units for the scale-4 sum) — a DECIMAL column crossing the
+    comparison boundary is representation-fragile (engines disagree on
+    overflow coercion — some DuckDB builds widen the (38,2)x(38,2)
+    product to DECIMAL(38,4), others coerce to DOUBLE — and hashers
+    disagree on Decimal-vs-float rendering), whereas the integer units
+    are the same 64-bit value everywhere. Exactness is preserved: the
+    scale-up multiply is exact on a decimal, and the cast truncates an
+    exact integer.
+
     Scale shape: one map-side-combined aggregation — decimal partials
     are 128-bit values, so combine/merge cost is flat; the exchange
     carries |keys| x partitions partial rows exactly like the double
@@ -1186,8 +1199,10 @@ def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)").cast("decimal(38,2)")
     disc = F.col("l_discount").cast("decimal(18,2)").cast("decimal(38,2)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).alias("gross"),
-        F.sum(price * disc).alias("discount_amt"),
+        F.round(F.sum(price) * 100, 0).cast("bigint").alias("gross_cents"),
+        F.round(F.sum(price * disc) * 10000, 0)
+        .cast("bigint")
+        .alias("discount_amt_e4"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -877,8 +877,9 @@ CUSUM_THRESHOLD = 5.0
                CAST(count(*) AS BIGINT)                         AS n_points,
                CAST(sum(CASE WHEN abs(s) > {CUSUM_THRESHOLD!r}
                              THEN 1 ELSE 0 END) AS BIGINT)      AS n_alarms,
-               round(max(abs(s)), 6)                            AS max_abs_s,
-               round(max(CASE WHEN rn_desc = 1 THEN s END), 6)  AS final_s
+               round(max(abs(s)), 6) + 0                        AS max_abs_s,
+               round(max(CASE WHEN rn_desc = 1 THEN s END), 6) + 0
+                                                                AS final_s
         FROM cusum
         GROUP BY event_type
     """,
@@ -901,7 +902,11 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the rounding grid, so the count can never flip on an ulp;
     `final_s` picks the last row via row_number over the unique
     (ts, event_id) order on both sides (DuckDB's max_by takes no
-    composite key).
+    composite key). Both reported statistics add `+ 0` after the
+    rounding: IEEE `-0.0 + 0.0 = +0.0`, so a closing CUSUM that lands
+    on a tiny negative rounds to the SAME signed zero on both engines
+    (DuckDB keeps `-0.0` where Spark yields `0.0`; an exact value hash
+    distinguishes them even though `-0.0 == 0.0`).
 
     A zero-variance series yields NULL drift via nullif on both
     engines (never a 0/0 NaN, whose ordering the engines disagree on).
@@ -950,9 +955,10 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.abs("s") > CUSUM_THRESHOLD, 1).otherwise(0)
         ).alias("n_alarms"),
-        F.round(F.max(F.abs("s")), 6).alias("max_abs_s"),
-        F.round(
-            F.max(F.when(F.col("rn_desc") == 1, F.col("s"))), 6
+        (F.round(F.max(F.abs("s")), 6) + F.lit(0.0)).alias("max_abs_s"),
+        (
+            F.round(F.max(F.when(F.col("rn_desc") == 1, F.col("s"))), 6)
+            + F.lit(0.0)
         ).alias("final_s"),
     )
 

@@ -240,6 +240,107 @@ def assert_cells_close(left, right, steps=None):
         remaining_right.pop(match)
 
 
+def _exact_token(value):
+    """Hash-grade canonical token for a cell: distinguishes everything
+    the driver's exact value-hash distinguishes and the tolerant
+    comparator (:func:`_normalize`) canonicalizes away — ``-0.0`` vs
+    ``0.0``, Decimal vs float, int vs bool. Floats render via repr
+    (shortest round-trip decimal), so two bit-identical doubles — and
+    only those — produce the same token; both r9 driver failures were
+    cells this token separates and ``_normalize`` merged."""
+    import datetime
+    import decimal
+
+    if isinstance(value, bool):
+        # before float/int: a hash renders true/1 differently
+        return f"bool:{value}"
+    if isinstance(value, float):
+        return repr(value)  # '-0.0' != '0.0'; 'nan' == 'nan'
+    if isinstance(value, decimal.Decimal):
+        return f"Decimal:{value}"  # str keeps scale: 1.50 != 1.5
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(datetime.timezone.utc)
+        return value.replace(tzinfo=None).isoformat()
+    if isinstance(value, datetime.date):
+        return value.isoformat()
+    if isinstance(value, (list, tuple)):
+        return tuple(_exact_token(v) for v in value)
+    return value
+
+
+def _scan_cell_risks(value, out: dict) -> None:
+    """Count representation-fragile cells: signed zero, NaN, Decimal.
+    These are flagged even when both engines currently AGREE — each is
+    a class an exact value-hash can diverge on later (engine version
+    drift on decimal coercion, NaN rendering, zero sign propagation)."""
+    import decimal
+    import math as _math
+
+    if isinstance(value, float):
+        if value == 0.0 and _math.copysign(1.0, value) < 0:
+            out["neg_zero"] += 1
+        elif _math.isnan(value):
+            out["nan"] += 1
+    elif isinstance(value, decimal.Decimal):
+        out["decimal"] += 1
+    elif isinstance(value, (list, tuple)):
+        for v in value:
+            _scan_cell_risks(v, out)
+
+
+def run_parity_exact(spark, duck, name: str, sf_dir: str = SF_DIR):
+    """Zero-tolerance, driver-hash-grade compare (VERDICT r9 item 4):
+    NO float tolerance, NO ``float_dp`` steps, NO -0.0/Decimal/bool
+    canonicalization — the exact value-token multiset must match.
+
+    This is strictly harsher than what the driver enforces, and it is
+    the gate that catches what :func:`run_parity` is designed to
+    forgive: the r9 window failed on a ``-0.0`` and a Decimal
+    rendering, both green under the tolerant compare for three rounds.
+
+    Returns ``(n_rows, risks)`` where ``risks`` counts signed-zero /
+    NaN / Decimal cells per side — flagged even when both sides agree.
+    """
+    spec = registry.load_all()[name]
+    assert spec.oracle is not None, f"{name} has no oracle (rows-only op)"
+    sdf = spec.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    res = duck.execute(spec.oracle)
+    drows = [tuple(r) for r in res.fetchall()]
+    dcols = [d[0] for d in res.description]
+
+    risks = {}
+    for side, rows in (("spark", srows), ("oracle", drows)):
+        counts = {"neg_zero": 0, "nan": 0, "decimal": 0}
+        for row in rows:
+            for v in row:
+                _scan_cell_risks(v, counts)
+        risks[side] = counts
+
+    assert sorted(scols) == sorted(dcols), (
+        f"{name}: column mismatch {sorted(scols)} vs {sorted(dcols)}"
+    )
+    s_order = sorted(range(len(scols)), key=lambda i: scols[i])
+    d_order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    s_canon = sorted(
+        (tuple(_exact_token(row[i]) for i in s_order) for row in srows), key=repr
+    )
+    d_canon = sorted(
+        (tuple(_exact_token(row[i]) for i in d_order) for row in drows), key=repr
+    )
+    assert len(s_canon) == len(d_canon), (
+        f"{name}: row count {len(s_canon)} vs oracle {len(d_canon)}"
+    )
+    for i, (srow, drow) in enumerate(zip(s_canon, d_canon)):
+        assert srow == drow, (
+            f"{name}: exact-token mismatch at canonical row {i}:\n"
+            f"  spark  {srow}\n  oracle {drow}"
+        )
+    return len(s_canon), risks
+
+
 def run_parity(spark, duck, name: str, sf_dir: str = SF_DIR):
     """Mirror the driver's t2 check: Spark result vs DuckDB oracle —
     row count, sorted column names, and (tolerant) value comparison."""
