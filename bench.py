@@ -367,8 +367,13 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: prepay for {name} failed: {exc}", file=sys.stderr)
         try:
-            loads[name] = _load_1m()
+            # record the load locally and commit it only on success —
+            # loads[] documents the load when the key's KEPT run
+            # started, so a FAILED run must not leave an entry behind
+            # (ADVICE r9: failed keys polluted load_med/load_max)
+            load_at_start = _load_1m()
             timings[name] = round(_run_one(spec, spark, sf_dir), 3)
+            loads[name] = load_at_start
         except Exception as exc:  # a failing query must not sink the run
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0

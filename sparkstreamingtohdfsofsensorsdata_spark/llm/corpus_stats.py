@@ -88,6 +88,7 @@ def q_llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VOCAB_BUCKET_DOCS = 100  # Heaps-curve resolution: docs per bucket
+VOCAB_CHUNK_BUCKETS = 1024  # spine buckets per prefix-sum chunk
 
 
 @query(
@@ -129,8 +130,17 @@ def q_llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: "first occurrence" is min(bucket) per token — one
     map-side-combined groupBy over the exploded stream, never a sort
-    of the corpus; the cumulative window runs over the BUCKET spine
-    (corpus_size / {VOCAB_BUCKET_DOCS} rows), not over documents."""
+    of the corpus. The cumulative sums are a TWO-LEVEL prefix sum
+    (VERDICT r9 item 5): the bucket spine (corpus/{VOCAB_BUCKET_DOCS}
+    rows — 10^7+ at 100 TB, too big for one unpartitioned WindowExec)
+    is chunked into {VOCAB_CHUNK_BUCKETS}-bucket chunks; each chunk's
+    running sums ride a window PARTITIONED by chunk (bounded
+    {VOCAB_CHUNK_BUCKETS} rows per partition), and each chunk's offset
+    is the exclusive prefix over the chunk-total table — which is
+    spine/{VOCAB_CHUNK_BUCKETS} AGGREGATED rows (10^4 at 100 TB), the
+    same provably-tiny class as the repo's other unpartitioned windows
+    — broadcast back onto the chunked spine. Same answer, no
+    single-partition sort of an unbounded spine."""
     tok = (
         load(spark, sf_dir, "documents")
         .select(
@@ -148,17 +158,46 @@ def q_llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
-    w = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
+    spine = (
         per_bucket.join(new_vocab, "bucket", "left")
         .select(
             "bucket",
-            F.sum("n_tok").over(w).alias("cum_tokens"),
-            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_vocab"),
+            F.col("n_tok"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (F.floor(F.col("bucket") / VOCAB_CHUNK_BUCKETS))
+            .cast("long")
+            .alias("chunk"),
         )
+    )
+    w_local = (
+        Window.partitionBy("chunk")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = spine.select(
+        "bucket",
+        "chunk",
+        F.sum("n_tok").over(w_local).alias("loc_tok"),
+        F.sum("n_new").over(w_local).alias("loc_new"),
+    )
+    chunk_tot = spine.groupBy("chunk").agg(
+        F.sum("n_tok").alias("c_tok"), F.sum("n_new").alias("c_new")
+    )
+    # exclusive prefix over the AGGREGATED chunk table (tiny by
+    # construction): rows strictly before the current chunk
+    w_chunks = (
+        Window.orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = chunk_tot.select(
+        "chunk",
+        F.coalesce(F.sum("c_tok").over(w_chunks), F.lit(0)).alias("off_tok"),
+        F.coalesce(F.sum("c_new").over(w_chunks), F.lit(0)).alias("off_new"),
+    )
+    return local.join(F.broadcast(offsets), "chunk").select(
+        "bucket",
+        (F.col("loc_tok") + F.col("off_tok")).cast("long").alias("cum_tokens"),
+        (F.col("loc_new") + F.col("off_new")).cast("long").alias("cum_vocab"),
     )
 
 

@@ -769,7 +769,26 @@ def _cc_oracle_ctes(rounds: int = CC_ORACLE_ROUNDS) -> tuple[str, str]:
             FROM j{r} j LEFT JOIN n{r} n ON j.node = n.node
         )"""
         )
-    return ",\n        ".join(parts), f"l{rounds}"
+    # Convergence guard (ADVICE r9): the bounded-round oracle is exact
+    # ONLY when the final round was a fixed point (l{rounds} ==
+    # l{rounds-1}) — a pathological long-path graph would otherwise make
+    # the ORACLE wrong and surface as an inscrutable parity failure. One
+    # cheap join; error() fails the oracle loudly with the actual cause.
+    parts.append(
+        f"""cc_conv AS MATERIALIZED (
+            SELECT f.node,
+                   CASE WHEN (SELECT count(*) FROM l{rounds} a
+                              JOIN l{rounds - 1} b
+                                ON a.node = b.node AND a.label <> b.label) > 0
+                        THEN error('CC oracle under-converged after {rounds} '
+                                   'pointer-doubling rounds (component '
+                                   'diameter beyond doubled reach) - raise '
+                                   'CC_ORACLE_ROUNDS')
+                        ELSE f.label END AS label
+            FROM l{rounds} f
+        )"""
+    )
+    return ",\n        ".join(parts), "cc_conv"
 
 
 _CC_CTES, _CC_FINAL = _cc_oracle_ctes()

@@ -61,7 +61,9 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Memoized per (live session, sf_dir fingerprint) — the same
     session-attached cache the SimHash dedup family uses (llm/dedup):
-    seven graph kernels read this ONE table, which is exactly the
+    all six graph kernels (degree, triangles, pagerank,
+    common-neighbors, bfs, wcc — bench.py GRAPH_FAMILY, kept in sync
+    by test_memo) read this ONE table, which is exactly the
     production "materialize the edge list once, bucket by src, every
     kernel reuses it" shape. bench.py charges the build to a canonical
     payer (GRAPH_PAYER) so per-key numbers stay rotation-stable."""

@@ -304,7 +304,10 @@ def commit_upsert(
         )
         .alias("source")
     )
+    from pyspark.errors import PySparkException
+
     target.write.mode("overwrite").format("parquet").saveAsTable(table)
+    committed_via = "mergeInto"
     try:
         (
             source.mergeInto(table, F.expr(f"{table}.c_custkey = source.c_custkey"))
@@ -327,11 +330,32 @@ def commit_upsert(
             )
             .merge()
         )
-    except Exception:
+    except (PySparkException, AttributeError) as exc:
+        # Narrowed to the EXPECTED degradation only (ADVICE r9): the V1
+        # session catalog rejects row-level ops with condition
+        # UNSUPPORTED_FEATURE.TABLE_OPERATION, and a pre-4.0 DataFrame
+        # has no mergeInto attribute at all. Any OTHER failure — a bad
+        # condition, a wrong column mapping — is a genuine builder bug
+        # and must propagate, not silently ride the fallback.
+        condition = (
+            exc.getCondition()
+            if isinstance(exc, PySparkException) and hasattr(exc, "getCondition")
+            else None
+        )
+        if not (
+            isinstance(exc, AttributeError)
+            or (condition or "").startswith("UNSUPPORTED_FEATURE.TABLE_OPERATION")
+        ):
+            raise
         # V1 session catalog: commit the equivalent rewrite result. The
         # op marker is internal to the query key's output contract, not
         # part of the committed table, so strip it.
+        committed_via = "rewrite"
         q_merge_upsert(spark, sf_dir).drop("op").write.mode(
             "overwrite"
         ).format("parquet").saveAsTable(table)
+    # Recorded on the function so the round-trip test can assert WHICH
+    # path committed (the session catalog must take the rewrite path;
+    # a lakehouse catalog commits via mergeInto).
+    commit_upsert.committed_via = committed_via
     return spark.table(table)

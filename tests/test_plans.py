@@ -993,3 +993,24 @@ def test_label_separation_centroids_broadcast(spark):
     # the (label, pos) and (pos) centroid tables are dim-bounded and
     # must broadcast back onto the exploded stream, never shuffle it
     assert inspect.has_broadcast_join(q(spark, "q_embed_label_separation"))
+
+
+def test_vocab_growth_spine_window_partitioned(spark):
+    # The Heaps-curve prefix sums must never sort the unbounded bucket
+    # spine in a single partition (VERDICT r9 item 5): every window
+    # whose ordering touches the spine (bucket) must carry the chunk
+    # partition column, and the only unpartitioned window may ride the
+    # AGGREGATED chunk-total table (spine/VOCAB_CHUNK_BUCKETS rows by
+    # construction). The chunk offsets broadcast back onto the spine.
+    import re
+
+    df = q(spark, "q_llm_vocab_growth")
+    text = inspect.plan_str(df)
+    wspecs = re.findall(r"windowspecdefinition\([^)]*\)", text)
+    spine = [s for s in wspecs if "bucket" in s]
+    assert spine, "expected a window ordered over the bucket spine"
+    for s in spine:
+        assert re.match(r"windowspecdefinition\(chunk#\d+L?, bucket", s), (
+            f"spine window lost its chunk partition: {s}"
+        )
+    assert inspect.has_broadcast_join(df)

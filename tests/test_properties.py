@@ -601,5 +601,11 @@ def test_upsert_writeto_commit_roundtrip(spark):
             ).collect()
         )
         assert got == expected
+        # the builder path's failure handling is narrowed to the V1
+        # catalog's UNSUPPORTED_FEATURE.TABLE_OPERATION — on this
+        # session catalog the commit MUST have taken the rewrite
+        # fallback, and any genuine builder bug would have raised
+        # instead of degrading silently (ADVICE r9)
+        assert commit_upsert.committed_via == "rewrite"
     finally:
         spark.sql("DROP TABLE IF EXISTS customer_upsert_test")
