@@ -47,7 +47,6 @@ _Q3 = """
 
 @query(
     "q_tpch_q3",
-    float_dp={"revenue": 2},
     oracle=_Q3,
     description="TPC-H Q3 (shipping priority, adapted): 3-way join + agg + top-10",
     tags=("golden", "sql", "tpch"),
@@ -74,7 +73,6 @@ _Q5 = """
 
 @query(
     "q_tpch_q5",
-    float_dp={"revenue": 2},
     oracle=_Q5,
     description="TPC-H Q5 (local supplier volume, adapted): 6-way join, dims broadcast",
     tags=("golden", "sql", "tpch"),
@@ -103,7 +101,6 @@ _Q10 = """
 
 @query(
     "q_tpch_q10",
-    float_dp={"revenue": 2},
     oracle=_Q10,
     description="TPC-H Q10 (returned items, adapted): 4-way join + agg + top-20",
     tags=("golden", "sql", "tpch"),
@@ -172,7 +169,6 @@ _Q6 = """
 
 @query(
     "q_tpch_q6",
-    float_dp={"revenue": 2},
     oracle=_Q6,
     description="TPC-H Q6 (revenue forecast): pure scan-filter-agg, every predicate pushed to parquet",
     tags=("golden", "sql", "tpch"),
@@ -209,7 +205,6 @@ _Q7 = """
 
 @query(
     "q_tpch_q7",
-    float_dp={"revenue": 2},
     oracle=_Q7,
     description="TPC-H Q7 (volume shipping, adapted): nation self-join pair filter + per-year agg",
     tags=("golden", "sql", "tpch"),
@@ -236,7 +231,6 @@ _Q14 = """
 
 @query(
     "q_tpch_q14",
-    float_dp={"promo_pct": 4},
     oracle=_Q14,
     description="TPC-H Q14 (promo effect): conditional agg ratio over a part join",
     tags=("golden", "sql", "tpch"),
@@ -268,7 +262,6 @@ _Q18 = """
 
 @query(
     "q_tpch_q18",
-    float_dp={"total_qty": 2},
     oracle=_Q18,
     description="TPC-H Q18 (large-volume customers, adapted): IN over a grouped HAVING subquery + top-100",
     tags=("golden", "sql", "tpch"),
@@ -297,7 +290,6 @@ _Q19 = """
 
 @query(
     "q_tpch_q19",
-    float_dp={"revenue": 2},
     oracle=_Q19,
     description="TPC-H Q19 (discounted revenue, adapted): disjunctive mixed-table predicate over a join",
     tags=("golden", "sql", "tpch"),
@@ -390,7 +382,6 @@ _Q22 = """
 
 @query(
     "q_tpch_q22",
-    float_dp={"totacctbal": 2},
     oracle=_Q22,
     description="TPC-H Q22 (global sales opportunity, adapted): scalar-subquery threshold + NOT EXISTS anti join",
     tags=("golden", "sql", "tpch"),
@@ -510,7 +501,6 @@ _Q8 = """
 
 @query(
     "q_tpch_q8",
-    float_dp={"mkt_share": 6},
     oracle=_Q8,
     description="TPC-H Q8 (national market share, adapted): 8-way star join + conditional ratio per year",
     tags=("golden", "sql", "tpch"),
@@ -610,7 +600,6 @@ _Q17 = """
 
 @query(
     "q_tpch_q17",
-    float_dp={"avg_yearly": 2},
     oracle=_Q17,
     description="TPC-H Q17 (small-quantity-order revenue, adapted): per-part avg threshold as exact integer arithmetic",
     tags=("golden", "sql", "tpch"),
@@ -708,7 +697,6 @@ _Q2 = """
 
 @query(
     "q_tpch_q2",
-    float_dp={"s_acctbal": 2, "supplycost": 2},
     oracle=_Q2,
     description="TPC-H Q2 (minimum cost supplier, adapted): correlated argmin over a region-filtered bridge",
     tags=("golden", "sql", "tpch"),
@@ -749,7 +737,6 @@ _Q9 = """
 
 @query(
     "q_tpch_q9",
-    float_dp={"sum_profit": 2},
     oracle=_Q9,
     description="TPC-H Q9 (product type profit, adapted): 5-way star join + per-nation-year profit",
     tags=("golden", "sql", "tpch"),
@@ -827,7 +814,6 @@ _Q20 = """
 
 @query(
     "q_tpch_q20",
-    float_dp={"s_acctbal": 2},
     oracle=_Q20,
     description="TPC-H Q20 (potential part promotion, adapted): nested IN -> stacked semi joins + grouped HAVING",
     tags=("golden", "sql", "tpch"),

@@ -364,7 +364,6 @@ def q_llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_source_overlap",
-    float_dp={"overlap_coef": 4},
     oracle=f"""
         WITH sh AS (
             SELECT DISTINCT source,
@@ -452,3 +451,74 @@ def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coef"),
         )
     )
+
+
+N_SHARDS = 16  # training-shard fan-out
+
+
+@query(
+    "q_llm_shard_assign",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST(ceil(length(coalesce(text, '')) / 4.0) AS BIGINT)
+                       AS toks,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 5, 4))::INT
+                       % {N_SHARDS} AS shard
+            FROM documents
+        )
+        SELECT shard,
+               CAST(count(*) AS BIGINT)            AS n_docs,
+               CAST(sum(toks) AS BIGINT)           AS tokens_total,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(min(doc_id) AS BIGINT)         AS min_doc,
+               CAST(max(doc_id) AS BIGINT)         AS max_doc
+        FROM d GROUP BY shard
+    """,
+    description=f"Deterministic global-shuffle shard assignment (md5 mod {N_SHARDS}) with per-shard balance audit",
+    tags=("llm", "split", "sampling"),
+)
+def q_llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic global shuffle a training run reads from:
+    every document lands in shard md5(doc_id) mod {shards} — a pure
+    function of the stable id, so the shard layout is identical across
+    reprocessing runs, cluster sizes, and engines, and a data-loader
+    can re-derive any document's location without an index. (Training
+    order within a shard is the md5-lexicographic order — a second
+    pure function; this key audits the SHARD layer.) The output is the
+    balance audit run before a training job: per-shard doc/token
+    totals (skewed shards starve data-parallel workers), source
+    diversity (a shard missing a domain biases its gradient batches),
+    and the id range as a quick fingerprint.
+
+    Unlike q_llm_split_assign's THRESHOLD assignment (membership
+    stable under corpus growth, sizes proportional), modulo
+    assignment gives exact-as-possible equal shard sizes — the right
+    tool when the consumer is N parallel readers rather than held-out
+    evaluation.
+
+    Scale shape: one row-local hash + mod per document, one
+    map-side-combined groupBy onto {shards} keys; count(DISTINCT
+    source) partials stay bounded by the source vocabulary. No join,
+    no window, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 5, 4), 16, 10)
+        .cast("long")
+        % N_SHARDS
+    ).alias("shard")
+    toks = F.ceil(F.length(F.coalesce("text", F.lit(""))) / 4.0).cast("long")
+    return (
+        docs.select(shard, F.col("source"), F.col("doc_id"), toks.alias("toks"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("tokens_total"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+q_llm_shard_assign.__doc__ = q_llm_shard_assign.__doc__.format(shards=N_SHARDS)

@@ -55,7 +55,6 @@ ZIPF_TOP = 500  # rank-frequency regression depth per source
         FROM ranked WHERE r <= {ZIPF_TOP}
         GROUP BY source
     """,
-    float_dp={"zipf_slope": 6},
     description=f"Zipf rank-frequency slope per source (log-log OLS over top {ZIPF_TOP} tokens)",
     tags=("llm", "text", "stats"),
 )
@@ -232,7 +231,6 @@ DUP_NGRAM = 8  # the RefinedWeb duplicate-n-gram metric's n
                              THEN 1 ELSE 0 END) AS BIGINT)    AS n_majority_dup
         FROM per_doc GROUP BY source
     """,
-    float_dp={"avg_dup_frac": 6},
     description=f"Duplicate {DUP_NGRAM}-gram coverage per source (RefinedWeb repetition metric)",
     tags=("llm", "dedup", "stats"),
 )
@@ -309,7 +307,6 @@ NOVELTY_NGRAM = 3
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_fully_novel
         FROM per_doc GROUP BY source
     """,
-    float_dp={"avg_novelty": 6},
     description=f"Test-split {NOVELTY_NGRAM}-gram novelty vs train split (beyond-exact-dup independence)",
     tags=("llm", "split", "contamination"),
 )
@@ -401,7 +398,6 @@ SAFETY_BLOCKLIST = ("slow", "error", "drop")
                CAST(sum(n_blocked) AS BIGINT)                  AS tokens_blocked
         FROM scored GROUP BY source
     """,
-    float_dp={"flag_rate": 6},
     description="Safety wordlist filter: per-source flagged-doc rate + blocked-token totals (blocklist held as a literal, row-local membership)",
     tags=("llm", "text", "safety"),
 )

@@ -1161,7 +1161,6 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_ngram_containment",
-    float_dp={"containment": 6},
     oracle="""
         WITH sh AS (
             SELECT doc_id,
@@ -1250,7 +1249,6 @@ _PASSAGE_HASHES_EXPR = (
 
 @query(
     "q_llm_passage_dedup",
-    float_dp={"dup_fraction": 6},
     oracle=f"""
         WITH w AS (
             SELECT doc_id,
@@ -1364,7 +1362,6 @@ _SD_BUCKET_SQL = " + ".join(
 
 @query(
     "q_llm_semdedup",
-    float_dp={"cosine": 6},
     oracle=f"""
         WITH v AS (
             SELECT vec_id,
@@ -1614,7 +1611,6 @@ LSH_AUDIT_SLICE = 60  # doc_id bound for the exact-tier audit
         ) <= 20
         ORDER BY true_jaccard DESC, id_a, id_b
     """,
-    float_dp={"true_jaccard": 6, "est_jaccard": 6, "abs_err": 6},
     description="MinHash estimator audit: signature-estimated vs exact word-bigram Jaccard, top-20 true pairs with absolute error",
     tags=("llm", "dedup", "minhash", "audit"),
 )

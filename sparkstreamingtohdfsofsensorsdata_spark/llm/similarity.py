@@ -699,7 +699,6 @@ def q_llm_sim_topk_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embed_centroid_stats",
-    float_dp={"avg_cos": 4, "min_cos": 4, "centroid_norm": 4},
     oracle=f"""
         WITH dims AS (
             SELECT vec_id, label, u.i AS i, u.val AS val
@@ -857,7 +856,6 @@ def q_embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dots d JOIN lnorm ln USING (label)
         GROUP BY d.label
     """,
-    float_dp={"cos_own": 6, "cos_global": 6, "separation": 6},
     description="Embedding label separability: mean cosine to own-label centroid vs global centroid, per label",
     tags=("llm", "embedding", "stats"),
 )

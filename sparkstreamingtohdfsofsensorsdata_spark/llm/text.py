@@ -518,7 +518,6 @@ URL_HOST_RE = r"https?://([a-z0-9.-]+)/"
 
 @query(
     "q_llm_domain_stats",
-    float_dp={"avg_chars": 4},
     oracle=f"""
         WITH crawled AS (
             SELECT doc_id, text,
@@ -1306,7 +1305,6 @@ PMI_TOP_K = 100
 
 @query(
     "q_llm_pmi_bigrams",
-    float_dp={"pmi": 4},
     oracle=f"""
         WITH toks AS (
             SELECT string_split(text, ' ') AS t FROM documents
@@ -1440,7 +1438,6 @@ q_llm_pmi_bigrams.__doc__ = q_llm_pmi_bigrams.__doc__.format(
 
 @query(
     "q_llm_entropy",
-    float_dp={"avg_entropy": 4, "min_entropy": 4, "max_entropy": 4},
     oracle="""
         WITH tok_counts AS (
             SELECT doc_id, source, tok, count(*) AS c
@@ -1514,7 +1511,6 @@ FEATURE_HASH_SLICE = 7
 
 @query(
     "q_llm_feature_hash",
-    float_dp={"tf": 4},
     oracle=f"""
         SELECT doc_id,
                ('0x' || substring(md5(tok), 1, 4))::INT % {FEATURE_HASH_DIMS}
@@ -1578,7 +1574,6 @@ BIGRAM_LM_K = 0.5  # add-k smoothing mass
 
 @query(
     "q_llm_bigram_lm",
-    float_dp={"avg_nll": 4, "min_nll": 4, "max_nll": 4},
     oracle=f"""
         WITH toks AS (
             SELECT doc_id, source, string_split(text, ' ') AS t

@@ -27,13 +27,21 @@ from ..tables import load
         SELECT
             l_returnflag,
             l_linestatus,
-            round(sum(l_quantity), 6)                                        AS sum_qty,
-            round(sum(l_extendedprice), 6)                                   AS sum_base_price,
-            round(sum(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
-            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
-            round(avg(l_quantity), 6)                                        AS avg_qty,
-            round(avg(l_extendedprice), 6)                                   AS avg_price,
-            round(avg(l_discount), 6)                                        AS avg_disc,
+            sum(l_quantity)                                                  AS sum_qty,
+            CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 100.0                                          AS sum_base_price,
+            CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                 AS DOUBLE) / 10000.0                                        AS sum_disc_price,
+            CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                     * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+                 AS DOUBLE) / 1000000.0                                      AS sum_charge,
+            sum(l_quantity) / count(*)                                       AS avg_qty,
+            CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 100.0 / count(*)                               AS avg_price,
+            CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 100.0 / count(*)                               AS avg_disc,
             count(*)                                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -44,21 +52,46 @@ from ..tables import load
 )
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan, sargable filter (pushed to parquet), grouped
-    aggregation with map-side combine. The workhorse OLAP pattern."""
+    aggregation with map-side combine. The workhorse OLAP pattern.
+
+    Determinism contract (round 10): the money sums accumulate EXACT
+    integer units — per-row floor-scaled cents for price, percent
+    points for discount/tax, their integer products for the disc/charge
+    terms — so every sum is order-INDEPENDENT (no float summation-order
+    noise across partitionings, retries, or engines), and the reported
+    doubles divide those exact integers back with an identical op
+    sequence on both sides. Quantity is integer-valued, so its double
+    sum is already exact. No round() anywhere: rounding identical
+    doubles is the one step Spark (shortest-decimal HALF_UP) and
+    DuckDB (raw binary) can still disagree on; dividing identical
+    integers cannot. This is also the 100 TB-correct posture: results
+    are bit-stable under AQE re-partitioning and task retries. At
+    extreme scale the charge term's 1e-6-unit BIGINT bounds ~9e18, i.e.
+    ~1e12 rows at these magnitudes — beyond that the production answer
+    is DECIMAL(38,6) (q_agg_decimal_exact's regime).
+    """
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    tax_c = F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_c)).cast("double") / 10000.0).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(price_c * (100 - disc_c) * (100 + tax_c)).cast("double")
+                / 1000000.0
+            ).alias("sum_charge"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / 100.0 / n).alias("avg_price"),
+            (F.sum(disc_c).cast("double") / 100.0 / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -154,7 +187,6 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_stats",
-    float_dp={"var_price": 4},
     oracle="""
         SELECT l_returnflag,
                round(sd_qty, 6)                                AS sd_qty,
@@ -274,7 +306,8 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
-               round(sum(l_extendedprice), 6) AS sum_price,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price,
                count(*) AS n
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -283,10 +316,14 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "cube"),
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grand-total cells sum the WHOLE table, where a double sum's
+    last digit rides summation order — so the price rolls up as exact
+    integer cents divided back (q_agg_group's determinism contract)."""
     li = load(spark, sf_dir, "lineitem")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        (F.sum(price_c).cast("double") / 100.0).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     ).select("l_returnflag", "l_linestatus", "gid", "sum_price", "n")
 
@@ -353,7 +390,6 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_grouping_sets",
-    float_dp={"revenue": 2},
     oracle="""
         SELECT l_returnflag, o_orderpriority,
                GROUPING(l_returnflag) * 2 + GROUPING(o_orderpriority) AS gid,
@@ -451,7 +487,6 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_corr",
-    float_dp={"cov_samp": 2, "cov_pop": 2, "slope": 5, "intercept": 2},
     oracle="""
         SELECT l_returnflag,
                CAST(n AS BIGINT)                               AS n,
@@ -825,7 +860,6 @@ _HQ_BINS = 32
 
 @query(
     "q_agg_histogram_quantile",
-    float_dp={"p50_est": 6, "p90_est": 6},
     oracle=f"""
         WITH b AS (
             SELECT min(l_extendedprice) AS lo,
@@ -1084,7 +1118,6 @@ SALT_BUCKETS = 16
 
 @query(
     "q_agg_skew_salted",
-    float_dp={"sum_qty": 2, "sum_price": 2, "avg_price": 4},
     oracle="""
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT)          AS n,
@@ -1268,7 +1301,6 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY event_type
     """,
-    float_dp={"slope": 6, "intercept": 6, "r2": 6, "avg_x": 6, "avg_y": 6},
     description="OLS regression aggregate family (regr_slope/intercept/r2/avgx/avgy/count) per event type",
     tags=("aggregate", "stats"),
 )
@@ -1326,7 +1358,6 @@ def q_agg_linear_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                              AS kurtosis
         FROM cm
     """,
-    float_dp={"mean": 4, "skewness": 4, "kurtosis": 4},
     description="Higher central moments per group: population skewness + excess kurtosis (Spark built-ins vs power-sum oracle)",
     tags=("aggregate", "stats"),
 )
@@ -1391,4 +1422,134 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
         F.max_by("o_orderkey", "o_totalprice").alias("max_price_key"),
         F.min_by("o_orderkey", "o_totalprice").alias("min_price_key"),
+    )
+
+
+GINI_CHUNK_CENTS = 10_000_000  # spend-rank chunk width: 100k currency units
+
+
+@query(
+    "q_agg_gini",
+    oracle=f"""
+        WITH spend AS (
+            SELECT c.c_mktsegment, c.c_custkey,
+                   CAST(coalesce(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS spend_cents
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT c_mktsegment, spend_cents,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY spend_cents, c_custkey) AS i
+            FROM spend
+        ),
+        agg AS (
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT)             AS n_cust,
+                   CAST(sum(spend_cents) AS BIGINT)     AS s0,
+                   CAST(sum(i * spend_cents) AS BIGINT) AS s1
+            FROM ranked GROUP BY 1
+        )
+        SELECT c_mktsegment, n_cust,
+               s0 AS spend_cents_total,
+               CASE WHEN n_cust * s0 = 0 THEN NULL
+                    ELSE CAST(floor((CAST(2 * s1 AS DOUBLE)
+                                     / CAST(n_cust * s0 AS DOUBLE)
+                                     - CAST(n_cust + 1 AS DOUBLE)
+                                       / CAST(n_cust AS DOUBLE))
+                                    * 1000000 + 0.5) AS BIGINT)
+               END                                      AS gini_micros
+        FROM agg
+    """,
+    description="Gini coefficient of customer spend per market segment via distributed two-level ranking",
+    tags=("agg", "window", "stats"),
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer spend per market segment — the
+    inequality statistic every marketplace-health dashboard carries
+    (how much of the segment's revenue sits with its top customers).
+    Uses the rank formulation G = 2*Σ(i·x_i)/(n·Σx) − (n+1)/n over
+    ascending-sorted spend.
+
+    Determinism contract: spend is EXACT integer cents (per-order
+    floor(price*100+0.5), summed as BIGINT — order-independent), the
+    rank tiebreak is the unique custkey, and the final statistic is
+    computed from three BIGINTs with an identical double-op sequence
+    on both engines, then floor-scaled to micros — no float sums, no
+    rounding ambiguity anywhere.
+
+    Scale shape: ranking within a segment is the classic
+    few-huge-partitions trap (5 segments = 5 sort partitions at any
+    scale), so the rank is TWO-LEVEL exactly like q_llm_vocab_growth's
+    prefix sums: rows rank locally within (segment, spend-range chunk)
+    — a partitioned, bounded window — and each chunk's rank offset is
+    the exclusive count-prefix over the tiny aggregated (segment,
+    chunk) table, broadcast back. The i·x products and the three sums
+    then map-side combine. A 10^8-customer segment never sorts in one
+    partition."""
+    cust = load(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey")
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("spend_cents")
+        )
+    )
+    per_cust = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.coalesce("spend_cents", F.lit(0)).cast("long").alias("spend_cents"),
+            (F.floor(F.coalesce("spend_cents", F.lit(0)) / GINI_CHUNK_CENTS))
+            .cast("long")
+            .alias("chunk"),
+        )
+    )
+    w_local = Window.partitionBy("c_mktsegment", "chunk").orderBy(
+        "spend_cents", "c_custkey"
+    )
+    local = per_cust.withColumn("local_rank", F.row_number().over(w_local))
+    chunk_counts = per_cust.groupBy("c_mktsegment", "chunk").agg(
+        F.count(F.lit(1)).alias("c_n")
+    )
+    w_chunks = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = chunk_counts.select(
+        "c_mktsegment",
+        "chunk",
+        F.coalesce(F.sum("c_n").over(w_chunks), F.lit(0)).alias("rank_off"),
+    )
+    ranked = local.join(F.broadcast(offsets), ["c_mktsegment", "chunk"]).select(
+        "c_mktsegment",
+        "spend_cents",
+        (F.col("rank_off") + F.col("local_rank")).alias("i"),
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("spend_cents").alias("s0"),
+        F.sum(F.col("i") * F.col("spend_cents")).alias("s1"),
+    )
+    gini = (
+        (2 * F.col("s1")).cast("double") / (F.col("n_cust") * F.col("s0")).cast("double")
+        - (F.col("n_cust") + 1).cast("double") / F.col("n_cust").cast("double")
+    )
+    # zero total spend (possible on hostile data: all-negative/NULL
+    # prices cancel to 0 cents) leaves Gini undefined — NULL, never a
+    # divide-by-zero (ANSI) or an inf (DuckDB)
+    return agg.select(
+        "c_mktsegment",
+        "n_cust",
+        F.col("s0").alias("spend_cents_total"),
+        F.when(
+            (F.col("n_cust") * F.col("s0")) != 0,
+            F.floor(gini * 1000000 + F.lit(0.5)).cast("long"),
+        ).alias("gini_micros"),
     )

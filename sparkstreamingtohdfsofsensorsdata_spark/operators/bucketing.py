@@ -84,7 +84,6 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_join_bucketed",
-    float_dp={"revenue": 2},
     oracle="""
         SELECT o_orderpriority,
                count(*)                                     AS n_lines,

@@ -61,9 +61,9 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Memoized per (live session, sf_dir fingerprint) — the same
     session-attached cache the SimHash dedup family uses (llm/dedup):
-    all six graph kernels (degree, triangles, pagerank,
-    common-neighbors, bfs, wcc — bench.py GRAPH_FAMILY, kept in sync
-    by test_memo) read this ONE table, which is exactly the
+    all seven graph kernels (degree, triangles, pagerank,
+    common-neighbors, bfs, wcc, kcore — bench.py GRAPH_FAMILY, kept in
+    sync by test_memo) read this ONE table, which is exactly the
     production "materialize the edge list once, bucket by src, every
     kernel reuses it" shape. bench.py charges the build to a canonical
     payer (GRAPH_PAYER) so per-key numbers stay rotation-stable."""
@@ -162,7 +162,6 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (SELECT sum(degree * (degree - 1) / 2.0) FROM deg),
                      6)                                         AS global_clustering
     """,
-    float_dp={"global_clustering": 6},
     description="Triangle count + global clustering coefficient via ordered two-hop edge join",
     tags=("graph", "join"),
 )
@@ -255,7 +254,6 @@ def _pagerank_oracle() -> str:
 @query(
     "q_graph_pagerank",
     oracle=_pagerank_oracle(),
-    float_dp={"pr_scaled": 6},
     description=f"PageRank ({PAGERANK_ROUNDS} damped rounds) over the co-purchase graph, scores scaled to mean 1",
     tags=("graph", "iterative"),
 )
@@ -597,3 +595,124 @@ def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("comp_size")
         .agg(F.count(F.lit(1)).alias("n_components"))
     )
+
+
+KCORE_K = 80  # the k in k-core (co-purchase degrees run 38..222)
+KCORE_ORACLE_ROUNDS = 10  # observed peel depth <= 6 at every SF
+KCORE_MAX_ITERS = 20
+
+
+def _kcore_oracle() -> str:
+    """Bounded-round k-core peeling as chained materialized CTEs:
+    a0 = all nodes; each round keeps nodes with >= k neighbors still
+    alive. The alive set shrinks monotonically, so convergence is
+    count-equality of the last two rounds — guarded with error() like
+    the CC oracle (llm/dedup), so an under-converged oracle fails
+    loudly instead of producing wrong core stats."""
+    ctes = ["a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)"]
+    for r in range(1, KCORE_ORACLE_ROUNDS + 1):
+        prev = f"a{r - 1}"
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+            SELECT s.src AS node
+            FROM sym s
+            JOIN {prev} x ON s.src = x.node
+            JOIN {prev} y ON s.dst = y.node
+            GROUP BY 1 HAVING count(*) >= {KCORE_K}
+        )"""
+        )
+    last = f"a{KCORE_ORACLE_ROUNDS}"
+    prev = f"a{KCORE_ORACLE_ROUNDS - 1}"
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {_EDGES_CTE},
+        {body},
+        core_edges AS MATERIALIZED (
+            SELECT s.src, s.dst FROM sym s
+            JOIN {last} x ON s.src = x.node
+            JOIN {last} y ON s.dst = y.node
+        )
+        SELECT CASE WHEN (SELECT count(*) FROM {prev}) <>
+                         (SELECT count(*) FROM {last})
+                    THEN error('k-core oracle under-converged after '
+                               '{KCORE_ORACLE_ROUNDS} peel rounds - raise '
+                               'KCORE_ORACLE_ROUNDS')
+                    ELSE CAST((SELECT count(*) FROM {last}) AS BIGINT)
+               END                                         AS n_core_nodes,
+               CAST((SELECT count(*) FROM core_edges) // 2
+                    AS BIGINT)                             AS n_core_edges,
+               CAST((SELECT coalesce(sum(node), 0) FROM {last})
+                    AS BIGINT)                             AS node_id_sum
+    """
+
+
+@query(
+    "q_graph_kcore",
+    oracle=_kcore_oracle(),
+    description=f"k-core decomposition (k={KCORE_K}): iterative peeling to the maximal subgraph of min-degree k",
+    tags=("graph", "iterative"),
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction: iteratively peel nodes with fewer than k
+    alive neighbors until the maximal subgraph where EVERY node has
+    degree >= k remains — the standard dense-community / spam-cluster
+    / graph-robustness primitive (a node's coreness survives any
+    presentation order, unlike raw degree cuts). The core can be
+    EMPTY (it is at sf0.001 for k={k}) — reported as zero counts, a
+    legitimate answer, not an error.
+
+    Each peel round is one pair of left-semi joins (edges restricted
+    to alive endpoints) + a map-side-combined degree count + filter —
+    the identical per-round plan class as BFS/PageRank/CC in this
+    module, with localCheckpoint truncating lineage per round. The
+    alive set shrinks monotonically, so the loop exits on the first
+    round that removes nothing (or empties the core); the per-round
+    count() is a 1-scalar control-plane read, the same bounded
+    driver-side step propagate_min_labels documents. At 100 TB every
+    round reuses the edge table's src bucketing; the alive sides of
+    the semi-joins shrink every round and broadcast once small.
+
+    Oracle: bounded {rounds}-round chained-CTE peel with an error()
+    convergence guard (peel depth observed <= 6 at every SF)."""
+    sym = _symmetric(copurchase_edges(spark, sf_dir))
+    alive = sym.select("src").distinct().select(F.col("src").alias("node"))
+    prev_n = -1
+    for _ in range(KCORE_MAX_ITERS):
+        a_src = alive.select(F.col("node").alias("n_src"))
+        a_dst = alive.select(F.col("node").alias("n_dst"))
+        alive = (
+            sym.join(a_src, sym["src"] == F.col("n_src"), "left_semi")
+            .join(a_dst, sym["dst"] == F.col("n_dst"), "left_semi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+        n = alive.count()  # 1-scalar control plane, bounds the loop
+        if n == prev_n or n == 0:
+            break
+        prev_n = n
+    else:
+        raise RuntimeError(
+            f"k-core failed to converge in {KCORE_MAX_ITERS} rounds"
+        )
+    a_src = alive.select(F.col("node").alias("n_src"))
+    a_dst = alive.select(F.col("node").alias("n_dst"))
+    edge_count = (
+        sym.join(a_src, sym["src"] == F.col("n_src"), "left_semi")
+        .join(a_dst, sym["dst"] == F.col("n_dst"), "left_semi")
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"))
+    )
+    node_stats = alive.agg(
+        F.count(F.lit(1)).alias("n_core_nodes"),
+        F.coalesce(F.sum("node"), F.lit(0)).cast("long").alias("node_id_sum"),
+    )
+    return node_stats.crossJoin(edge_count).select(
+        "n_core_nodes", "n_core_edges", "node_id_sum"
+    )
+
+
+q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(
+    k=KCORE_K, rounds=KCORE_ORACLE_ROUNDS
+)

@@ -28,7 +28,6 @@ PRICE_UPPER_BOUND = 1_000_000.0
 
 @query(
     "q_dq_profile",
-    float_dp={"value": 4},
     oracle=f"""
         WITH m AS (
             SELECT count(*)                                AS c,
@@ -173,7 +172,6 @@ ACCTBAL_BUCKET = 1000.0  # generalization step for the continuous QI
                      / sum(class_size), 6)      AS risk_frac
         FROM classes GROUP BY c_mktsegment
     """,
-    float_dp={"risk_frac": 6},
     description=f"k-anonymity audit (k={K_ANON}) over generalized quasi-identifiers, per-segment re-identification risk",
     tags=("quality", "privacy", "aggregate"),
 )
@@ -217,3 +215,220 @@ def q_anon_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_anon_kanonymity.__doc__ = q_anon_kanonymity.__doc__.format(
     bucket=int(ACCTBAL_BUCKET)
 )
+
+
+L_DIVERSITY = 3  # the l in distinct-l-diversity
+
+
+@query(
+    "q_anon_ldiversity",
+    oracle=f"""
+        WITH enriched AS (
+            SELECT c.c_mktsegment, c.c_nationkey, o.o_orderpriority
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        classes AS (
+            SELECT c_mktsegment, c_nationkey,
+                   count(*)                          AS class_rows,
+                   count(DISTINCT o_orderpriority)   AS l_distinct
+            FROM enriched GROUP BY 1, 2
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT)     AS n_classes,
+               CAST(min(l_distinct) AS BIGINT) AS min_l,
+               CAST(sum(CASE WHEN l_distinct < {L_DIVERSITY}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                                            AS n_classes_low,
+               CAST(sum(CASE WHEN l_distinct < {L_DIVERSITY}
+                             THEN class_rows ELSE 0 END) AS BIGINT)
+                                            AS rows_low_diversity,
+               CAST(sum(class_rows) AS BIGINT) AS n_rows
+        FROM classes GROUP BY 1
+    """,
+    description=f"l-diversity audit (l={L_DIVERSITY}): distinct sensitive values per quasi-identifier class, low-diversity exposure per segment",
+    tags=("quality", "privacy", "aggregate"),
+)
+def q_anon_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity — the audit k-anonymity (q_anon_kanonymity)
+    is famously not enough for: a class can hold k rows yet leak the
+    sensitive attribute completely if all k SHARE it (homogeneity
+    attack). Rows are orders carrying their customer's quasi-identifier
+    tuple (segment, nation); the sensitive attribute is the order
+    priority; a class is l-diverse when it contains >= l distinct
+    sensitive values. Reported per segment: class count, the worst
+    class's diversity, and how many rows sit in under-diverse classes
+    — the release blocker a privacy review reads first.
+
+    Scale shape: one co-partitioned orders⋈customer join (both sides
+    shuffle on custkey once; at dim-scale the customer side
+    broadcasts), then the same two-level agg cascade as k-anonymity —
+    count(DISTINCT sensitive) per QI class is a map-side-combined
+    partial since the class key bounds the distinct set."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    classes = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("class_rows"),
+            F.count_distinct("o_orderpriority").alias("l_distinct"),
+        )
+    )
+    low = F.col("l_distinct") < L_DIVERSITY
+    return classes.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l_distinct").alias("min_l"),
+        F.sum(F.when(low, 1).otherwise(0)).alias("n_classes_low"),
+        F.sum(F.when(low, F.col("class_rows")).otherwise(0)).alias(
+            "rows_low_diversity"
+        ),
+        F.sum("class_rows").alias("n_rows"),
+    )
+
+
+DQ_QTY_MAX = 45.0  # quantity rule upper bound
+DQ_PRICE_MAX = 100000.0  # extendedprice rule upper bound
+DQ_DISC_MAX = 0.08  # discount rule upper bound
+DQ_SHIP_CUTOFF = "2001-01-01"  # shipdate freshness rule
+
+
+@query(
+    "q_dq_rules",
+    oracle=f"""
+        WITH row_rules AS (
+            SELECT
+                count(*) AS n,
+                sum(CASE WHEN l_quantity < 1 OR l_quantity > {DQ_QTY_MAX!r}
+                         THEN 1 ELSE 0 END) AS v_qty,
+                sum(CASE WHEN l_extendedprice <= 0
+                              OR l_extendedprice > {DQ_PRICE_MAX!r}
+                         THEN 1 ELSE 0 END) AS v_price,
+                sum(CASE WHEN l_discount < 0 OR l_discount > {DQ_DISC_MAX!r}
+                         THEN 1 ELSE 0 END) AS v_disc,
+                sum(CASE WHEN l_shipdate IS NULL
+                              OR l_shipdate >= TIMESTAMP '{DQ_SHIP_CUTOFF}'
+                         THEN 1 ELSE 0 END) AS v_ship
+            FROM lineitem
+        ),
+        ref AS (
+            SELECT count(*) AS v_orphan
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)
+        )
+        SELECT rule, n_checked, n_violations,
+               CAST((n_violations * 1000000) // n_checked AS BIGINT)
+                   AS viol_micros
+        FROM (
+            SELECT 'discount_bounded' AS rule,
+                   CAST(n AS BIGINT) AS n_checked,
+                   CAST(v_disc AS BIGINT) AS n_violations FROM row_rules
+            UNION ALL
+            SELECT 'orderkey_referential', CAST(r2.n AS BIGINT),
+                   CAST(v_orphan AS BIGINT)
+            FROM ref, row_rules r2
+            UNION ALL
+            SELECT 'price_in_range', CAST(n AS BIGINT),
+                   CAST(v_price AS BIGINT) FROM row_rules
+            UNION ALL
+            SELECT 'quantity_in_range', CAST(n AS BIGINT),
+                   CAST(v_qty AS BIGINT) FROM row_rules
+            UNION ALL
+            SELECT 'shipdate_fresh', CAST(n AS BIGINT),
+                   CAST(v_ship AS BIGINT) FROM row_rules
+        )
+    """,
+    description="Declarative data-quality rule pack over lineitem: range/null/referential rules with violation rates",
+    tags=("quality", "aggregate", "join"),
+)
+def q_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ rule evaluation — the contract-enforcement pass
+    a pipeline runs before promoting a batch: four row-local range /
+    nullability rules evaluated in ONE scan (each a conditional sum,
+    so adding a rule is free), plus one referential-integrity rule
+    (every lineitem points at an existing order) as a left-anti
+    probe. Output is one row per rule with checked/violation counts
+    and the violation rate in integer micros — the shape a quality
+    gate thresholds on and a dashboard trends.
+
+    Scale shape: the row-local rules share a single
+    map-side-combined full scan regardless of rule count; the
+    referential rule shuffles lineitem once against orders (or
+    bloom-prunes at the scan under AQE). Nothing quadratic, nothing
+    per-rule."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    row_rules = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > DQ_QTY_MAX), 1
+            ).otherwise(0)
+        ).alias("v_qty"),
+        F.sum(
+            F.when(
+                (F.col("l_extendedprice") <= 0)
+                | (F.col("l_extendedprice") > DQ_PRICE_MAX),
+                1,
+            ).otherwise(0)
+        ).alias("v_price"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > DQ_DISC_MAX), 1
+            ).otherwise(0)
+        ).alias("v_disc"),
+        F.sum(
+            F.when(
+                F.col("l_shipdate").isNull()
+                | (F.col("l_shipdate") >= F.lit(DQ_SHIP_CUTOFF).cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("v_ship"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v_orphan"))
+    )
+    combined = row_rules.crossJoin(orphans)  # 1 row x 1 row
+    rules = combined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("discount_bounded").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_disc").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("orderkey_referential").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_orphan").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("price_in_range").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_price").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("quantity_in_range").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_qty").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("shipdate_fresh").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_ship").alias("n_violations"),
+                ),
+            )
+        ).alias("r")
+    )
+    return rules.select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.n_checked").cast("long").alias("n_checked"),
+        F.col("r.n_violations").cast("long").alias("n_violations"),
+        F.expr("(r.n_violations * 1000000) div r.n_checked")
+        .cast("long")
+        .alias("viol_micros"),
+    )

@@ -24,7 +24,6 @@ from ..tables import load
 
 @query(
     "q_sample_hash",
-    float_dp={"price_sum": 2},
     oracle="""
         SELECT o_orderpriority,
                count(*)                                       AS n_sampled,
@@ -54,7 +53,6 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sample_stratified",
-    float_dp={"value_sum": 2},
     oracle="""
         SELECT event_type,
                count(*)                                    AS n_sampled,
@@ -97,7 +95,6 @@ SAMPLE_K_PER_GROUP = 50
 
 @query(
     "q_sample_group_topk",
-    float_dp={"price_sum": 2},
     oracle=f"""
         SELECT o_orderpriority,
                count(*)                                    AS n_sampled,
@@ -146,4 +143,68 @@ def q_sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("key_sum"),
             F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
         )
+    )
+
+
+WEIGHTED_PRICE_CAP = 400000.0  # price at which inclusion probability hits 1
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+        SELECT o_orderpriority,
+               count(*)                                     AS n_sampled,
+               CAST(sum(o_orderkey) AS BIGINT)              AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT)         AS price_cents_sum
+        FROM orders
+        WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6) <
+              CASE WHEN o_totalprice >= {WEIGHTED_PRICE_CAP!r} THEN 'zzzzzz'
+                   ELSE lpad(lower(to_hex(CAST(floor(
+                            o_totalprice / {WEIGHTED_PRICE_CAP!r} * 16777216)
+                            AS BIGINT))), 6, '0')
+              END
+        GROUP BY o_orderpriority
+    """,
+    description="Weight-proportional (Poisson) deterministic sample: P(keep) = price/cap via md5-vs-scaled-hex threshold",
+    tags=("sample", "filter"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling — P(keep row) = min(1, w/cap) —
+    the Poisson-sampling workhorse of importance-weighted pipelines
+    (audit high-value orders more, importance-resample training data
+    by quality score). Like every sampler in this module it is a PURE
+    per-row predicate: the row's md5 unit-hash is compared against its
+    OWN weight-scaled threshold, so the sample is reproducible across
+    partitionings and engines, and the filter sits on the scan.
+
+    Determinism contract: no libm anywhere — the threshold is
+    floor(w/cap * 16^6) rendered as zero-padded lowercase hex and
+    compared lexicographically against the md5 prefix (the exact
+    integer-compare trick of q_sample_hash, made per-row). Weights at
+    or above the cap take the 'zzzzzz' branch (> any hex digit), never
+    a 7-digit hex that lpad would truncate into garbage. The
+    downstream Horvitz-Thompson estimate divides each kept row by its
+    known P(keep); reported sums here stay integer (keys + exact
+    cents) so the driver hash is representation-proof.
+
+    Scale shape: scan + filter + map-side-combined agg; zero shuffles
+    beyond the group-by exchange. Identical on 1 core or 1000
+    executors."""
+    o = load(spark, sf_dir, "orders")
+    scaled = F.floor(
+        F.col("o_totalprice") / WEIGHTED_PRICE_CAP * 16777216
+    ).cast("long")
+    thresh = F.when(
+        F.col("o_totalprice") >= WEIGHTED_PRICE_CAP, F.lit("zzzzzz")
+    ).otherwise(F.lpad(F.lower(F.hex(scaled)), 6, "0"))
+    kept = o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6) < thresh
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("price_cents_sum"),
     )

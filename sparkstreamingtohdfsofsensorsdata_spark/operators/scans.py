@@ -385,7 +385,6 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_scan_orc",
-    float_dp={"sum_price": 2},
     oracle="""
         SELECT l_returnflag,
                count(*)                                       AS n,
@@ -476,7 +475,6 @@ SORTED_BLOCK_BYTES = 256 * 1024  # small row groups stand in for the
 
 @query(
     "q_sink_sorted",
-    float_dp={"value_sum": 2},
     oracle="""
         SELECT user_id,
                count(*)                                 AS n,
@@ -602,7 +600,6 @@ ZORDER_EXPR = (
 
 @query(
     "q_sink_zorder",
-    float_dp={"value_sum": 2},
     oracle="""
         SELECT 'by_user'                              AS probe,
                CAST(count(*) AS BIGINT)               AS n,
@@ -701,7 +698,6 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_scan_schema_evolution",
-    float_dp={"value_sum": 2},
     oracle="""
         WITH unioned AS (
             SELECT event_id, user_id, value, NULL AS event_type
@@ -850,7 +846,6 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sink_csv_roundtrip",
-    float_dp={"sum_price": 2},
     oracle="""
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT)       AS n,

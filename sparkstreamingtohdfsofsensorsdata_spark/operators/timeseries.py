@@ -24,7 +24,6 @@ from ..tables import load
 
 @query(
     "q_ts_gapfill",
-    float_dp={"sum_value": 2},
     oracle="""
         WITH ev AS (
             SELECT date_trunc('hour', ts) AS hour, event_type, value
@@ -144,7 +143,6 @@ SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 h inactivity closes a session
 
 @query(
     "q_ts_sessionize",
-    float_dp={"sum_value": 2},
     oracle=f"""
         WITH e AS (
             SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
@@ -394,7 +392,9 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         hourly AS (
-            SELECT event_type, hour, avg(value) AS v
+            SELECT event_type, hour,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100.0 / count(*) AS v
             FROM ev GROUP BY event_type, hour
         ),
         bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
@@ -426,14 +426,14 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type, hour,
                CASE WHEN v IS NULL THEN 1 ELSE 0 END AS interpolated,
-               round(CASE
+               CASE
                    WHEN v IS NOT NULL THEN v
                    WHEN pv IS NULL THEN nv
                    WHEN nv IS NULL THEN pv
                    ELSE pv + (nv - pv)
-                        * (epoch(hour) - epoch(ph))
-                        / (epoch(nh) - epoch(ph))
-               END, 6) AS value_interp
+                        * ((epoch(hour) - epoch(ph))
+                           / (epoch(nh) - epoch(ph)))
+               END AS value_interp
         FROM bracketed
     """,
     description="Linear interpolation over the hourly grid: gap values bracketed by last/next observations",
@@ -450,13 +450,18 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the same plan holds per series: the spine join is
     broadcast (grid is tiny), and the two window frames run in one
-    pass per partition each. Rounding at 6 dp sits far above the
-    ~1e-13 float-order noise of the hourly averages feeding the
-    interpolation arithmetic."""
+    pass per partition each. The hourly means accumulate exact integer
+    cents divided back (q_agg_group's determinism contract) and the
+    interpolation runs an IDENTICAL op sequence on both engines
+    (fraction first, then scale), so the output doubles are
+    bit-identical with no rounding step at all."""
     ev = load(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("hour"), "event_type", "value"
     )
-    hourly = ev.groupBy("event_type", "hour").agg(F.avg("value").alias("v"))
+    value_c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = ev.groupBy("event_type", "hour").agg(
+        (F.sum(value_c).cast("double") / 100.0 / F.count(F.lit(1))).alias("v")
+    )
     hours = (
         ev.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
         .select(
@@ -502,7 +507,7 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour",
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("interpolated"),
-        F.round(interp, 6).alias("value_interp"),
+        interp.alias("value_interp"),
     )
 
 
@@ -572,7 +577,6 @@ def q_ts_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ts_outlier_mad",
-    float_dp={"median_value": 6, "mad_value": 6},
     oracle="""
         WITH v AS (
             SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
@@ -658,7 +662,6 @@ _ROLL_CORR_SD_RN = float(
 
 @query(
     "q_ts_rolling_corr",
-    float_dp={"roll_corr": 4, "roll_avg": 4},
     oracle=f"""
         WITH ranked AS (
             SELECT event_type, ts, event_id, value,
@@ -759,7 +762,6 @@ _EWMA_W_SQL = "[" + ", ".join(repr(w) for w in _EWMA_W) + "]"
 
 @query(
     "q_ts_ewma",
-    float_dp={"ewma": 4},
     oracle=f"""
         WITH src AS (
             SELECT * FROM events WHERE value IS NOT NULL
@@ -852,7 +854,6 @@ CUSUM_THRESHOLD = 5.0
 
 @query(
     "q_ts_cusum",
-    float_dp={"max_abs_s": 4, "final_s": 4},
     oracle=f"""
         WITH stats AS (
             SELECT event_type,
@@ -965,7 +966,6 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ts_peak_detect",
-    float_dp={"max_peak": 4, "threshold": 4},
     oracle="""
         WITH stats AS (
             SELECT event_type,
@@ -1043,8 +1043,6 @@ def q_ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ts_seasonal_hod",
-    float_dp={"var_total": 2, "var_resid": 2, "seasonality_strength": 4,
-              "peak_hour_mean": 4},
     oracle="""
         WITH seasonal AS (
             SELECT event_type, hour(ts) AS hod,
@@ -1141,7 +1139,6 @@ MEDIAN_FRAME = 5  # rows each side => 11-row centered frame
 
 @query(
     "q_ts_median_filter",
-    float_dp={"med": 4},
     oracle=f"""
         SELECT event_type, ts, event_id,
                round(value, 6) AS value,
@@ -1201,7 +1198,6 @@ ACF_LAGS = (1, 24)
 
 @query(
     "q_ts_autocorr",
-    float_dp={"acf": 4},
     oracle=f"""
         WITH lagged AS (
             SELECT event_type, value,
@@ -1321,7 +1317,6 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * (1.0 / na + 1.0 / nb)), 0), 6) AS z_score
         FROM wide
     """,
-    float_dp={"rate_a": 6, "rate_b": 6, "lift": 6, "z_score": 6},
     description="A/B experiment readout: hash-assigned variants, per-user conversion, pooled two-proportion z-score",
     tags=("timeseries", "events", "stats"),
 )
@@ -1385,4 +1380,137 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("z_score"),
+    )
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+        WITH stream AS (
+            SELECT event_type, value,
+                   last_value(CASE WHEN event_type = 'click'
+                                   THEN date_part('hour', ts) END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)  AS click_hour
+            FROM events
+        )
+        SELECT coalesce(click_hour, -1)                  AS click_hour,
+               CAST(count(*) AS BIGINT)                  AS n_purchases,
+               CAST(sum(CAST(floor(value * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT)      AS value_cents
+        FROM stream
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    description="Last-touch attribution: purchases credited to the user's most recent preceding click, rolled up by click hour",
+    tags=("timeseries", "window", "events"),
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — the marketing-analytics primitive: for
+    every purchase, find the SAME user's most recent strictly-earlier
+    click and credit the purchase's value to that click's hour of day.
+    Purchases with no preceding click fall into bucket -1 (organic /
+    pre-click conversions — a real funnel metric, not an error path).
+
+    The window frame ends at 1 PRECEDING, so a click and purchase in
+    the same event are never self-attributed, and the carried value is
+    the ignore-nulls last_value over the user's ordered stream — one
+    pass, no self-join of purchases against the full click history
+    (the naive formulation, quadratic per heavy user).
+
+    Determinism contract: order is (ts, event_id) — unique on both
+    engines; hour-of-day survives the ns→µs parquet truncation; value
+    rolls up as exact integer cents.
+
+    Scale shape: one exchange on user_id, per-user ordered scan (users
+    are numerous — no giant-partition risk), then a map-side-combined
+    agg onto ≤25 hour buckets."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = ev.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") == "click", F.hour("ts")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("click_hour"),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("click_hour", F.lit(-1)).alias("click_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("value_cents"),
+        )
+    )
+
+
+@query(
+    "q_events_markov",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        counts AS (
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n,
+               CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type)
+                    AS BIGINT) AS prob_micros
+        FROM counts
+    """,
+    description="First-order Markov transition matrix of per-user event sequences (counts + row-normalized probabilities)",
+    tags=("timeseries", "window", "events"),
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: how often does a click lead to a purchase vs another
+    click? The per-user lag() gives (prev, next) bigrams; transition
+    probability is the row-normalized count. The output is the
+    |types|² matrix every journey-analysis / anomalous-session model
+    starts from.
+
+    Determinism contract: sequence order is (ts, event_id); the
+    probability is INTEGER micros via bigint floor-division (n*1e6 //
+    row_total) — a double division could round x.49999…9 differently
+    across engines; integer division cannot.
+
+    Scale shape: one exchange on user_id for the lag, map-side-combined
+    count onto ≤|types|² rows, and the row normalization is a window
+    over that tiny matrix — driver-free, join-free. At 100 TB the only
+    full-data pass is the lag window, same cost class as every
+    sessionization in this module."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("(n * 1000000) div (sum(n) OVER (PARTITION BY prev_type))")
+        .cast("long")
+        .alias("prob_micros"),
     )

@@ -27,13 +27,17 @@ class QuerySpec:
     oracle: str | None
     description: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
-    # Declared rounding precision per output column (column name -> dp),
-    # for float columns the query rounds COARSER than 6 dp at magnitudes
-    # where the parity comparator's magnitude heuristic cannot infer the
-    # step (ADVICE r6, conftest._floats_boundary_equal): a declared
-    # column additionally tolerates a single 10^-dp last-digit flip at
-    # ANY magnitude. Declaration is explicit opt-in — the comparator
-    # never guesses a column's grid from data.
+    # Declared rounding precision per output column (column name -> dp):
+    # a declared column additionally tolerates a single 10^-dp last-digit
+    # flip at ANY magnitude in the tolerant comparator (ADVICE r6,
+    # conftest._declared_step_equal). Round-10 census (VERDICT r9 item
+    # 6): the zero-tolerance exact sweep proved every then-existing
+    # declaration (63) unnecessary at sf0.001/0.01/0.1, so ALL were
+    # deleted — declarations mask divergence the driver's exact hash
+    # would catch. The mechanism stays for a future key that genuinely
+    # rounds coarser than the magnitude heuristic infers; any new
+    # declaration must come with an exact-sweep exception note in
+    # SCALE.md.
     float_dp: dict[str, int] = field(default_factory=dict)
 
 
@@ -103,6 +107,16 @@ def query(
 # over CORRECTNESS_r1..r9 — the r4/r5 cohort leads). Overlap of the new
 # head-50 with the r9 window: exactly the 2 fixed keys.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
+    # round-10 additions (never driver-checked — newest surface first)
+    "q_sample_weighted",
+    "q_agg_gini",
+    "q_events_attribution",
+    "q_events_markov",
+    "q_anon_ldiversity",
+    "q_dq_rules",
+    "q_graph_kcore",
+    "q_join_fuzzy_block",
+    "q_llm_shard_assign",
     "q_ts_cusum",
     "q_agg_decimal_exact",
     "q_agg_approx_distinct",

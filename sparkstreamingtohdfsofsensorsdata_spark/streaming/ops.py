@@ -59,13 +59,22 @@ def sliding_stats(
     slide: str = "30 minutes",
     watermark: str = RETAIN_ALL_WATERMARK,
 ) -> DataFrame:
-    """Overlapping windows: each event lands in window/slide buckets."""
+    """Overlapping windows: each event lands in window/slide buckets.
+
+    The mean accumulates exact integer cents and divides back (the
+    q_agg_group determinism contract): a float avg()'s low bits ride
+    both accumulation order AND the engines' different avg algorithms,
+    while sum-of-ints / 100.0 / n is bit-identical everywhere —
+    including across micro-batch boundaries on a real stream."""
+    value_c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("value_avg"),
+            (F.sum(value_c).cast("double") / 100.0 / F.count(F.lit(1))).alias(
+                "value_avg"
+            ),
         )
         .select(
             F.col("window.start").alias("window_start"),

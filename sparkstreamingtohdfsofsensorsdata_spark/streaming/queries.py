@@ -49,7 +49,8 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT window_start, event_type,
                count(*)             AS n,
-               round(avg(value), 6) AS value_avg
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 / count(*) AS value_avg
         FROM (
             SELECT epoch_ms(CAST(floor(epoch(ts)/1800)*1800*1000 AS BIGINT)) AS window_start,
                    event_type, value

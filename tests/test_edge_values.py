@@ -332,6 +332,20 @@ KEYS = [
     "q_fn_variant",
     "q_join_bloom_runtime",
     "q_embed_centroid_stats",
+    # round-10 additions over the same hostile surface: negative /
+    # NULL prices (weighted-sample thresholds, gini cents, DQ rule
+    # counters), NULL priorities (l-diversity sensitive NULLs,
+    # markov lag chains), degenerate graphs (k-core empty/absent),
+    # hostile part names (fuzzy blocks of size 1, unicode lev)
+    "q_sample_weighted",
+    "q_agg_gini",
+    "q_events_attribution",
+    "q_events_markov",
+    "q_anon_ldiversity",
+    "q_dq_rules",
+    "q_graph_kcore",
+    "q_join_fuzzy_block",
+    "q_llm_shard_assign",
     "q_agg_group",
     "q_agg_global",
     "q_agg_count_distinct",

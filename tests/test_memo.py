@@ -124,57 +124,45 @@ def test_dedup_memos_evict_superseded_same_path_entries(spark):
 
 
 def test_registry_window_is_the_stale_cohort():
-    # Round-9 rotation contract (VERDICT r8 item 1): the driver
-    # verifies a 50-key prefix, and the r8 window consumed exactly the
+    # Round-10 rotation contract (VERDICT r9 item 3): the driver
+    # verifies a 50-key prefix, and the r9 window consumed exactly the
     # previous head-50 — so the head is rebuilt as (a) keys added THIS
-    # round (never had any chance of a verdict), then (b) the keys that
-    # have never appeared in any CORRECTNESS_r*.json through r8, then
-    # (c) everything else in ascending freshest-driver-verdict order.
-    # Spot-pin the boundary so a future reorder cannot silently push a
-    # stale key out of the window.
+    # round (never had any chance of a verdict), then (b) the two keys
+    # whose r9 driver hash failed and were fixed (they need a green r10
+    # row), then (c) the three keys never driver-checked since their
+    # oracles were upgraded, then (d) everything else in ascending
+    # freshest-driver-verdict order (the r4/r5 cohort). Spot-pin the
+    # boundary so a future reorder cannot silently push a stale key
+    # out of the window.
     front = list(registry.load_all())[:50]
-    r9_additions = [
-        "q_graph_degree", "q_graph_triangles", "q_graph_pagerank",
-        "q_anon_kanonymity", "q_llm_zipf_slope", "q_llm_vocab_growth",
-        "q_llm_dup_ngram_coverage", "q_llm_ngram_novelty",
-        "q_fn_try_arith", "q_graph_common_neighbors",
-        "q_fn_url_parse", "q_agg_linear_regr", "q_llm_safety_wordlist",
-        "q_llm_domain_cap", "q_events_ab_test",
-        "q_graph_bfs", "q_fn_hash", "q_llm_snapshot_diff",
-        "q_llm_lsh_audit", "q_graph_wcc", "q_agg_moments",
-        "q_embed_label_separation", "q_join_asof_tolerance",
-        "q_scan_csv_malformed", "q_agg_bool",
+    r10_additions = [
+        "q_sample_weighted", "q_agg_gini", "q_events_attribution",
+        "q_events_markov", "q_anon_ldiversity", "q_dq_rules",
+        "q_graph_kcore", "q_join_fuzzy_block", "q_llm_shard_assign",
     ]
-    # every registered round-9 addition leads the window (order within
-    # the block is insertion order, not the list above)
-    registered = [k for k in r9_additions if k in registry.load_all()]
+    registered = [k for k in r10_additions if k in registry.load_all()]
     n_new = len(registered)
     assert set(front[:n_new]) == set(registered)
-    # next: the 24 keys with no driver verdict in ANY CORRECTNESS_r*.json
-    never_verified = {
-        "q_agg_skew_salted", "q_dq_profile", "q_ts_rolling_corr",
-        "q_llm_pmi_bigrams", "q_llm_entropy", "q_llm_feature_hash",
-        "q_ts_ewma", "q_llm_bigram_lm", "q_merge_upsert",
-        "q_stream_chained_windows", "q_ts_cusum", "q_llm_source_overlap",
-        "q_embed_centroid_stats", "q_ts_peak_detect", "q_ts_seasonal_hod",
-        "q_ts_median_filter", "q_agg_decimal_exact", "q_fn_variant",
-        "q_join_bloom_runtime", "q_llm_winnowing", "q_agg_string_agg",
-        "q_ts_autocorr", "q_scan_binary", "q_sink_csv_roundtrip",
-    }
-    assert set(front[n_new : n_new + 24]) == never_verified
+    # next: the two r9 hash-fail fixes, then the three oracle-upgraded
+    # never-driver-checked keys
+    must_lead = [
+        "q_ts_cusum", "q_agg_decimal_exact",
+        "q_agg_approx_distinct", "q_agg_hll_union", "q_llm_sim_topk_lsh",
+    ]
+    assert front[n_new : n_new + 5] == must_lead
     # whatever slots remain go to the stalest cohort IN ORDER (r3
-    # first, then the r4 block) — structural, so adding more round-9
-    # keys shrinks the stale window without breaking the pin
+    # verdicts first, then the r4 join cohort) — structural, so adding
+    # more round-10 keys shrinks the stale window without breaking it
     stale_head = [
-        # q_stream_sink / q_stream_corpus_ingest carry r3 verdicts (the
-        # oldest anywhere), then the r4 join cohort
-        "q_stream_sink", "q_stream_corpus_ingest", "q_scan_parquet",
+        "q_stream_corpus_ingest", "q_scan_parquet",
         "q_join_inner_equi", "q_join_broadcast", "q_join_left",
         "q_join_right", "q_join_full", "q_join_semi", "q_join_anti",
+        "q_join_theta",
     ]
-    k = 50 - n_new - 24
-    assert front[n_new + 24:] == stale_head[:k]
-    # keys the driver greened in r7/r8 must NOT occupy window slots
-    assert "q_tpch_q2" not in front
-    assert "q_scan_text_lines" not in front
-    assert "q_llm_semdedup" not in front
+    k = min(len(stale_head), 50 - n_new - 5)
+    assert front[n_new + 5 : n_new + 5 + k] == stale_head[:k]
+    # keys the driver greened in r9 must NOT occupy window slots
+    # (except the two hash-fail fixes above)
+    assert "q_graph_wcc" not in front
+    assert "q_llm_zipf_slope" not in front
+    assert "q_scan_csv_malformed" not in front

@@ -1014,3 +1014,58 @@ def test_vocab_growth_spine_window_partitioned(spark):
             f"spine window lost its chunk partition: {s}"
         )
     assert inspect.has_broadcast_join(df)
+
+
+def test_gini_spine_window_partitioned_offsets_broadcast(spark):
+    # The Gini rank is the same two-level pattern as vocab_growth: every
+    # window whose ordering touches spend must carry the chunk partition
+    # column (never a 5-partition sort of all customers), and the chunk
+    # offsets broadcast back onto the spine.
+    import re
+
+    df = q(spark, "q_agg_gini")
+    text = inspect.plan_str(df)
+    wspecs = re.findall(r"windowspecdefinition\([^)]*\)", text)
+    spine = [s for s in wspecs if "spend_cents" in s or "c_custkey" in s]
+    assert spine, "expected a window ordered over the spend spine"
+    for s in spine:
+        assert "chunk#" in s.split("ASC")[0], (
+            f"spine window lost its chunk partition: {s}"
+        )
+    assert inspect.has_broadcast_join(df)
+
+
+def test_kcore_stays_jvm_side(spark):
+    # Iterative peel: every round is semi-joins + aggs — any Python
+    # eval in the loop would multiply by the round count.
+    assert "Python" not in inspect.plan_str(q(spark, "q_graph_kcore"))
+
+
+def test_fuzzy_block_equi_join_no_cartesian(spark):
+    # Blocking is the point: the pair join must be hash/merge on the
+    # block key, never BroadcastNestedLoop/cartesian over the names.
+    plan = inspect.plan_str(q(spark, "q_join_fuzzy_block"))
+    assert "CartesianProduct" not in plan, plan
+    # the lev predicate may ride the equi-join as a post-condition; the
+    # block equality must appear as a join key, i.e. some hash-based
+    # join exists
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_sample_weighted_filter_before_exchange(spark):
+    # The weighted Bernoulli predicate is row-pure: it must evaluate in
+    # the scan stage, before the single group-by exchange — the sample
+    # never shuffles unkept rows.
+    plan = inspect.plan_str(q(spark, "q_sample_weighted"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    f = plan.find("Filter")
+    e = plan.find("Exchange")
+    assert f != -1 and e != -1 and f > e  # printed below the exchange = runs first
+
+
+def test_dq_rules_row_rules_share_one_aggregate(spark):
+    # The four row-local rules are conditional sums in ONE aggregate —
+    # adding a rule must not add a scan. (The referential rule is its
+    # own anti-join probe by design.)
+    plan = inspect.plan_str(q(spark, "q_dq_rules"))
+    assert "partial_sum" in plan
