@@ -79,7 +79,7 @@ CC_LABEL_CONSUMERS = ("q_llm_dedup_clusters", "q_llm_dedup_keep")
 ANN_PAYER_EXACT = "q_llm_sim_topk_lsh"
 ANN_EXACT_CONSUMERS = ("q_llm_sim_topk_lsh", "q_llm_sim_topk_ivf")
 
-# And for the co-purchase edge table all seven graph kernels read
+# And for the co-purchase edge table all eight graph kernels read
 # (operators/graph.copurchase_edges, memoized per session/sf): the
 # build (lineitem self-join + distinct) is charged to the degree key.
 GRAPH_PAYER = "q_graph_degree"
@@ -91,6 +91,7 @@ GRAPH_FAMILY = (
     "q_graph_bfs",
     "q_graph_wcc",
     "q_graph_kcore",
+    "q_graph_assortativity",
 )
 
 

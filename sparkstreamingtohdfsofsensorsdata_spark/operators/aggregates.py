@@ -1553,3 +1553,142 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(gini * 1000000 + F.lit(0.5)).cast("long"),
         ).alias("gini_micros"),
     )
+
+
+@query(
+    "q_agg_pareto",
+    oracle="""
+        WITH spend AS (
+            SELECT c.c_mktsegment, c.c_custkey,
+                   CAST(coalesce(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS spend_cents
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT c_mktsegment, spend_cents,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY spend_cents DESC, c_custkey)
+                       AS i,
+                   sum(spend_cents) OVER (PARTITION BY c_mktsegment
+                                          ORDER BY spend_cents DESC, c_custkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND CURRENT ROW)
+                       AS cum_cents,
+                   sum(spend_cents) OVER (PARTITION BY c_mktsegment)
+                       AS total_cents,
+                   count(*) OVER (PARTITION BY c_mktsegment) AS n_cust
+            FROM spend
+        )
+        SELECT c_mktsegment,
+               CAST(max(n_cust) AS BIGINT)                     AS n_cust,
+               CAST(max(total_cents) AS BIGINT)                AS total_cents,
+               CAST(min(CASE WHEN cum_cents * 2 >= total_cents
+                             THEN i END) AS BIGINT)            AS n_for_half,
+               CAST(min(CASE WHEN cum_cents * 5 >= total_cents * 4
+                             THEN i END) AS BIGINT)            AS n_for_p80
+        FROM ranked
+        GROUP BY c_mktsegment
+    """,
+    description="Pareto revenue concentration: customers needed to cover 50% / 80% of segment spend (top-down cumulative rank)",
+    tags=("agg", "window", "stats"),
+)
+def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/80-20) readout: ranking a
+    segment's customers by spend descending, how many cover half and
+    80% of the segment's revenue? The marketplace-health twin of
+    q_agg_gini — Gini is the integral summary, this is the operating
+    number an account team staffs against.
+
+    Determinism contract: spend is exact integer cents; the coverage
+    thresholds compare INTEGER cross-products (cum*2 >= total,
+    cum*5 >= total*4) — no division, no floats anywhere in the
+    predicate, so the cut index cannot flip on an ulp.
+
+    Scale shape: the descending rank + running sum within a segment is
+    the identical few-huge-partitions trap as q_agg_gini, solved the
+    same way — rank and prefix-sum locally within (segment,
+    spend-range chunk), add broadcast exclusive chunk offsets (count
+    AND cents). One pass, no per-segment single-partition sort.
+    """
+    cust = load(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey")
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("spend_cents")
+        )
+    )
+    # descending spend chunks: NEGATE spend so ascending chunk/rank
+    # order equals descending spend order and the chunk ids stay
+    # monotone with the rank direction
+    per_cust = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.coalesce("spend_cents", F.lit(0)).cast("long").alias("spend_cents"),
+        )
+        .withColumn("neg_spend", -F.col("spend_cents"))
+        .withColumn(
+            "chunk",
+            (F.floor(F.col("neg_spend") / GINI_CHUNK_CENTS)).cast("long"),
+        )
+    )
+    w_local = (
+        Window.partitionBy("c_mktsegment", "chunk")
+        .orderBy("neg_spend", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = per_cust.select(
+        "c_mktsegment",
+        "chunk",
+        "spend_cents",
+        F.count(F.lit(1)).over(w_local).alias("loc_i"),
+        F.sum("spend_cents").over(w_local).alias("loc_cum"),
+    )
+    chunk_tot = per_cust.groupBy("c_mktsegment", "chunk").agg(
+        F.count(F.lit(1)).alias("c_n"), F.sum("spend_cents").alias("c_cents")
+    )
+    w_chunks = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = chunk_tot.select(
+        "c_mktsegment",
+        "chunk",
+        F.coalesce(F.sum("c_n").over(w_chunks), F.lit(0)).alias("off_n"),
+        F.coalesce(F.sum("c_cents").over(w_chunks), F.lit(0)).alias("off_cents"),
+    )
+    ranked = local.join(F.broadcast(offsets), ["c_mktsegment", "chunk"]).select(
+        "c_mktsegment",
+        (F.col("off_n") + F.col("loc_i")).alias("i"),
+        (F.col("off_cents") + F.col("loc_cum")).alias("cum_cents"),
+    )
+    totals = per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("spend_cents").alias("total_cents"),
+    )
+    return (
+        ranked.join(F.broadcast(totals), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max("n_cust").alias("n_cust"),
+            F.max("total_cents").alias("total_cents"),
+            F.min(
+                F.when(
+                    F.col("cum_cents") * 2 >= F.col("total_cents"), F.col("i")
+                )
+            ).alias("n_for_half"),
+            F.min(
+                F.when(
+                    F.col("cum_cents") * 5 >= F.col("total_cents") * 4,
+                    F.col("i"),
+                )
+            ).alias("n_for_p80"),
+        )
+    )

@@ -716,3 +716,93 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(
     k=KCORE_K, rounds=KCORE_ORACLE_ROUNDS
 )
+
+
+@query(
+    "q_graph_assortativity",
+    oracle=f"""
+        WITH {_EDGES_CTE},
+        deg AS MATERIALIZED (
+            SELECT src AS node, count(*) AS d FROM sym GROUP BY src
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.d AS dx, b.d AS dy
+            FROM sym s
+            JOIN deg a ON s.src = a.node
+            JOIN deg b ON s.dst = b.node
+        ),
+        sums AS (
+            SELECT CAST(count(*) AS BIGINT)        AS n,
+                   CAST(sum(dx) AS BIGINT)         AS sx,
+                   CAST(sum(dy) AS BIGINT)         AS sy,
+                   CAST(sum(dx * dy) AS BIGINT)    AS sxy,
+                   CAST(sum(dx * dx) AS BIGINT)    AS sxx,
+                   CAST(sum(dy * dy) AS BIGINT)    AS syy
+            FROM pairs
+        )
+        SELECT n AS n_directed_edges,
+               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                    THEN NULL
+                    ELSE CAST(floor(
+                        CAST(n * sxy - sx * sy AS DOUBLE)
+                        / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                               * CAST((n * syy - sy * sy) AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT)
+               END AS assortativity_micros
+        FROM sums
+    """,
+    description="Degree assortativity: Pearson correlation of endpoint degrees over directed edges, exact integer sums + IEEE sqrt",
+    tags=("graph", "stats"),
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity — Newman's r: the Pearson correlation of
+    (deg(src), deg(dst)) over every directed edge. Positive = hubs
+    attach to hubs (social nets), negative = hubs attach to leaves
+    (the typical co-purchase / infrastructure shape); THE first-glance
+    structural fingerprint after the degree histogram.
+
+    Determinism contract: degrees are integers, so all five power sums
+    are exact BIGINTs (order-independent); the correlation assembles
+    them with one double division and one sqrt — and IEEE 754 REQUIRES
+    sqrt correctly rounded (unlike ln/exp/pow, which this repo bans
+    from hash-compared outputs), so the assembled double is
+    bit-identical on both engines; floor-scaled to micros. Degenerate
+    (zero-variance) endpoints yield NULL via the integer predicate.
+
+    Scale shape: the eighth consumer of the memoized co-purchase edge
+    table — one degree groupBy, two co-partitioned joins back onto the
+    edge list (at scale the degree table is node-sized and broadcasts
+    or buckets by the edge key), one map-side-combined power-sum agg.
+    Nothing quadratic, no window.
+    """
+    sym = _symmetric(copurchase_edges(spark, sf_dir))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    dx = deg.select(F.col("src").alias("na"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("src").alias("nb"), F.col("d").alias("dy"))
+    pairs = (
+        sym.join(dx, sym["src"] == F.col("na"))
+        .join(dy, sym["dst"] == F.col("nb"))
+        .select("dx", "dy")
+    )
+    sums = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = cov.cast("double") / F.sqrt(var_x.cast("double") * var_y.cast("double"))
+    # guard each variance separately — their BIGINT product overflows
+    # at sf0.1 edge counts (1e16 x 1e16), and the sqrt multiplies as
+    # doubles anyway
+    return sums.select(
+        F.col("n").alias("n_directed_edges"),
+        F.when(
+            (var_x != 0) & (var_y != 0),
+            F.floor(r * 1000000 + F.lit(0.5)).cast("long"),
+        ).alias("assortativity_micros"),
+    )

@@ -994,3 +994,70 @@ def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_corrupt_record").isNull(), F.col("o_orderkey"))
         ).alias("key_sum"),
     )
+
+
+@query(
+    "q_scan_multi_source",
+    oracle="""
+        WITH unified AS (
+            SELECT o_orderkey                         AS rec_id,
+                   o_orderdate                        AS ts,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                                      AS amount_cents,
+                   'orders'                           AS src
+            FROM orders
+            UNION ALL
+            SELECT l_orderkey, l_shipdate,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+                   'lineitem'
+            FROM lineitem
+        )
+        SELECT src,
+               CAST(date_part('year', ts) AS BIGINT)  AS yr,
+               CAST(count(*) AS BIGINT)               AS n,
+               CAST(sum(amount_cents) AS BIGINT)      AS amount_cents,
+               CAST(count(DISTINCT rec_id) AS BIGINT) AS n_ids
+        FROM unified
+        GROUP BY 1, 2
+    """,
+    description="Multi-source unified ingest: heterogeneous tables mapped to a common schema with lineage column, rolled up per (source, year)",
+    tags=("scan", "union", "aggregate"),
+)
+def q_scan_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated-ingest shape: two differently-shaped sources (order
+    headers, line items) mapped into ONE unified schema (id, ts,
+    amount, lineage tag) by unionByName, then audited per (source,
+    year) — the pattern every lakehouse bronze layer runs, where the
+    lineage column is what makes downstream debugging and per-source
+    quality gates possible.
+
+    Scale shape: UNION ALL is free (no shuffle — partitions
+    concatenate); each branch's projection pushes down to its own
+    scan so only 3 columns leave each file; the rollup is one
+    map-side-combined groupBy. Per-source distinct-id partials are
+    bounded per group. Amounts are exact integer cents."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("rec_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("amount_cents"),
+        F.lit("orders").alias("src"),
+    )
+    items = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("rec_id"),
+        F.col("l_shipdate").alias("ts"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("amount_cents"),
+        F.lit("lineitem").alias("src"),
+    )
+    return (
+        orders.unionByName(items)
+        .groupBy("src", F.year("ts").cast("long").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount_cents").alias("amount_cents"),
+            F.count_distinct("rec_id").alias("n_ids"),
+        )
+    )

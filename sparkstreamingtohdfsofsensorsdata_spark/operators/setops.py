@@ -103,3 +103,58 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _building_custkeys(spark, sf_dir)
     b = _big_spender_custkeys(spark, sf_dir)
     return b.exceptAll(a)
+
+
+SYMDIFF_Y1, SYMDIFF_Y2 = 1996, 1997
+
+
+@query(
+    "q_set_symdiff",
+    oracle=f"""
+        WITH y1 AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE date_part('year', o_orderdate) = {SYMDIFF_Y1}
+        ),
+        y2 AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE date_part('year', o_orderdate) = {SYMDIFF_Y2}
+        )
+        SELECT o_custkey AS c_custkey, 'only_{SYMDIFF_Y1}' AS side
+        FROM (SELECT o_custkey FROM y1 EXCEPT SELECT o_custkey FROM y2)
+        UNION ALL
+        SELECT o_custkey, 'only_{SYMDIFF_Y2}'
+        FROM (SELECT o_custkey FROM y2 EXCEPT SELECT o_custkey FROM y1)
+    """,
+    description=f"Symmetric difference: customers active in exactly one of {SYMDIFF_Y1}/{SYMDIFF_Y2}, tagged by side",
+    tags=("setop", "anti"),
+)
+def q_set_symdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference — the churn/acquisition split in one set
+    op: customers who ordered in exactly one of two years, tagged with
+    WHICH side (lost vs gained), completing the union/intersect/except
+    family. Composed as two left-anti joins over the deduplicated
+    year slices (EXCEPT's physical form), unioned with the lineage
+    tag.
+
+    Scale shape: each year slice is a pushed-down scan filter +
+    distinct; the anti joins shuffle on the key both EXCEPTs already
+    needed. At 100 TB both sides bucket by custkey and the whole thing
+    is co-partitioned; no window, no Python."""
+    orders = load(spark, sf_dir, "orders")
+    y1 = (
+        orders.filter(F.year("o_orderdate") == SYMDIFF_Y1)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    y2 = (
+        orders.filter(F.year("o_orderdate") == SYMDIFF_Y2)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    only1 = y1.join(y2, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit(f"only_{SYMDIFF_Y1}").alias("side")
+    )
+    only2 = y2.join(y1, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit(f"only_{SYMDIFF_Y2}").alias("side")
+    )
+    return only1.unionByName(only2)

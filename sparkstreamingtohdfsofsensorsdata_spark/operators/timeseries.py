@@ -1514,3 +1514,52 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("prob_micros"),
     )
+
+
+TIME_BUCKET_S = 5400  # 90-minute hypertable rollup width
+
+
+@query(
+    "q_ts_time_bucket",
+    oracle=f"""
+        SELECT CAST(to_timestamp((CAST(floor(epoch(ts) / {TIME_BUCKET_S})
+                                       AS BIGINT)) * {TIME_BUCKET_S})
+                    AS TIMESTAMP)                        AS bucket_start,
+               event_type,
+               CAST(count(*) AS BIGINT)                  AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT)      AS value_cents
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description=f"Arbitrary-width time-bucket rollup ({TIME_BUCKET_S // 60}-minute hypertable buckets) via Spark window()",
+    tags=("timeseries", "aggregate"),
+)
+def q_ts_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable rollup at a width no calendar date_trunc offers:
+    90-minute buckets via Spark's ``window(ts, '90 minutes')``, whose
+    documented origin is the 1970 epoch — so a bucket's start IS
+    to_timestamp(floor(epoch/5400)*5400), which is exactly what the
+    oracle computes and what a TimescaleDB-style time_bucket returns
+    for an epoch-aligned origin. This key pins that equivalence: if a
+    Spark upgrade ever moved window()'s origin, the hash would flip.
+
+    Value rolls up as exact integer cents (order-independent, the
+    q_agg_group contract). Scale shape: one map-side-combined groupBy
+    on (bucket, type) — the bucket is computed row-locally, so the
+    rollup is as cheap as any hash aggregate and partition-prunes when
+    the table is date-partitioned."""
+    ev = load(spark, sf_dir, "events")
+    value_c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{TIME_BUCKET_S} seconds").start.alias(
+                "bucket_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_c).alias("value_cents"),
+        )
+    )

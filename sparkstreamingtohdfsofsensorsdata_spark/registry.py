@@ -108,6 +108,11 @@ def query(
 # head-50 with the r9 window: exactly the 2 fixed keys.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # round-10 additions (never driver-checked — newest surface first)
+    "q_agg_pareto",
+    "q_graph_assortativity",
+    "q_ts_time_bucket",
+    "q_scan_multi_source",
+    "q_set_symdiff",
     "q_sample_weighted",
     "q_agg_gini",
     "q_events_attribution",

@@ -346,6 +346,11 @@ KEYS = [
     "q_graph_kcore",
     "q_join_fuzzy_block",
     "q_llm_shard_assign",
+    "q_agg_pareto",
+    "q_graph_assortativity",
+    "q_ts_time_bucket",
+    "q_scan_multi_source",
+    "q_set_symdiff",
     "q_agg_group",
     "q_agg_global",
     "q_agg_count_distinct",

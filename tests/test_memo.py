@@ -139,6 +139,8 @@ def test_registry_window_is_the_stale_cohort():
         "q_sample_weighted", "q_agg_gini", "q_events_attribution",
         "q_events_markov", "q_anon_ldiversity", "q_dq_rules",
         "q_graph_kcore", "q_join_fuzzy_block", "q_llm_shard_assign",
+        "q_agg_pareto", "q_graph_assortativity", "q_ts_time_bucket",
+        "q_scan_multi_source", "q_set_symdiff",
     ]
     registered = [k for k in r10_additions if k in registry.load_all()]
     n_new = len(registered)

@@ -1069,3 +1069,29 @@ def test_dq_rules_row_rules_share_one_aggregate(spark):
     # own anti-join probe by design.)
     plan = inspect.plan_str(q(spark, "q_dq_rules"))
     assert "partial_sum" in plan
+
+
+def test_pareto_spine_window_partitioned_offsets_broadcast(spark):
+    # Same two-level contract as q_agg_gini, descending orientation:
+    # spine windows carry the chunk partition, offsets broadcast.
+    import re
+
+    df = q(spark, "q_agg_pareto")
+    text = inspect.plan_str(df)
+    wspecs = re.findall(r"windowspecdefinition\([^)]*\)", text)
+    spine = [s for s in wspecs if "neg_spend" in s or "c_custkey" in s]
+    assert spine, "expected a window ordered over the spend spine"
+    for s in spine:
+        assert "chunk#" in s.split("ASC")[0], (
+            f"spine window lost its chunk partition: {s}"
+        )
+    assert inspect.has_broadcast_join(df)
+
+
+def test_assortativity_stays_jvm_side_single_agg(spark):
+    # Exact integer power sums: one aggregate over the edge-pair join,
+    # no Python, no window.
+    plan = inspect.plan_str(q(spark, "q_graph_assortativity"))
+    assert "Python" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan
