@@ -46,6 +46,11 @@ HEADLINE = (
     ("q_graph_pagerank", "iterative join-agg rounds, JVM-side throughout; rank join keyed on the node column every round"),
     ("q_anon_kanonymity", "single-pass QI groupBy -> per-segment rollup; map-side partials, no Expand, no Python"),
     ("q_llm_dup_ngram_coverage", "shingle-frequency join keyed on md5; text pruned before every Exchange"),
+    ("q_llm_vocab_growth", "two-level prefix sum: chunk-partitioned spine windows + broadcast exclusive chunk offsets (r10 departition fix)"),
+    ("q_agg_gini", "two-level rank over (segment, spend-chunk); exact integer cents; offsets broadcast"),
+    ("q_graph_kcore", "iterative semi-join peel over the memoized edge table; JVM-side rounds"),
+    ("q_join_fuzzy_block", "equi hash join on the blocking key; levenshtein as an in-join residual, never a cartesian"),
+    ("q_sample_weighted", "weighted Bernoulli predicate evaluated in the scan stage, before the single group-by exchange"),
 )
 
 
