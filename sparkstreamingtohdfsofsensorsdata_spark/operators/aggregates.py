@@ -1499,38 +1499,19 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend_cents")
         )
     )
-    per_cust = (
-        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
-        .select(
-            "c_mktsegment",
-            "c_custkey",
-            F.coalesce("spend_cents", F.lit(0)).cast("long").alias("spend_cents"),
-            (F.floor(F.coalesce("spend_cents", F.lit(0)) / GINI_CHUNK_CENTS))
-            .cast("long")
-            .alias("chunk"),
-        )
-    )
-    w_local = Window.partitionBy("c_mktsegment", "chunk").orderBy(
-        "spend_cents", "c_custkey"
-    )
-    local = per_cust.withColumn("local_rank", F.row_number().over(w_local))
-    chunk_counts = per_cust.groupBy("c_mktsegment", "chunk").agg(
-        F.count(F.lit(1)).alias("c_n")
-    )
-    w_chunks = (
-        Window.partitionBy("c_mktsegment")
-        .orderBy("chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = chunk_counts.select(
+    from .ranking import chunked_row_number
+
+    per_cust = cust.join(spend, cust.c_custkey == spend.o_custkey, "left").select(
         "c_mktsegment",
-        "chunk",
-        F.coalesce(F.sum("c_n").over(w_chunks), F.lit(0)).alias("rank_off"),
+        "c_custkey",
+        F.coalesce("spend_cents", F.lit(0)).cast("long").alias("spend_cents"),
     )
-    ranked = local.join(F.broadcast(offsets), ["c_mktsegment", "chunk"]).select(
-        "c_mktsegment",
-        "spend_cents",
-        (F.col("rank_off") + F.col("local_rank")).alias("i"),
+    ranked = chunked_row_number(
+        per_cust,
+        ["spend_cents", "c_custkey"],
+        [(F.floor(F.col("spend_cents") / GINI_CHUNK_CENTS)).cast("long")],
+        part_cols=["c_mktsegment"],
+        rank_name="i",
     )
     agg = ranked.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_cust"),
@@ -1622,6 +1603,8 @@ def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend_cents")
         )
     )
+    from .ranking import chunked_row_number
+
     # descending spend chunks: NEGATE spend so ascending chunk/rank
     # order equals descending spend order and the chunk ids stay
     # monotone with the rank direction
@@ -1633,42 +1616,15 @@ def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("spend_cents", F.lit(0)).cast("long").alias("spend_cents"),
         )
         .withColumn("neg_spend", -F.col("spend_cents"))
-        .withColumn(
-            "chunk",
-            (F.floor(F.col("neg_spend") / GINI_CHUNK_CENTS)).cast("long"),
-        )
     )
-    w_local = (
-        Window.partitionBy("c_mktsegment", "chunk")
-        .orderBy("neg_spend", "c_custkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = per_cust.select(
-        "c_mktsegment",
-        "chunk",
-        "spend_cents",
-        F.count(F.lit(1)).over(w_local).alias("loc_i"),
-        F.sum("spend_cents").over(w_local).alias("loc_cum"),
-    )
-    chunk_tot = per_cust.groupBy("c_mktsegment", "chunk").agg(
-        F.count(F.lit(1)).alias("c_n"), F.sum("spend_cents").alias("c_cents")
-    )
-    w_chunks = (
-        Window.partitionBy("c_mktsegment")
-        .orderBy("chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = chunk_tot.select(
-        "c_mktsegment",
-        "chunk",
-        F.coalesce(F.sum("c_n").over(w_chunks), F.lit(0)).alias("off_n"),
-        F.coalesce(F.sum("c_cents").over(w_chunks), F.lit(0)).alias("off_cents"),
-    )
-    ranked = local.join(F.broadcast(offsets), ["c_mktsegment", "chunk"]).select(
-        "c_mktsegment",
-        (F.col("off_n") + F.col("loc_i")).alias("i"),
-        (F.col("off_cents") + F.col("loc_cum")).alias("cum_cents"),
-    )
+    ranked = chunked_row_number(
+        per_cust,
+        ["neg_spend", "c_custkey"],
+        [(F.floor(F.col("neg_spend") / GINI_CHUNK_CENTS)).cast("long")],
+        part_cols=["c_mktsegment"],
+        rank_name="i",
+        prefix_sums={"spend_cents": "cum_cents"},
+    ).select("c_mktsegment", "i", "cum_cents")
     totals = per_cust.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_cust"),
         F.sum("spend_cents").alias("total_cents"),
@@ -1691,4 +1647,243 @@ def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("n_for_p80"),
         )
+    )
+
+
+RFM_TB_CHUNK = 4096  # custkey-range split width for tied metric values
+
+
+@query(
+    "q_agg_rfm",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_custkey AS ck,
+                   coalesce(date_diff('day', max(o_orderdate),
+                                      (SELECT max(o_orderdate) FROM orders)),
+                            999999)                       AS rec_days,
+                   count(*)                               AS freq,
+                   CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                          AS BIGINT)), 0) AS BIGINT)
+                                                          AS spend_cents
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT spend_cents,
+                   row_number() OVER (ORDER BY rec_days, ck)    AS r_rank,
+                   row_number() OVER (ORDER BY freq, ck)        AS f_rank,
+                   row_number() OVER (ORDER BY spend_cents, ck) AS m_rank,
+                   count(*) OVER ()                             AS n
+            FROM base
+        )
+        SELECT CAST((r_rank - 1) * 5 // n + 1 AS BIGINT) AS r_q,
+               CAST((f_rank - 1) * 5 // n + 1 AS BIGINT) AS f_q,
+               CAST((m_rank - 1) * 5 // n + 1 AS BIGINT) AS m_q,
+               CAST(count(*) AS BIGINT)                  AS n_cust,
+               CAST(sum(spend_cents) AS BIGINT)          AS spend_cents
+        FROM ranked
+        GROUP BY 1, 2, 3
+    """,
+    description="RFM segmentation: recency/frequency/monetary quintiles per customer (quintile 1 = most recent / fewest / lowest), cell sizes + spend",
+    tags=("agg", "window", "stats"),
+)
+def q_agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics staple: every
+    ordering customer scored into recency / frequency / monetary
+    quintiles (quintile 1 = most recent, fewest orders, lowest spend —
+    orientation documented, not baked into magic reversals), then the
+    5x5x5 cell census with per-cell spend. Campaign targeting reads
+    exactly this table.
+
+    Determinism contract: quintile = ((rank-1)*5)//n + 1 with BIGINT
+    floor-division over an exactly-tiebroken rank (metric, custkey) —
+    no percent_rank doubles, no ntile ambiguity. Recency coalesces
+    NULL order dates to a sentinel on BOTH engines (the engines
+    default NULL sort order differently). Spend is exact cents.
+
+    Scale shape: three global rankings, each the few-huge-partitions
+    trap — all three ride operators/ranking.chunked_row_number. The
+    low-cardinality metrics (day ages, order counts) chunk as
+    (value, custkey-range) so metric ties split across bounded
+    partitions; the near-continuous spend chunks by value range. The
+    quintile math and the cell rollup are map-side combined.
+    """
+    from .ranking import chunked_row_number
+
+    orders = load(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("corpus_max"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ),
+                F.lit(0),
+            ).alias("spend_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "ck",
+            F.coalesce(
+                F.datediff("corpus_max", "last_order"), F.lit(999999)
+            ).alias("rec_days"),
+            "freq",
+            "spend_cents",
+        )
+    )
+    tb = (F.floor(F.col("ck") / RFM_TB_CHUNK)).cast("long")
+    ranked = chunked_row_number(
+        base, ["rec_days", "ck"], [F.col("rec_days"), tb], rank_name="r_rank"
+    )
+    ranked = chunked_row_number(
+        ranked, ["freq", "ck"], [F.col("freq"), tb], rank_name="f_rank"
+    )
+    ranked = chunked_row_number(
+        ranked,
+        ["spend_cents", "ck"],
+        [(F.floor(F.col("spend_cents") / GINI_CHUNK_CENTS)).cast("long")],
+        rank_name="m_rank",
+    )
+    n_df = base.agg(F.count(F.lit(1)).alias("n"))
+    cells = ranked.crossJoin(F.broadcast(n_df)).select(
+        F.expr("(r_rank - 1) * 5 div n + 1").cast("long").alias("r_q"),
+        F.expr("(f_rank - 1) * 5 div n + 1").cast("long").alias("f_q"),
+        F.expr("(m_rank - 1) * 5 div n + 1").cast("long").alias("m_q"),
+        "spend_cents",
+    )
+    return cells.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("spend_cents").alias("spend_cents"),
+    )
+
+
+SKETCH_ACCURACY = 1000  # percentile_approx GK accuracy (rank err <= n/this)
+
+
+@query(
+    "q_agg_sketch_audit",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   event_id
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id) AS rk,
+                   count(*) OVER (PARTITION BY event_type)      AS n
+            FROM ev
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT)                         AS n,
+               CAST(max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                             THEN cents END) AS BIGINT)       AS exact_p50_cents,
+               CAST(max(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT)
+                             THEN cents END) AS BIGINT)       AS exact_p95_cents,
+               TRUE                                           AS p50_within_bound,
+               TRUE                                           AS p95_within_bound
+        FROM ranked
+        GROUP BY event_type
+    """,
+    description="GK-sketch audit: percentile_approx estimates checked against their rank-error guarantee, beside exact rank-selected percentiles",
+    tags=("agg", "sketch", "audit"),
+)
+def q_agg_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit, the q_llm_lsh_audit pattern applied to
+    Spark's GK quantile sketch: percentile_approx(accuracy=1000)
+    guarantees its estimate's RANK sits within n/accuracy of the
+    target rank — this key measures the realized rank of each estimate
+    (count of values <= est) and asserts the guarantee as a boolean
+    the oracle expects to be TRUE; a Spark upgrade that broke the
+    sketch would flip the hash. The integer-cents exact percentiles
+    (discrete: the element at rank ceil(q*n), tiebroken by event_id)
+    ride alongside as the ground truth, rank-selected so NO
+    interpolation arithmetic crosses the engine boundary.
+
+    The bound check is pure integers: |1000*r - q*1000*n| <= n + 1000
+    (the guarantee scaled by 1000, +1000 ceil slack) — no float
+    thresholds to flip.
+
+    Scale shape: the per-type exact rank rides
+    operators/ranking.chunked_row_number (value-range chunks), never a
+    5-partition global sort; the estimate and audit passes are
+    map-side-combined aggregates plus one broadcast of the 5-row
+    estimate table. percentile_approx itself is the 100 TB tool here —
+    mergeable sketches, bounded memory; the exact side exists to audit
+    it (and is itself shuffle-bounded via the chunked rank)."""
+    from .ranking import chunked_row_number
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "event_id",
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    est = ev.groupBy("event_type").agg(
+        F.percentile_approx("cents", 0.5, SKETCH_ACCURACY).alias("est50"),
+        F.percentile_approx("cents", 0.95, SKETCH_ACCURACY).alias("est95"),
+    )
+    ranked = chunked_row_number(
+        ev,
+        ["cents", "event_id"],
+        [(F.floor(F.col("cents") / 500)).cast("long")],
+        part_cols=["event_type"],
+        rank_name="rk",
+    )
+    exact = (
+        ranked.join(F.broadcast(counts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.ceil(0.5 * F.col("n")).cast("long"),
+                    F.col("cents"),
+                )
+            ).alias("exact_p50_cents"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.ceil(0.95 * F.col("n")).cast("long"),
+                    F.col("cents"),
+                )
+            ).alias("exact_p95_cents"),
+        )
+    )
+    audit = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_a"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("est50"), 1).otherwise(0)
+            ).alias("r50"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("est95"), 1).otherwise(0)
+            ).alias("r95"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(1000 * F.col("r50") - 500 * F.col("n_a"))
+                <= F.col("n_a") + 1000
+            ).alias("p50_within_bound"),
+            (
+                F.abs(1000 * F.col("r95") - 950 * F.col("n_a"))
+                <= F.col("n_a") + 1000
+            ).alias("p95_within_bound"),
+        )
+    )
+    return exact.join(audit, "event_type").select(
+        "event_type",
+        "n",
+        "exact_p50_cents",
+        "exact_p95_cents",
+        "p50_within_bound",
+        "p95_within_bound",
     )

@@ -1563,3 +1563,60 @@ def q_ts_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(value_c).alias("value_cents"),
         )
     )
+
+
+@query(
+    "q_ts_cohort_ltv",
+    oracle="""
+        WITH first_order AS (
+            SELECT o_custkey,
+                   min(date_part('year', o_orderdate)) AS cohort_yr
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(f.cohort_yr AS BIGINT)                       AS cohort_yr,
+               CAST(date_part('year', o.o_orderdate) - f.cohort_yr
+                    AS BIGINT)                                   AS yrs_since,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT)       AS n_active,
+               CAST(count(*) AS BIGINT)                          AS n_orders,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT)              AS revenue_cents
+        FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    """,
+    description="Cohort LTV matrix: first-order-year cohorts x years-since, active customers + revenue per cell",
+    tags=("timeseries", "aggregate", "cohort"),
+)
+def q_ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix — the retention economics readout:
+    customers grouped by FIRST-order year, each later order credited to
+    (cohort, years since acquisition). Reading a row left-to-right is a
+    cohort aging; reading a diagonal is a calendar year. The
+    q_ts_retention twin with money attached — retention says who came
+    back, this says what they were worth.
+
+    Scale shape: one groupBy for first-order year (map-side combined),
+    one co-partitioned self-join back onto orders on custkey (both
+    sides shuffle once; at scale both bucket by custkey), one rollup
+    onto the tiny (cohort, age) grid — distinct-customer partials
+    bounded per cell by cohort size. Revenue is exact integer cents.
+    """
+    orders = load(spark, sf_dir, "orders")
+    first = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.min(F.year("o_orderdate")).alias("cohort_yr")
+    )
+    return (
+        orders.join(first, orders.o_custkey == first.ck)
+        .groupBy(
+            F.col("cohort_yr").cast("long").alias("cohort_yr"),
+            (F.year("o_orderdate") - F.col("cohort_yr"))
+            .cast("long")
+            .alias("yrs_since"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )

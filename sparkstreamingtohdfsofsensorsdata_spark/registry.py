@@ -108,6 +108,9 @@ def query(
 # head-50 with the r9 window: exactly the 2 fixed keys.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # round-10 additions (never driver-checked — newest surface first)
+    "q_agg_rfm",
+    "q_ts_cohort_ltv",
+    "q_agg_sketch_audit",
     "q_agg_pareto",
     "q_graph_assortativity",
     "q_ts_time_bucket",

@@ -351,6 +351,9 @@ KEYS = [
     "q_ts_time_bucket",
     "q_scan_multi_source",
     "q_set_symdiff",
+    "q_agg_rfm",
+    "q_ts_cohort_ltv",
+    "q_agg_sketch_audit",
     "q_agg_group",
     "q_agg_global",
     "q_agg_count_distinct",

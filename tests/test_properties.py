@@ -609,3 +609,72 @@ def test_upsert_writeto_commit_roundtrip(spark):
         assert commit_upsert.committed_via == "rewrite"
     finally:
         spark.sql("DROP TABLE IF EXISTS customer_upsert_test")
+
+
+def test_chunked_row_number_equals_plain_rank(spark):
+    # The two-level rank (operators/ranking.chunked_row_number) must
+    # equal a plain row_number for BOTH chunk recipes: value-range
+    # chunks on a near-continuous metric, and (value, tiebreak-range)
+    # composite chunks on a low-cardinality metric with heavy ties —
+    # including rows landing exactly on chunk boundaries and a
+    # single-row partition.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.ranking import (
+        chunked_row_number,
+    )
+
+    rows = [
+        # (part, value, key): duplicates, boundary values (0, 100,
+        # 200), negatives, and a lone partition "z"
+        ("a", 0, 1), ("a", 0, 2), ("a", 99, 3), ("a", 100, 4),
+        ("a", 100, 5), ("a", 101, 6), ("a", 200, 7), ("a", -50, 8),
+        ("b", 5, 1), ("b", 5, 2), ("b", 5, 3), ("b", 7, 4),
+        ("z", 42, 9),
+    ]
+    df = spark.createDataFrame(rows, ["part", "value", "key"])
+    w = Window.partitionBy("part").orderBy("value", "key")
+    expected = {
+        (r["part"], r["key"]): r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    # recipe 1: value-range chunks (width 100)
+    got1 = chunked_row_number(
+        df,
+        ["value", "key"],
+        [(F.floor(F.col("value") / 100)).cast("long")],
+        part_cols=["part"],
+        rank_name="rk",
+    )
+    assert {
+        (r["part"], r["key"]): r["rk"] for r in got1.collect()
+    } == expected
+    # recipe 2: (value, key-range) composite for tied values (width 2)
+    got2 = chunked_row_number(
+        df,
+        ["value", "key"],
+        [F.col("value"), (F.floor(F.col("key") / 2)).cast("long")],
+        part_cols=["part"],
+        rank_name="rk",
+    )
+    assert {
+        (r["part"], r["key"]): r["rk"] for r in got2.collect()
+    } == expected
+    # prefix sums ride the same structure
+    got3 = chunked_row_number(
+        df,
+        ["value", "key"],
+        [(F.floor(F.col("value") / 100)).cast("long")],
+        part_cols=["part"],
+        rank_name="rk",
+        prefix_sums={"value": "cum_value"},
+    )
+    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected_cum = {
+        (r["part"], r["key"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("value").over(w_sum)).collect()
+    }
+    assert {
+        (r["part"], r["key"]): r["cum_value"] for r in got3.collect()
+    } == expected_cum
