@@ -45,6 +45,13 @@ RAMP_KEYS = [
     "q_llm_source_overlap",
     "q_llm_bigram_lm",
     "q_agg_heavy_hitters",
+    # round-10 heavy additions: iterative peel + wedge join over the
+    # derived graph (edge build included, memo cleared per tier), the
+    # chunked two-level rank, and the three-rank RFM stack.
+    "q_graph_triangles",
+    "q_graph_kcore",
+    "q_agg_gini",
+    "q_agg_rfm",
 ]
 
 
@@ -77,6 +84,11 @@ def main() -> None:
                 dedup.clear_pair_memo(spark)
                 dedup.clear_label_memo(spark)
                 similarity.clear_exact_memo(spark)
+                from sparkstreamingtohdfsofsensorsdata_spark.operators import (
+                    graph,
+                )
+
+                graph.clear_edges_memo(spark)
             times.append(round(best, 3))
         ratio = round(times[2] / times[0], 2) if times[0] > 0 else None
         rows.append({"key": key, "sf0.001": times[0], "sf0.01": times[1],
