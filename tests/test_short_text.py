@@ -51,6 +51,7 @@ KEYS = [
     "q_llm_dedup_incremental",
     "q_llm_length_bucket",
     "q_llm_split_assign",
+    "q_llm_shard_assign",
     "q_llm_unigram_logprob",
     "q_llm_url_normalize",
     "q_llm_ngram_containment",
