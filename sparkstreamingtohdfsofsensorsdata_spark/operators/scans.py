@@ -1061,3 +1061,89 @@ def q_scan_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("rec_id").alias("n_ids"),
         )
     )
+
+
+BACKFILL_HIST_END = "2024-01-26"  # history covers [corpus start, here)
+BACKFILL_TAIL_START = "2024-01-20"  # re-delivered tail covers [here, end]
+
+
+@query(
+    "q_scan_backfill_union",
+    oracle=f"""
+        WITH unified AS (
+            SELECT CAST(ts AS DATE) AS event_date,
+                   event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT)
+                   + CASE WHEN ts >= TIMESTAMP '{BACKFILL_TAIL_START}'
+                          THEN 1 ELSE 0 END        AS value_cents,
+                   CASE WHEN ts >= TIMESTAMP '{BACKFILL_TAIL_START}'
+                        THEN 2 ELSE 1 END          AS priority
+            FROM events
+        )
+        SELECT event_date,
+               CAST(count(*) AS BIGINT)            AS n,
+               CAST(sum(value_cents) AS BIGINT)    AS value_cents,
+               CAST(sum(CASE WHEN priority = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT)                     AS n_from_tail
+        FROM unified
+        GROUP BY event_date
+    """,
+    description="Backfill union: date-partitioned history + re-delivered correction tail, priority dedup by event id (the lambda-architecture merge)",
+    tags=("scan", "union", "dedup"),
+)
+def q_scan_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda-architecture merge every batch+streaming deployment
+    eventually needs: a date-partitioned HISTORY table and a
+    re-delivered CORRECTION TAIL overlap for several days (the tail
+    carries corrected values — here a deterministic +1 cent marker);
+    the serving query unions both and deduplicates per event id with
+    SOURCE PRIORITY (tail beats history), so corrections win without
+    rewriting history partitions. Both layouts are materialized for
+    real in this key (history written partitioned by date, tail as a
+    flat re-delivery) and read back — the dedup runs against actual
+    files, not a simulated union.
+
+    Scale shape: the union is partition concatenation (no shuffle);
+    the priority dedup is ONE map-side-combined max_by per event id;
+    date-partitioned history means the serving query's date filters
+    prune files. The overlap window is the tail retention knob — the
+    exact tombstone-retention tradeoff q_stream_cdc_apply documents,
+    seen from the batch side."""
+    from ..session import scratch_dir
+
+    base = scratch_dir("backfill_")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("date").alias("event_date"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "ts",
+    )
+    hist_end = F.lit(BACKFILL_HIST_END).cast("timestamp")
+    tail_start = F.lit(BACKFILL_TAIL_START).cast("timestamp")
+    ev.filter(F.col("ts") < hist_end).select(
+        "event_id", "event_date", F.col("cents").alias("value_cents")
+    ).write.mode("overwrite").partitionBy("event_date").parquet(f"{base}/history")
+    ev.filter(F.col("ts") >= tail_start).select(
+        "event_id", "event_date", (F.col("cents") + 1).alias("value_cents")
+    ).write.mode("overwrite").parquet(f"{base}/tail")
+
+    hist = spark.read.parquet(f"{base}/history").withColumn(
+        "priority", F.lit(1)
+    )
+    tail = spark.read.parquet(f"{base}/tail").withColumn("priority", F.lit(2))
+    winners = (
+        hist.unionByName(tail)
+        .groupBy("event_id")
+        .agg(
+            F.max_by("event_date", "priority").alias("event_date"),
+            F.max_by("value_cents", "priority").alias("value_cents"),
+            F.max("priority").alias("priority"),
+        )
+    )
+    return winners.groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_cents").alias("value_cents"),
+        F.sum(F.when(F.col("priority") == 2, 1).otherwise(0)).alias(
+            "n_from_tail"
+        ),
+    )

@@ -108,6 +108,8 @@ def query(
 # head-50 with the r9 window: exactly the 2 fixed keys.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # round-10 additions (never driver-checked — newest surface first)
+    "q_stream_cdc_apply",
+    "q_scan_backfill_union",
     "q_agg_rfm",
     "q_ts_cohort_ltv",
     "q_agg_sketch_audit",

@@ -545,3 +545,130 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ops.chained_window_rollup(stream), output_mode="append"
     )
     return result.filter(F.col("event_type") != "_flush")
+
+
+@query(
+    "q_stream_cdc_apply",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+                   CASE event_type WHEN 'signup' THEN 'I'
+                                   WHEN 'error'  THEN 'D'
+                                   ELSE 'U' END             AS op
+            FROM events
+        ),
+        latest AS (
+            SELECT user_id,
+                   arg_max(op, event_id)          AS last_op,
+                   arg_max(value_cents, event_id) AS value_cents,
+                   max(event_id)                  AS last_event
+            FROM tagged GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(value_cents AS BIGINT) AS value_cents,
+               CAST(last_event AS BIGINT)  AS last_event
+        FROM latest WHERE last_op <> 'D'
+    """,
+    description="Streaming CDC apply (I/U/D change stream into a snapshot table via foreachBatch, tombstones retained for sequence correctness)",
+    tags=("streaming", "sink", "merge", "cdc"),
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES — the lakehouse ingestion op (Debezium topic →
+    warehouse table): a change stream of keyed Insert/Update/Delete
+    ops (derived deterministically from the event stream: signup=I,
+    error=D, everything else=U) applied to a snapshot table through
+    ``foreachBatch``, with the same snapshot-pointer exactly-once
+    commit protocol as q_stream_foreach_upsert. Semantics are
+    sequence_by(event_id) latest-op-wins: a key is live iff its
+    highest-sequence op is not a delete — the DLT APPLY CHANGES
+    contract.
+
+    The part everyone gets wrong is in the snapshot schema: DELETES
+    ARE RETAINED AS TOMBSTONES (op column kept, filtered only at read
+    time). Dropping a deleted key from the snapshot loses its sequence
+    number, so a straggler update with a LOWER sequence arriving in a
+    later micro-batch would silently resurrect the key; merging
+    against the tombstone's sequence correctly discards it. Tombstone
+    retention/vacuum is a RETENTION policy (how long can stragglers
+    arrive?), not a merge-time optimization.
+
+    Each epoch: batch reduced to its per-key latest op (map-side
+    max_by), one key-partitioned merge against the snapshot, O(1)
+    pointer publish; idempotent under epoch replay exactly as
+    documented in q_stream_foreach_upsert. At 100 TB both sides
+    bucket by the merge key."""
+    import os
+
+    from ..sources.factory import make_replay_dir, stream_source
+
+    base = scratch_dir("cdc_")
+    replay = make_replay_dir(spark, sf_dir, os.path.join(base, "replay"), n_chunks=4)
+    pointer = os.path.join(base, "CURRENT")
+
+    def read_current(s: SparkSession) -> DataFrame | None:
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as fh:
+            path = fh.read().strip()
+        return s.read.parquet(path)
+
+    def apply_changes(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        tagged = batch_df.select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("value_cents"),
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+        best = tagged.groupBy("user_id").agg(
+            F.max_by("op", "event_id").alias("op"),
+            F.max_by("value_cents", "event_id").alias("value_cents"),
+            F.max("event_id").alias("event_id"),
+        )
+        cur = read_current(s)
+        if cur is not None:
+            # tombstones included on BOTH sides: the merge compares
+            # sequence numbers against deletes too
+            merged = (
+                cur.unionByName(best)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by("op", "event_id").alias("op"),
+                    F.max_by("value_cents", "event_id").alias("value_cents"),
+                    F.max("event_id").alias("event_id"),
+                )
+            )
+        else:
+            merged = best
+        snap = os.path.join(base, f"v{epoch_id}_{uuid.uuid4().hex[:8]}")
+        merged.write.mode("errorifexists").parquet(snap)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(snap)
+        os.replace(tmp, pointer)
+
+    from .runner import run_foreach_batch
+
+    deltas = stream_source(spark, replay, max_files_per_trigger=1).select(
+        "user_id", "event_id", "value", "event_type"
+    )
+    run_foreach_batch(deltas, apply_changes, checkpoint=os.path.join(base, "ckpt"))
+    final = read_current(spark)
+    if final is None:
+        raise RuntimeError("no snapshot was published by any epoch")
+    # read-time tombstone filter: deleted keys exist in the snapshot,
+    # never in the served table
+    return (
+        final.filter(F.col("op") != "D")
+        .select(
+            "user_id",
+            "value_cents",
+            F.col("event_id").alias("last_event"),
+        )
+    )
