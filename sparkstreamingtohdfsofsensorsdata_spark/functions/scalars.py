@@ -497,3 +497,80 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 1024
         ).alias("h_bucket"),
     )
+
+
+@query(
+    "q_fn_try_datetime",
+    oracle="""
+        WITH messy AS (
+            SELECT o_orderkey % 4 AS fmt_id,
+                   CASE o_orderkey % 4
+                        WHEN 0 THEN strftime(o_orderdate, '%Y/%m/%d %H:%M')
+                        WHEN 1 THEN strftime(o_orderdate, '%d-%m-%Y')
+                        WHEN 2 THEN strftime(o_orderdate, '%Y%m%d')
+                        ELSE '#' || CAST(o_orderkey AS VARCHAR)
+                   END AS raw
+            FROM orders
+        ),
+        parsed AS (
+            SELECT fmt_id,
+                   coalesce(try_strptime(raw, '%Y/%m/%d %H:%M'),
+                            try_strptime(raw, '%d-%m-%Y'),
+                            try_strptime(raw, '%Y%m%d')) AS ts
+            FROM messy
+        )
+        SELECT CAST(fmt_id AS BIGINT)                     AS fmt_id,
+               CAST(count(*) AS BIGINT)                   AS n,
+               CAST(count(ts) AS BIGINT)                  AS n_parsed,
+               CAST(min(ts) AS TIMESTAMP)                 AS min_ts,
+               CAST(max(ts) AS TIMESTAMP)                 AS max_ts
+        FROM parsed
+        GROUP BY fmt_id
+    """,
+    description="Robust multi-format timestamp ingestion: try_to_timestamp coalesce chain over messy strings, NULL (never an error) on garbage",
+    tags=("fn", "date", "try"),
+)
+def q_fn_try_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The messy-feed timestamp parser every ingestion pipeline
+    carries: raw strings arrive in several formats plus garbage, and a
+    ``try_to_timestamp`` COALESCE chain parses the first format that
+    fits — NULL, never a job-killing error, on the rest (the ANSI
+    try_* posture of q_fn_try_arith applied to datetime ingestion).
+    The messy feed is synthesized deterministically from order dates
+    (three real formats + a garbage arm keyed by orderkey), so the
+    parse-back is oracle-exact: both engines must agree on every
+    format's round-trip AND on rejecting impossible dates (2024-02-30
+    parses on neither — validated at authoring time).
+
+    Spark format tokens (yyyy/MM/dd) and DuckDB strptime tokens
+    (%Y/%m/%d) differ in SYNTAX but are pinned to identical SEMANTICS
+    by the hash compare over all four arms.
+
+    Scale shape: row-local format + parse expressions, all JVM-side,
+    one map-side-combined rollup on the 4-key format id. At 100 TB
+    this is scan-speed work; the production variant adds a quarantine
+    column for the NULL arm exactly like q_scan_csv_malformed."""
+    orders = load(spark, sf_dir, "orders")
+    fmt_id = (F.col("o_orderkey") % 4).cast("long")
+    raw = (
+        F.when(fmt_id == 0, F.date_format("o_orderdate", "yyyy/MM/dd HH:mm"))
+        .when(fmt_id == 1, F.date_format("o_orderdate", "dd-MM-yyyy"))
+        .when(fmt_id == 2, F.date_format("o_orderdate", "yyyyMMdd"))
+        .otherwise(F.concat(F.lit("#"), F.col("o_orderkey").cast("string")))
+    )
+    messy = orders.select(fmt_id.alias("fmt_id"), raw.alias("raw"))
+    ts = F.coalesce(
+        F.try_to_timestamp("raw", F.lit("yyyy/MM/dd HH:mm")),
+        F.try_to_timestamp("raw", F.lit("dd-MM-yyyy")),
+        F.try_to_timestamp("raw", F.lit("yyyyMMdd")),
+    )
+    return (
+        messy.select("fmt_id", ts.alias("ts"))
+        .groupBy("fmt_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("ts").alias("n_parsed"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )

@@ -108,6 +108,7 @@ def query(
 # head-50 with the r9 window: exactly the 2 fixed keys.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # round-10 additions (never driver-checked — newest surface first)
+    "q_fn_try_datetime",
     "q_stream_cdc_apply",
     "q_scan_backfill_union",
     "q_agg_rfm",

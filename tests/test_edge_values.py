@@ -351,6 +351,7 @@ KEYS = [
     "q_ts_time_bucket",
     "q_scan_multi_source",
     "q_set_symdiff",
+    "q_fn_try_datetime",
     "q_stream_cdc_apply",
     "q_scan_backfill_union",
     "q_agg_rfm",

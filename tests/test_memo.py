@@ -143,6 +143,7 @@ def test_registry_window_is_the_stale_cohort():
         "q_scan_multi_source", "q_set_symdiff",
         "q_agg_rfm", "q_ts_cohort_ltv", "q_agg_sketch_audit",
         "q_stream_cdc_apply", "q_scan_backfill_union",
+        "q_fn_try_datetime",
     ]
     registered = [k for k in r10_additions if k in registry.load_all()]
     n_new = len(registered)
