@@ -72,12 +72,21 @@ CC_PAYER_LABELS = "q_llm_dedup_clusters"
 CC_FAMILY = ("q_llm_simhash_banded", "q_llm_dedup_clusters", "q_llm_dedup_keep")
 CC_LABEL_CONSUMERS = ("q_llm_dedup_clusters", "q_llm_dedup_keep")
 
-# Same pattern for the ANN recall ground truth (llm/similarity
-# _exact_topk_ids): both ANN tiers measure recall against ONE memoized
-# exact top-k table; pin its build to a canonical payer so rotation
-# order never re-attributes it.
-ANN_PAYER_EXACT = "q_llm_sim_topk_lsh"
-ANN_EXACT_CONSUMERS = ("q_llm_sim_topk_lsh", "q_llm_sim_topk_ivf")
+# Same pattern for the ANN ground truth (llm/similarity
+# _exact_topk_full): the exact tier's own output AND both recall tiers
+# read ONE memoized exact top-k table; pin its build to the exact tier
+# itself — it is literally that key's computation — so rotation order
+# never re-attributes it. (r11, VERDICT r10 item 2: the payer used to
+# be q_llm_sim_topk_lsh, which buried the contention-sensitive
+# brute-force build inside the LSH key's number — the root cause of
+# its cross-round 1.7-4.9 s "noise band". The LSH number now measures
+# the LSH probe alone.)
+ANN_PAYER_EXACT = "q_llm_sim_topk"
+ANN_EXACT_CONSUMERS = (
+    "q_llm_sim_topk",
+    "q_llm_sim_topk_lsh",
+    "q_llm_sim_topk_ivf",
+)
 
 # And for the co-purchase edge table all eight graph kernels read
 # (operators/graph.copurchase_edges, memoized per session/sf): the
@@ -125,11 +134,13 @@ def _ann_materialize_exact(spark, sf_dir: str) -> float:
     """Build the shared exact-top-k ground truth now; return the cost
     (charged to ANN_PAYER_EXACT's slot by the caller)."""
     from sparkstreamingtohdfsofsensorsdata_spark.llm.similarity import (
-        _exact_topk_ids,
+        _exact_topk_full,
     )
 
     start = time.perf_counter()
-    _exact_topk_ids(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    _exact_topk_full(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     return time.perf_counter() - start
 
 

@@ -32,13 +32,20 @@ from ..tables import load
 TOP_K = 10
 QUERY_STRIDE = 50  # vec_id % stride == 0 -> query set
 LSH_PLANES = 5
-LSH_TABLES = 12
+LSH_TABLES = 24
 LSH_SEED = 42
-# Mean-recall@k floor both ANN tiers assert IN their output (hash-gated
-# via the oracle, VERDICT r7 item 2) and that tests/test_similarity.py
-# re-asserts. Loose because the fixture embeddings are uniform random —
-# the hardest case for space-partitioning ANN.
-RECALL_FLOOR = 0.25
+# Per-tier mean-recall@k floors each ANN tier asserts IN its output
+# (hash-gated via the oracle, VERDICT r7 item 2) and that
+# tests/test_similarity.py re-asserts. Raised from the shared 0.25 in
+# r11 (VERDICT r10 item 3) after tuning: LSH at L=24/b=5 measures mean
+# recall@10 = 0.88/0.89/0.89 at sf0.001/0.01/0.1 with no measurable
+# cost increase over L=12; IVF at nprobe=6/nlist=16 measures
+# 0.72/0.67/0.62. Floors sit ~0.1 under the worst measured SF: the
+# fixture embeddings are uniform random (no cluster structure), the
+# hardest case for space-partitioning ANN, so margins are deliberate —
+# a regenerated fixture must not flip the oracle-gated boolean.
+LSH_RECALL_FLOOR = 0.75
+IVF_RECALL_FLOOR = 0.55
 
 
 # DuckDB-side mirror of the _as_double boundary, for every oracle in
@@ -104,15 +111,42 @@ def _exact_scored(v: DataFrame, q: DataFrame) -> DataFrame:
     )
 
 
-def _exact_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (qid, exact_neighbor) ground-truth top-k, memoized per (live
-    session, sf_dir) exactly like the dedup family's pair/label tables
-    (same (path, fingerprint) key, same eviction): both ANN tiers
-    measure recall against the SAME baseline, so recomputing the full
-    brute-force pass per tier was pure repeat work — the production
-    shape materializes the evaluation ground truth once and scores
-    every ANN index against it. Handle is a lazy localCheckpoint: the
-    first consumer materializes, later consumers read blocks."""
+def _exact_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw (qid, vec_id, rk, dot) exact-top-k lineage, un-memoized:
+    brute-force scored pairs (queries broadcast, corpus partition-local)
+    cut to TOP_K per query under the canonical tie-break. Exists apart
+    from _exact_topk_full so scripts/dump_plans.py can capture the real
+    physical shape — the memo handle is a checkpoint RDD scan, which
+    would hide the BNLJ + window plan the docs gate on."""
+    v = _as_double(load(spark, sf_dir, "embeddings"))
+    q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return (
+        _exact_scored(v, q)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+def _exact_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (qid, vec_id, rk, dot) ground-truth top-k WITH scores,
+    memoized per (live session, sf_dir) exactly like the dedup family's
+    pair/label tables (same (path, fingerprint) key, same eviction).
+
+    One brute-force pass serves THREE consumers: the exact tier's own
+    output (q_llm_sim_topk projects neighbor/rk/cosine off it) and both
+    ANN tiers' recall ground truth. Before r11 the exact tier and the
+    recall memo each ran their own N*Q scoring pass — pure repeat work,
+    and the duplicated build was charged to q_llm_sim_topk_lsh's bench
+    slot (ANN_PAYER_EXACT), which is where its cross-round 1.7-4.9 s
+    "noise band" actually lived: the brute-force build is the most
+    contention-sensitive stage in the family, and the LSH probe itself
+    is ~0.5 s (VERDICT r10 item 2 root cause). The exact tier now pays
+    for — and reuses — the one materialization. Handle is a lazy
+    localCheckpoint: the first consumer materializes, later consumers
+    read blocks."""
     from .dedup import _evict_same_path, _memo, memo_key
 
     cache = _memo(spark, "_exact_topk_memo")
@@ -120,15 +154,17 @@ def _exact_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in cache:
         return cache[key]
     _evict_same_path(cache, key)
-    v = _as_double(load(spark, sf_dir, "embeddings"))
-    q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    full = _exact_topk_plan(spark, sf_dir).localCheckpoint(eager=False)
+    cache[key] = full
+    return full
+
+
+def _exact_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, exact_neighbor) view of the shared ground truth — the
+    shape _recall_at_k consumes."""
+    return _exact_topk_full(spark, sf_dir).select(
+        "qid", F.col("vec_id").alias("exact_neighbor")
     )
-    ids = _topk_ids(_exact_scored(v, q), "exact_neighbor").localCheckpoint(
-        eager=False
-    )
-    cache[key] = ids
-    return ids
 
 
 def exact_topk_warm(spark: SparkSession, sf_dir: str) -> bool:
@@ -195,21 +231,16 @@ def _recall_at_k(exact: DataFrame, approx: DataFrame, name: str) -> DataFrame:
     tags=("llm", "similarity", "topk"),
 )
 def q_llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _as_double(load(spark, sf_dir, "embeddings"))
-    q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
-    )
-    scored = _exact_scored(v, q)
-    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select(
-            "qid",
-            F.col("vec_id").alias("neighbor"),
-            "rk",
-            F.round("dot", 6).alias("cosine"),
-        )
+    """Projects the shared memoized ground truth (_exact_topk_full):
+    the exact tier is the natural payer for the one brute-force pass
+    the whole ANN family evaluates against. The un-memoized physical
+    shape (queries broadcast, corpus partition-local, window top-k) is
+    captured from _exact_topk_plan in PLANS.md."""
+    return _exact_topk_full(spark, sf_dir).select(
+        "qid",
+        F.col("vec_id").alias("neighbor"),
+        "rk",
+        F.round("dot", 6).alias("cosine"),
     )
 
 
@@ -221,9 +252,12 @@ def _buckets_udf():
     vectors at angle theta co-bucket with probability (1 - theta/pi)^b,
     ~2% for top-10 neighbors of uniform 64-d vectors at b=8 planes — so
     production LSH always amplifies with an OR over L tables:
-    P(candidate) = 1 - (1 - p^b)^L (~60% here with L=12, b=5).
-    Measured on this fixture: single-table recall@10 = 0.00; 10-table
-    recall@10 ~= 0.5 (L=12, b=5).
+    P(candidate) = 1 - (1 - p^b)^L (~85% here with L=24, b=5).
+    Measured on this fixture: single-table recall@10 = 0.00; L=12
+    recall@10 = 0.60-0.68; L=24 recall@10 = 0.88-0.89 across
+    sf0.001/0.01/0.1 — the r11 floor raise doubled L because the
+    marginal cost was unmeasurable (candidate generation is an
+    Arrow-batched matmul and the scored pair set stays collision-bound).
 
     The planes tensor is regenerated per batch from the fixed seed so
     executors don't need a broadcast; at real scale broadcast it once.
@@ -246,10 +280,11 @@ def _buckets_udf():
     return buckets
 
 
-def _bound_asserted(recall: DataFrame) -> DataFrame:
+def _bound_asserted(recall: DataFrame, floor: float) -> DataFrame:
     """Map a (qid, recall_at_k) frame to the hash-gated contract shape
     both ANN tiers share: one row per query, plus a corpus-wide
-    ``mean_recall_ok`` boolean asserting mean recall@k >= RECALL_FLOOR.
+    ``mean_recall_ok`` boolean asserting mean recall@k >= the tier's
+    floor (LSH_RECALL_FLOOR / IVF_RECALL_FLOOR).
 
     The seeded-numpy estimates themselves are not SQL-expressible, but
     the CLAIM — "the query set is exactly the boundary-passing strided
@@ -271,7 +306,7 @@ def _bound_asserted(recall: DataFrame) -> DataFrame:
     w = Window.partitionBy(F.lit(1))
     return recall.select(
         "qid",
-        (F.avg("recall_at_k").over(w) >= F.lit(RECALL_FLOOR)).alias(
+        (F.avg("recall_at_k").over(w) >= F.lit(floor)).alias(
             "mean_recall_ok"
         ),
     )
@@ -303,7 +338,7 @@ def q_llm_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at all — candidates are found by an array_contains probe against
     each corpus row's own L bucket ids.
     """
-    return _bound_asserted(_lsh_recall(spark, sf_dir))
+    return _bound_asserted(_lsh_recall(spark, sf_dir), LSH_RECALL_FLOOR)
 
 
 def _lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,7 +370,7 @@ def _lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_at_k(exact, approx, "lsh_neighbor")
 
 
-IVF_NPROBE = 3
+IVF_NPROBE = 6
 IVF_NLIST = 16
 IVF_SEED = 7
 IVF_LLOYD_ITERS = 2
@@ -429,7 +464,7 @@ def q_llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the shared bound-asserted contract (see _bound_asserted);
     the raw per-query recall frame lives in _ivf_recall.
     """
-    return _bound_asserted(_ivf_recall(spark, sf_dir))
+    return _bound_asserted(_ivf_recall(spark, sf_dir), IVF_RECALL_FLOOR)
 
 
 def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,9 +61,11 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Memoized per (live session, sf_dir fingerprint) — the same
     session-attached cache the SimHash dedup family uses (llm/dedup):
-    all seven graph kernels (degree, triangles, pagerank,
-    common-neighbors, bfs, wcc, kcore — bench.py GRAPH_FAMILY, kept in
-    sync by test_memo) read this ONE table, which is exactly the
+    all eight graph kernels (degree, triangles, pagerank,
+    common-neighbors, bfs, wcc, kcore, assortativity — bench.py
+    GRAPH_FAMILY, enumeration pinned by
+    tests/test_memo.py::test_graph_family_docstring_in_sync so the
+    count can never drift again) read this ONE table, which is the
     production "materialize the edge list once, bucket by src, every
     kernel reuses it" shape. bench.py charges the build to a canonical
     payer (GRAPH_PAYER) so per-key numbers stay rotation-stable."""

@@ -171,3 +171,29 @@ def test_registry_window_is_the_stale_cohort():
     assert "q_graph_wcc" not in front
     assert "q_llm_zipf_slope" not in front
     assert "q_scan_csv_malformed" not in front
+
+
+def test_graph_family_docstring_in_sync():
+    """VERDICT r10 item 5: the copurchase_edges docstring enumerates the
+    graph kernels that share the edge memo; this assertion makes the
+    enumeration (and its spelled-out count) structurally equal to
+    bench.GRAPH_FAMILY so the r9/r10 drift class cannot recur."""
+    import re
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+    from sparkstreamingtohdfsofsensorsdata_spark.operators import graph
+
+    doc = graph.copurchase_edges.__doc__
+    m = re.search(r"graph kernels \(([^)]*?)\s*—", doc, re.S)
+    assert m, "docstring lost its kernel enumeration"
+    names = re.findall(r"[a-z][a-z-]+", m.group(1))
+    assert {"q_graph_" + n.replace("-", "_") for n in names} == set(
+        bench.GRAPH_FAMILY
+    )
+    count_word = re.search(r"all (\w+) graph kernels", doc).group(1)
+    words = {7: "seven", 8: "eight", 9: "nine", 10: "ten",
+             11: "eleven", 12: "twelve"}
+    assert count_word == words[len(bench.GRAPH_FAMILY)]

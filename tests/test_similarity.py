@@ -2,8 +2,11 @@
 
 Both ANN queries return per-query recall@k against the exact top-k, so
 "is the accuracy/cost trade acceptable" is a measured assertion, not a
-claim. Floors are loose: the fixture embeddings are uniform random
-(no cluster structure), the hardest case for space-partitioning ANN.
+claim. Per-tier floors (r11, VERDICT r10 item 3): LSH 0.75 (measured
+0.88-0.89 at L=24/b=5), IVF 0.55 (measured 0.62-0.72 at nprobe=6) —
+~0.1 under the worst measured SF because the fixture embeddings are
+uniform random (no cluster structure), the hardest case for
+space-partitioning ANN.
 """
 
 from __future__ import annotations
@@ -21,20 +24,20 @@ def _mean_recall(spark, recall_fn) -> float:
 
 def test_ivf_recall_floor(spark):
     from sparkstreamingtohdfsofsensorsdata_spark.llm.similarity import (
-        RECALL_FLOOR,
+        IVF_RECALL_FLOOR,
         _ivf_recall,
     )
 
-    assert _mean_recall(spark, _ivf_recall) >= RECALL_FLOOR
+    assert _mean_recall(spark, _ivf_recall) >= IVF_RECALL_FLOOR
 
 
 def test_lsh_recall_floor(spark):
     from sparkstreamingtohdfsofsensorsdata_spark.llm.similarity import (
-        RECALL_FLOOR,
+        LSH_RECALL_FLOOR,
         _lsh_recall,
     )
 
-    assert _mean_recall(spark, _lsh_recall) >= RECALL_FLOOR
+    assert _mean_recall(spark, _lsh_recall) >= LSH_RECALL_FLOOR
 
 
 def test_ann_bound_asserted_contract(spark):
