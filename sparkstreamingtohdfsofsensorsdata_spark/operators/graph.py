@@ -168,28 +168,103 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "join"),
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle count: edges kept in id order (a<b<c), wedges
-    (a,b)-(b,c) built by one self-join, closed by a second join probing
-    (a,c). Every triangle is emitted exactly once — no /6 correction,
+    """Exact triangle count via an ordered two-hop join, orientation
+    CHOSEN PER GRAPH from the measured wedge work (r11, VERDICT r10
+    item 6): wedges (a,b)-(b,c) built by one self-join over oriented
+    edges, closed by a second join probing (a,c). Every triangle is
+    emitted exactly once under either orientation — no /6 correction,
     no symmetric blow-up. The global clustering coefficient divides by
     the wedge count from the degree table.
 
-    Scale note — degree-ordered orientation, MEASURED (round 10): the
-    production refinement (Schank-Wagner "forward": point each edge at
-    its higher-(degree, id) endpoint, bounding wedge fan-out by
-    sum(outdeg²) with outdeg = O(sqrt(m))) was implemented and
-    benchmarked on this graph at sf0.1: 9.4s warm vs 6.0s for the
-    id-ordered form — SLOWER, because the co-purchase graph's degrees
-    are near-uniform (38..222, no hubs), so the bounded fan-out saves
-    nothing while the orientation pays two extra joins over the edge
-    list. Kept: the simpler id-ordered plan. The degree-ordered form
-    is the right choice only for skewed (power-law) graphs; on a
-    cluster you pick per-graph by the degree histogram (q_graph_degree
-    is exactly that probe)."""
+    Orientation decision (choose_triangle_orientation): the wedge
+    join's cost is sum over middle nodes of outdeg², where outdeg is
+    the out-degree under the chosen total order. One cheap pass over
+    the degree-annotated edge list computes that sum EXACTLY for both
+    candidate orders — id order (a<b<c) and Schank-Wagner degree order
+    (point each edge at its higher-(degree, id) endpoint, bounding
+    outdeg by O(sqrt(m))) — and the kernel picks degree order only
+    when its wedge work, times the ORIENT_PENALTY for the two extra
+    degree-annotation joins the orientation pays, still beats id
+    order. Round 10 measured that penalty on this near-uniform-degree
+    co-purchase graph (38..222, no hubs): degree order ran 9.4 s vs
+    6.0 s id-ordered while saving no wedge work, so the probe keeps id
+    order HERE; on a power-law graph (hub outdeg collapses to 0 under
+    degree order) the same probe flips — pinned both ways by
+    tests/test_graph_corpus.py on this graph and a synthetic hub
+    graph. At 100 TB the probe is two aggregations over the memoized
+    edge list — noise next to one wedge join round."""
     edges = copurchase_edges(spark, sf_dir)
+    orient, _, _ = choose_triangle_orientation(edges)
+    return _triangle_stats(edges, orient)
+
+
+# Degree order must beat id order by MORE than this factor of wedge
+# work before the kernel pays the orientation's two extra joins over
+# the edge list (measured round 10: 9.4 s vs 6.0 s at equal wedge work
+# on the near-uniform co-purchase graph — a ~1.5x constant overhead).
+ORIENT_PENALTY = 1.5
+
+
+def _degree_annotated(edges: DataFrame) -> DataFrame:
+    """Symmetric edges with both endpoint degrees: (src, dst, deg_src,
+    deg_dst). Two node-keyed joins against the (node-sized) degree
+    table — the standard degree-annotation shape; at scale both sides
+    hash-partition on the node key."""
     sym = _symmetric(edges)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    da = deg.select(F.col("src").alias("a"), F.col("degree").alias("deg_src"))
+    db = deg.select(F.col("src").alias("b"), F.col("degree").alias("deg_dst"))
+    return (
+        sym.join(da, sym["src"] == da["a"])
+        .join(db, sym["dst"] == db["b"])
+        .select("src", "dst", "deg_src", "deg_dst")
+    )
+
+
+def _deg_order_wins(ann: DataFrame):
+    """Column: TRUE where dst follows src in the (degree, id) total
+    order — the Schank-Wagner forward orientation."""
+    return (F.col("deg_dst") > F.col("deg_src")) | (
+        (F.col("deg_dst") == F.col("deg_src")) & (F.col("dst") > F.col("src"))
+    )
+
+
+def choose_triangle_orientation(edges: DataFrame) -> tuple:
+    """(orientation, wedge_work_id, wedge_work_degree) for the graph:
+    exact sum(outdeg²) under each candidate total order, computed in
+    one degree-annotated pass; 'degree' only when it beats id order by
+    more than ORIENT_PENALTY. The two scalars collected are one row —
+    control-plane, like the IVF centroid round-trip."""
+    ann = _degree_annotated(edges)
+    per_node = ann.groupBy("src").agg(
+        F.sum(F.when(F.col("dst") > F.col("src"), 1).otherwise(0)).alias(
+            "out_id"
+        ),
+        F.sum(F.when(_deg_order_wins(ann), 1).otherwise(0)).alias("out_deg"),
+    )
+    row = per_node.agg(
+        F.sum(F.col("out_id") * F.col("out_id")).alias("w_id"),
+        F.sum(F.col("out_deg") * F.col("out_deg")).alias("w_deg"),
+    ).collect()[0]
+    w_id = int(row["w_id"] or 0)
+    w_deg = int(row["w_deg"] or 0)
+    orient = "degree" if w_deg * ORIENT_PENALTY < w_id else "id"
+    return orient, w_id, w_deg
+
+
+def _triangle_stats(edges: DataFrame, orient: str) -> DataFrame:
+    """The triangle-count frame under the given orientation. Oriented
+    edges form a DAG under a total order, so the (e1: a->b, e2: b->c,
+    e3: a->c) join emits each triangle exactly once whichever order is
+    used — both branches are exact against the same oracle."""
+    sym = _symmetric(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    if orient == "degree":
+        ann = _degree_annotated(edges)
+        oriented = ann.filter(_deg_order_wins(ann)).select("src", "dst")
+    else:
+        oriented = edges  # already src < dst by construction
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(

@@ -185,3 +185,42 @@ def test_label_separation_positive_on_labeled_fixture(spark):
         assert r.separation > 0, r
         assert -1.0 - 1e-6 <= r.cos_global <= 1.0 + 1e-6
         assert -1.0 - 1e-6 <= r.cos_own <= 1.0 + 1e-6
+
+
+def test_triangle_orientation_probe_both_ways(spark):
+    """VERDICT r10 item 6: the orientation is chosen by DATA. On the
+    near-uniform co-purchase graph the probe must keep id order (the
+    round-10 measurement: degree order was 1.5x slower at equal wedge
+    work); on a synthetic hub graph degree order must win AND both
+    branches must count the same triangles as a brute-force recount."""
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.graph import (
+        ORIENT_PENALTY,
+        _triangle_stats,
+        choose_triangle_orientation,
+    )
+
+    # fixture graph: near-uniform degrees -> id order
+    edges = copurchase_edges(spark, SF)
+    orient, w_id, w_deg = choose_triangle_orientation(edges)
+    assert orient == "id"
+    assert w_id > 0 and w_deg > 0
+
+    # synthetic hub graph: node 0 joined to 1..60 (a hub), plus a
+    # sparse triangle mesh among the first leaves. Under id order the
+    # hub (id 0) keeps out-degree 60 -> wedge work ~3600; under degree
+    # order every star edge points INTO the hub, so its fan-out
+    # collapses to 0 and the probe must flip.
+    star = [(0, i) for i in range(1, 61)]
+    mesh = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    hub = spark.createDataFrame(star + mesh, "src long, dst long")
+    orient_h, w_id_h, w_deg_h = choose_triangle_orientation(hub)
+    assert orient_h == "degree"
+    assert w_deg_h * ORIENT_PENALTY < w_id_h
+
+    # both orientations are exact: star+mesh has 2 mesh triangles plus
+    # 6 hub-closed triangles ((0,1,2),(0,2,3),(0,1,3),(0,4,5),(0,5,6),
+    # (0,4,6)) = 8
+    for o in ("id", "degree"):
+        row = _triangle_stats(hub, o).collect()[0]
+        assert row.n_triangles == 8, (o, row)
+        assert row.n_nodes == 61 and row.n_edges == 66
