@@ -286,6 +286,11 @@ def _stdout_line(payload: dict) -> dict:
             "load_med": lvals[len(lvals) // 2] if lvals else None,
             "load_max": lvals[-1] if lvals else None,
             "n_rerun": len(payload.get("rerun_s", {})),
+            # streaming canary headline (rows/s; full record in
+            # bench_last.json stream_canary)
+            "stream_rps": payload.get("stream_canary", {}).get(
+                "rows_per_s"
+            ),
             "queries_total": len(ranked) + len(failed),
             "queries_failed_total": len(failed),
             "queries_failed": failed[:keep_failed],
@@ -324,6 +329,58 @@ def _stdout_line(payload: dict) -> dict:
     # Only reachable if a caller shrank the budget below ~200 bytes;
     # emit the headline anyway — numbers beat nothing.
     return build(0, 0, with_t=False)
+
+
+def _stream_canary(spark, sf_dir: str) -> dict:
+    """Streaming micro-batch throughput canary (VERDICT r10 item 8).
+
+    Replays the events table as N_CHUNKS distinct micro-batches
+    (maxFilesPerTrigger=1 over the ts-ordered replay dir) through the
+    representative stateful pipeline (tumbling event-time window agg,
+    the reference's identity workload) with trigger(availableNow) to a
+    memory sink, and reports input rows/s of end-to-end micro-batch
+    execution — source listing, state-store commits per batch, and the
+    window agg all inside the measured wall. One number per round in
+    bench_last.json/stdout makes streaming-runtime regressions a
+    visible trend; the q_stream_* keys alone hide slow drift inside
+    per-key noise because each carries sink/rig setup too. Failures
+    degrade to an ``error`` field — the canary must never sink a bench
+    run."""
+    import shutil
+
+    canary_chunks = 8
+    try:
+        from sparkstreamingtohdfsofsensorsdata_spark.session import scratch_dir
+        from sparkstreamingtohdfsofsensorsdata_spark.sources.factory import (
+            make_replay_dir,
+            stream_source,
+        )
+        from sparkstreamingtohdfsofsensorsdata_spark.streaming import ops
+        from sparkstreamingtohdfsofsensorsdata_spark.streaming.runner import (
+            run_to_memory,
+        )
+
+        replay = scratch_dir("bench_replay_")
+        try:
+            make_replay_dir(spark, sf_dir, replay, n_chunks=canary_chunks)
+            n_rows = spark.read.parquet(replay).count()
+            stream = stream_source(spark, replay, max_files_per_trigger=1)
+            start = time.perf_counter()
+            out = run_to_memory(ops.tumbling_counts(stream))
+            out.write.format("noop").mode("overwrite").save()
+            wall = time.perf_counter() - start
+        finally:
+            shutil.rmtree(replay, ignore_errors=True)
+        return {
+            "rows": n_rows,
+            "micro_batches": canary_chunks,
+            "wall_s": round(wall, 3),
+            "rows_per_s": int(n_rows / wall) if wall > 0 else -1,
+            "load_1m": _load_1m(),
+        }
+    except Exception as exc:  # pragma: no cover - canary must not sink bench
+        print(f"bench: stream canary FAILED: {exc}", file=sys.stderr)
+        return {"error": str(exc)[:200]}
 
 
 def main() -> None:
@@ -464,6 +521,7 @@ def main() -> None:
                     loads[name] = rerun_load
             except Exception as exc:
                 print(f"bench: {name} rerun FAILED: {exc}", file=sys.stderr)
+    canary = _stream_canary(spark, sf_dir)
     spark.stop()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -481,6 +539,11 @@ def main() -> None:
         # contention by construction — no manual paragraph needed.
         "load_1m": loads,
         "rerun_s": reruns,
+        # Streaming throughput canary (VERDICT r10 item 8): one
+        # multi-micro-batch stateful pipeline per round, as rows/s —
+        # streaming regressions show up as a trend across rounds, not
+        # just as wall-clock noise inside individual q_stream_* keys.
+        "stream_canary": canary,
     }
     # Persist the full map next to this script: harnesses that keep only
     # a tail of stdout truncated the per-query timings in round 2
