@@ -1887,3 +1887,98 @@ def q_agg_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_within_bound",
         "p95_within_bound",
     )
+
+
+BASKET_TOP_K = 50
+
+
+@query(
+    "q_agg_basket_pairs",
+    oracle=f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        n_orders AS (
+            SELECT CAST(count(DISTINCT ok) AS BIGINT) AS total FROM op
+        ),
+        item AS (
+            SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM op GROUP BY pk
+        ),
+        pair AS (
+            SELECT a.pk AS part_a, b.pk AS part_b,
+                   CAST(count(*) AS BIGINT) AS n_pair
+            FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+        ),
+        scored AS (
+            SELECT part_a, part_b, n_pair,
+                   ia.n_item AS n_a, ib.n_item AS n_b,
+                   CAST(n_pair * 1000000 // (SELECT total FROM n_orders)
+                        AS BIGINT) AS support_ppm,
+                   CAST(n_pair * (SELECT total FROM n_orders) * 1000000
+                        // (ia.n_item * ib.n_item) AS BIGINT) AS lift_micros
+            FROM pair
+            JOIN item ia ON ia.pk = part_a
+            JOIN item ib ON ib.pk = part_b
+        )
+        SELECT part_a, part_b, n_pair, n_a, n_b, support_ppm, lift_micros
+        FROM scored
+        ORDER BY n_pair DESC, part_a, part_b
+        LIMIT {BASKET_TOP_K}
+    """,
+    description="Market-basket pair mining: co-occurrence counts, support (ppm) and lift (micros) as exact BIGINT ratios; top-k by support via TakeOrdered, never a global sort",
+    tags=("aggregate", "join", "recommender"),
+)
+def q_agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair mining over order baskets with support and lift —
+    the association-rule primitive behind co-purchase recommenders.
+
+    Scale shape: baskets dedupe to DISTINCT (order, part) first (one
+    map-side-combinable distinct), the pair stream is a self-join
+    CO-PARTITIONED on the order key (the same one shuffle
+    graph.copurchase_edges pays; fan-out is bounded by basket size
+    squared, never corpus size), and pair counts aggregate with
+    map-side partials. Item counts join back onto the AGGREGATED pair
+    table (pair-count-sized, far smaller than the pair stream), the
+    1-row basket total rides a broadcast crossJoin, and the top-k cut
+    is orderBy+limit = TakeOrderedAndProject — no global sort. Support
+    and lift are BIGINT floor-division ratios (ppm / micros): exact on
+    both engines, no doubles anywhere."""
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    total = op.agg(F.count_distinct("ok").alias("total"))
+    item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("n_item").alias("n_b"))
+    scored = (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.expr("(n_pair * 1000000) div total").cast("long").alias(
+                "support_ppm"
+            ),
+            F.expr("(n_pair * total * 1000000) div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_micros"),
+        )
+    )
+    return scored.orderBy(
+        F.col("n_pair").desc(), "part_a", "part_b"
+    ).limit(BASKET_TOP_K)

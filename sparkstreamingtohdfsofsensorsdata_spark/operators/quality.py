@@ -17,7 +17,7 @@ included) makes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -431,4 +431,88 @@ def q_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(r.n_violations * 1000000) div r.n_checked")
         .cast("long")
         .alias("viol_micros"),
+    )
+
+
+# Benford first-digit expectation, parts-per-million: round(log10(1 +
+# 1/d) * 1e6). Precomputed CONSTANTS inlined into both engines — never
+# computed with log10 at query time, where a last-ulp libm difference
+# between JVM and DuckDB would break the exact hash.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+) + " END"
+_BENFORD_SPARK_CASE = (
+    "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}L" for d, p in BENFORD_PPM.items()
+    ) + " END"
+)
+
+
+@query(
+    "q_dq_benford",
+    oracle=f"""
+        WITH v AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders
+            WHERE o_totalprice > 0
+        ),
+        c AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(count(*)) OVER () AS BIGINT) AS total
+            FROM v GROUP BY digit
+        )
+        SELECT digit, n,
+               CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+               CAST({_BENFORD_SQL_CASE} AS BIGINT)  AS exp_ppm,
+               CAST(abs(n * 1000000 // total - ({_BENFORD_SQL_CASE}))
+                    AS BIGINT)                      AS dev_ppm
+        FROM c
+    """,
+    description="Benford first-digit conformance audit on order totals: observed vs expected digit frequency in exact integer ppm (expectation inlined as constants — no query-time libm)",
+    tags=("quality", "aggregate", "audit"),
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice against
+    Benford's law — the classic fabricated-data / unit-mixing screen a
+    pipeline runs over money columns before trusting a new feed. The
+    digit is taken from the exact integer-cents rendering (bigint ->
+    string, identical in both engines — never from double formatting);
+    frequencies and deviations are BIGINT floor-division ppm. One
+    map-side-combinable aggregation over a 9-row result; the total
+    rides a 9-row unpartitioned window, not a second scan."""
+    v = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    c = v.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    c = c.withColumn(
+        "total", F.sum("n").over(Window.partitionBy(F.lit(1)))
+    )
+    return c.select(
+        "digit",
+        "n",
+        F.expr("(n * 1000000) div total").cast("long").alias("obs_ppm"),
+        F.expr(_BENFORD_SPARK_CASE).cast("long").alias("exp_ppm"),
+        F.abs(
+            F.expr("(n * 1000000) div total")
+            - F.expr(_BENFORD_SPARK_CASE)
+        )
+        .cast("long")
+        .alias("dev_ppm"),
     )

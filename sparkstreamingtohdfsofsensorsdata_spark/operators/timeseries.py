@@ -1620,3 +1620,241 @@ def q_ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
         )
     )
+
+
+# Centered delta for the drawdown walk: events.value is positive
+# (~U(0, 100) around a ~50 mean), so the raw cumulative sum is monotone
+# and its drawdown trivially 0; subtracting a FIXED base (never a
+# data-derived mean — that would couple every row to a global
+# aggregate) turns the series into a signed random walk with real
+# peaks and troughs. Cents keep every intermediate BIGINT-exact.
+DRAWDOWN_BASE_CENTS = 5000
+# Two-level chunking of the event_id order (operators/ranking module
+# doc): event_id is a dense unique BIGINT, so floor(id / CHUNK) is a
+# monotone coarsening with bounded chunk population.
+DRAWDOWN_CHUNK = 1024
+
+
+@query(
+    "q_ts_drawdown",
+    oracle=f"""
+        WITH v AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT)
+                   - {DRAWDOWN_BASE_CENTS} AS delta
+            FROM events
+        ),
+        c AS (
+            SELECT event_type, event_id, delta,
+                   sum(delta) OVER (
+                       PARTITION BY event_type ORDER BY event_id) AS cum
+            FROM v
+        ),
+        r AS (
+            SELECT event_type, delta, cum,
+                   max(cum) OVER (
+                       PARTITION BY event_type ORDER BY event_id) AS run_max
+            FROM c
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)        AS n_events,
+               CAST(sum(delta) AS BIGINT)      AS final_cents,
+               CAST(max(cum) AS BIGINT)        AS peak_cents,
+               CAST(max(run_max - cum) AS BIGINT) AS max_drawdown_cents
+        FROM r
+        GROUP BY event_type
+    """,
+    description="Maximum drawdown per series: running peak minus cumulative value over the event_id order, exact integer cents via a TWO-LEVEL prefix sum + running max (no single-partition window)",
+    tags=("timeseries", "window", "finance"),
+)
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown (the canonical risk statistic: largest peak-to-
+    trough fall of the cumulative series) per event_type, exact cents.
+
+    Scale shape: the naive plan is ONE window per event_type ordered
+    by event_id — with 5 event types that is 5 partitions holding the
+    whole table (the few-huge-partitions trap, q_agg_gini's). Both
+    running statistics here are two-level decomposable, so the kernel
+    follows operators/ranking's pattern: (1) a window per
+    (event_type, id-chunk) computes bounded-size LOCAL prefix sums and
+    local running maxes; (2) the per-chunk totals aggregate to a small
+    chunk table whose exclusive prefix sum/max broadcast back as each
+    chunk's offset and prior-peak; (3) the global running max at any
+    row is greatest(prior chunks' peak, chunk offset + local running
+    max) — exact, and every window is bounded by DRAWDOWN_CHUNK.
+    """
+    v = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            - DRAWDOWN_BASE_CENTS
+        ).alias("delta"),
+        F.floor(F.col("event_id") / DRAWDOWN_CHUNK).alias("chunk"),
+    )
+    w_in = (
+        Window.partitionBy("event_type", "chunk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = v.withColumn("lcum", F.sum("delta").over(w_in))
+    local = local.withColumn("lrunmax", F.max("lcum").over(w_in))
+
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunk_tbl = (
+        local.groupBy("event_type", "chunk")
+        .agg(
+            F.sum("delta").alias("c_sum"),
+            F.max("lcum").alias("c_maxcum"),
+        )
+        .withColumn("offset", F.coalesce(F.sum("c_sum").over(w_prev), F.lit(0)))
+        .withColumn(
+            "prev_peak",
+            F.max(F.col("offset") + F.col("c_maxcum")).over(w_prev),
+        )
+        .select("event_type", "chunk", "offset", "prev_peak")
+    )
+    j = local.join(F.broadcast(chunk_tbl), ["event_type", "chunk"])
+    cum = F.col("offset") + F.col("lcum")
+    run_max = F.greatest(
+        F.coalesce(F.col("prev_peak"), F.lit(-(2**62))),
+        F.col("offset") + F.col("lrunmax"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("delta").alias("final_cents"),
+        F.max(cum).alias("peak_cents"),
+        F.max(run_max - cum).alias("max_drawdown_cents"),
+    )
+
+
+@query(
+    "q_events_streaks",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, day_num,
+                   day_num - row_number() OVER (
+                       PARTITION BY user_id ORDER BY day_num) AS island
+            FROM d
+        ),
+        s AS (
+            SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+            FROM r GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(sum(len) AS BIGINT) AS active_days,
+               CAST(count(*) AS BIGINT) AS n_streaks,
+               CAST(max(len) AS BIGINT) AS longest_streak
+        FROM s
+        GROUP BY user_id
+    """,
+    description="Longest consecutive-day activity streak per user (gaps-and-islands: day_num minus per-user row_number groups runs)",
+    tags=("timeseries", "window", "sessionize"),
+)
+def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands streak detection: distinct active days per
+    user, island id = day_num - row_number (constant within each
+    consecutive run), streak lengths per island, per-user summary.
+
+    Scale shape: one distinct on (user, day) (map-side combinable),
+    one window partitioned by user_id over day-count-bounded rows
+    (365/user/yr — never a huge partition), two algebraic groupBys.
+    Day arithmetic is integer day numbers from a fixed epoch on both
+    engines — no timestamp subtraction, no tz dependence (the registry
+    wrapper pins UTC)."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    islands = d.withColumn(
+        "island", F.col("day_num") - F.row_number().over(w)
+    )
+    s = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return s.groupBy("user_id").agg(
+        F.sum("len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+@query(
+    "q_ts_vwap",
+    oracle="""
+        SELECT CAST(year(l_shipdate) AS BIGINT)  AS yr,
+               CAST(month(l_shipdate) AS BIGINT) AS mo,
+               CAST(count(*) AS BIGINT)          AS n,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)                   AS qty_centi,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)                   AS price_cents,
+               CAST(CASE
+                    WHEN sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 0
+                     AND sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) >= 0
+                    THEN (CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                               AS BIGINT)) AS HUGEINT) * 1000000)
+                         // sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    END AS BIGINT)               AS vwap_micros
+        FROM lineitem
+        GROUP BY year(l_shipdate), month(l_shipdate)
+    """,
+    description="Volume-weighted average price per ship month: exact integer cents/centi-units, VWAP as BIGINT floor-division micros (never a double divide)",
+    tags=("timeseries", "aggregate", "finance"),
+)
+def q_ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWAP = sum(price)/sum(quantity) per calendar bucket — the
+    weighted-average family member the OHLC key doesn't cover. All
+    accumulation is integer (cents / centi-units); the ratio is BIGINT
+    floor division scaled to micros, so the result is hash-exact on
+    both engines. GUARDED to non-negative numerator / positive
+    denominator: Spark's ``div`` truncates toward zero while DuckDB's
+    ``//`` floors, so a negative quotient is a guaranteed one-sided
+    divergence, and a zero-quantity bucket raises in DuckDB — both
+    yield NULL instead (hostile-fixture class, test_edge_values). One
+    map-side-combinable aggregation; the shuffle carries one row per
+    (year, month)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    price = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").cast("long").alias("yr"),
+            F.month("l_shipdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(qty).alias("qty_centi"),
+            F.sum(price).alias("price_cents"),
+        )
+        .withColumn(
+            "vwap_micros",
+            # 128-bit-wide numerator on BOTH engines (DECIMAL(38,0) /
+            # HUGEINT): a 1e14-cents bucket times 1e6 overflows BIGINT
+            # (hostile-fixture class); operands are guarded positive so
+            # floor and truncate coincide.
+            F.when(
+                (F.col("qty_centi") > 0) & (F.col("price_cents") >= 0),
+                F.expr(
+                    "(CAST(price_cents AS DECIMAL(38,0)) * 1000000)"
+                    " div qty_centi"
+                ),
+            ).cast("long"),
+        )
+    )

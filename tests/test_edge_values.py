@@ -357,6 +357,13 @@ KEYS = [
     "q_agg_rfm",
     "q_ts_cohort_ltv",
     "q_agg_sketch_audit",
+    # round-11 batch 1 (the vwap guard class lives here: zero/negative
+    # quantity sums must NULL the floor-division, never raise/diverge)
+    "q_ts_drawdown",
+    "q_events_streaks",
+    "q_ts_vwap",
+    "q_dq_benford",
+    "q_agg_basket_pairs",
     "q_agg_group",
     "q_agg_global",
     "q_agg_count_distinct",

@@ -1095,3 +1095,30 @@ def test_assortativity_stays_jvm_side_single_agg(spark):
     assert "Python" not in plan
     assert "Window" not in plan
     assert "partial_sum" in plan
+
+
+def test_basket_pairs_topk_is_take_ordered(spark):
+    # The top-k cut must be TakeOrderedAndProject over the aggregated
+    # pair table — a global Sort here would single-partition the pair
+    # stream; and no BNLJ: the 1-row basket total is the ONLY allowed
+    # nested-loop build side.
+    df = q(spark, "q_agg_basket_pairs")
+    assert inspect.has_take_ordered(df)
+    text = inspect.plan_str(df)
+    assert "CartesianProduct" not in text
+
+
+def test_drawdown_windows_are_chunk_bounded(spark):
+    # Both running statistics ride windows partitioned by (type, chunk)
+    # — a window partitioned by event_type alone would put the whole
+    # table in 5 partitions. The chunk offsets come back via broadcast.
+    import re
+
+    df = q(spark, "q_ts_drawdown")
+    text = inspect.plan_str(df)
+    assert inspect.has_broadcast_join(df)
+    wspecs = re.findall(r"windowspecdefinition\([^)]*\)", text)
+    row_specs = [s for s in wspecs if "event_id" in s]
+    assert row_specs, "expected row-level windows ordered by event_id"
+    for s in row_specs:
+        assert "chunk" in s, f"row-level window lost its chunk partition: {s}"
