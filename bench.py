@@ -101,6 +101,8 @@ GRAPH_FAMILY = (
     "q_graph_wcc",
     "q_graph_kcore",
     "q_graph_assortativity",
+    "q_graph_modularity",
+    "q_graph_local_clustering",
 )
 
 

@@ -1982,3 +1982,142 @@ def q_agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("n_pair").desc(), "part_a", "part_b"
     ).limit(BASKET_TOP_K)
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_QUERY_MOD = 97  # partkeys with key % MOD == 0 are the audited set
+
+
+def _cms_hash_spark(depth: int, key: str = "pk"):
+    """Row-hash for CMS row ``depth``: md5 of 'depth:key', first 8 hex
+    chars as a 32-bit int, mod the row width — byte-identical in
+    DuckDB (_cms_hash_sql)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(depth), F.col(key).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def _cms_hash_sql(depth: int, key: str) -> str:
+    return (
+        f"('0x' || substring(md5({depth} || ':' || CAST({key} AS VARCHAR)),"
+        f" 1, 8))::BIGINT % {CMS_WIDTH}"
+    )
+
+
+@query(
+    "q_agg_count_min",
+    oracle=f"""
+        WITH cells AS (
+            SELECT d.depth,
+                   CASE d.depth
+                       {" ".join(f"WHEN {i} THEN {_cms_hash_sql(i, 'l_partkey')}" for i in range(CMS_DEPTH))}
+                   END AS cell,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM lineitem, (SELECT unnest(range({CMS_DEPTH})) AS depth) d
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS true_n
+            FROM lineitem
+            WHERE l_partkey % {CMS_QUERY_MOD} = 0
+            GROUP BY l_partkey
+        ),
+        probe AS (
+            SELECT t.pk, t.true_n, min(ce.c) AS cms_n
+            FROM truth t, (SELECT unnest(range({CMS_DEPTH})) AS depth) d
+            JOIN cells ce
+              ON ce.depth = d.depth
+             AND ce.cell = CASE d.depth
+                   {" ".join(f"WHEN {i} THEN {_cms_hash_sql(i, 't.pk')}" for i in range(CMS_DEPTH))}
+                 END
+            GROUP BY t.pk, t.true_n
+        )
+        SELECT pk, true_n, CAST(cms_n AS BIGINT) AS cms_n,
+               CAST(cms_n - true_n AS BIGINT) AS over_n,
+               cms_n >= true_n AS never_undercounts
+        FROM probe
+    """,
+    description=f"Count-min sketch ({CMS_DEPTH}x{CMS_WIDTH}, md5 row hashes): per-key min-over-rows estimate audited against exact counts; the one-sided error invariant is a hash-gated output column",
+    tags=("aggregate", "sketch", "audit"),
+)
+def q_agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built AS A DATAFRAME — the mergeable frequency
+    sketch a streaming pipeline keeps per shard and ORs together: each
+    row explodes into CMS_DEPTH (row, cell) increments (cell = seeded
+    md5 of the key, mod width), the sketch is one groupBy onto
+    depth*width cells, and a key's estimate is the MIN over its rows'
+    cells. The audited invariant — CMS never undercounts — rides the
+    output as a boolean the oracle asserts literally (the lsh_audit /
+    sketch_audit pattern).
+
+    Scale shape: the sketch build shuffles depth*width = {cells}
+    aggregated cells regardless of input size (map-side combine does
+    the heavy lifting); the probe side is the audited key set joined
+    to the tiny sketch (broadcast). md5 is the portable stand-in for
+    xxhash64 (engine-identical hex; production would use the faster
+    64-bit hash)."""
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("pk"))
+    cells = (
+        li.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("depth"),
+                            _cms_hash_spark(i).alias("cell"),
+                        )
+                        for i in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("dc")
+        )
+        .groupBy(F.col("dc.depth").alias("depth"), F.col("dc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        li.filter(F.col("pk") % CMS_QUERY_MOD == 0)
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    probes = truth.select(
+        "pk",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        _cms_hash_spark(i).alias("cell"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("dc"),
+    ).select("pk", "true_n", F.col("dc.depth").alias("depth"), F.col("dc.cell").alias("cell"))
+    est = (
+        probes.join(F.broadcast(cells), ["depth", "cell"])
+        .groupBy("pk", "true_n")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return est.select(
+        "pk",
+        "true_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("true_n")).alias("over_n"),
+        (F.col("cms_n") >= F.col("true_n")).alias("never_undercounts"),
+    )
+
+
+q_agg_count_min.__doc__ = q_agg_count_min.__doc__.format(
+    cells=CMS_DEPTH * CMS_WIDTH
+)

@@ -61,9 +61,9 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Memoized per (live session, sf_dir fingerprint) — the same
     session-attached cache the SimHash dedup family uses (llm/dedup):
-    all eight graph kernels (degree, triangles, pagerank,
-    common-neighbors, bfs, wcc, kcore, assortativity — bench.py
-    GRAPH_FAMILY, enumeration pinned by
+    all ten graph kernels (degree, triangles, pagerank,
+    common-neighbors, bfs, wcc, kcore, assortativity, modularity,
+    local-clustering — bench.py GRAPH_FAMILY, enumeration pinned by
     tests/test_memo.py::test_graph_family_docstring_in_sync so the
     count can never drift again) read this ONE table, which is the
     production "materialize the edge list once, bucket by src, every
@@ -891,3 +891,213 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(r * 1000000 + F.lit(0.5)).cast("long"),
         ).alias("assortativity_micros"),
     )
+
+
+def _modularity_oracle() -> str:
+    """Newman modularity of the CC partition, integer-exact: reuses the
+    bounded-round min-label CTE generator (llm/dedup._cc_oracle_ctes)
+    for the community labels, then pure BIGINT arithmetic — Q =
+    (4m*sum(e_c) - sum(d_c^2)) / (4m^2), floor-scaled to micros. For a
+    CC partition every edge is intra-community (sum(e_c) = m), so the
+    numerator 4m^2 - sum(d_c^2) is provably non-negative — floor
+    division is safe on both engines."""
+    from ..llm.dedup import _cc_oracle_ctes
+
+    ctes, final = _cc_oracle_ctes()
+    return f"""
+        WITH
+        oedges AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM oedges
+            UNION ALL
+            SELECT dst, src FROM oedges
+        ),
+        {ctes},
+        lab AS MATERIALIZED (SELECT node, label FROM {final}),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM oedges),
+        ec AS (
+            SELECT la.label, CAST(count(*) AS BIGINT) AS e_c
+            FROM oedges e
+            JOIN lab la ON la.node = e.src
+            JOIN lab lb ON lb.node = e.dst
+            WHERE la.label = lb.label
+            GROUP BY la.label
+        ),
+        dc AS (
+            SELECT la.label, CAST(count(*) AS BIGINT) AS d_c
+            FROM edges e JOIN lab la ON la.node = e.src
+            GROUP BY la.label
+        ),
+        agg AS (
+            SELECT (SELECT m FROM m) AS m,
+                   CAST(count(*) AS BIGINT) AS n_communities,
+                   CAST(sum(coalesce(ec.e_c, 0)) AS BIGINT) AS intra_edges,
+                   CAST(sum(dc.d_c * dc.d_c) AS BIGINT)     AS sum_dc2,
+                   CAST(max(dc.d_c) AS BIGINT)              AS max_dc
+            FROM dc LEFT JOIN ec ON ec.label = dc.label
+        )
+        SELECT n_communities, m AS n_edges, intra_edges, sum_dc2, max_dc,
+               CAST((4 * m * intra_edges - sum_dc2) * 1000000
+                    // (4 * m * m) AS BIGINT) AS q_micros
+        FROM agg
+    """
+
+
+@query(
+    "q_graph_modularity",
+    oracle=_modularity_oracle(),
+    description="Newman modularity of the connected-component partition: intra-edge and degree-mass sums per community, Q as exact BIGINT floor-division micros",
+    tags=("graph", "iterative", "aggregate"),
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-quality audit: given a community assignment (here the
+    WCC labels from the shared min-label library — the assignment with
+    an exactly mirrorable oracle), compute Newman's Q = sum_c [e_c/m -
+    (d_c/2m)^2] in pure BIGINT arithmetic, floor-scaled to micros. For
+    a CC partition sum(e_c) = m by construction, so Q measures how
+    evenly degree mass fragments across islands (0 for one giant
+    component, -> 1 for many equal ones) — the go/no-go before trusting
+    per-community statistics downstream.
+
+    Scale shape: label propagation is the shared pointer-doubling
+    kernel (O(log diameter) rounds over the memoized edge table); the
+    modularity pass is two node-keyed joins of labels onto edges plus
+    two map-side-combinable groupBys onto community cardinality; the
+    final statistic folds ONE row. No floats anywhere."""
+    from ..llm.dedup import propagate_min_labels
+
+    edges = copurchase_edges(spark, sf_dir)
+    pairs = edges.select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    labels = propagate_min_labels(pairs)
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("lab_b"))
+    ec = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    sym = _symmetric(edges)
+    dc = (
+        sym.join(la, "src")
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    agg = (
+        dc.join(ec, "label", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum(F.coalesce("e_c", F.lit(0))).alias("intra_edges"),
+            F.sum(F.col("d_c") * F.col("d_c")).alias("sum_dc2"),
+            F.max("d_c").alias("max_dc"),
+        )
+        .crossJoin(F.broadcast(m))
+    )
+    return agg.select(
+        "n_communities",
+        F.col("m").alias("n_edges"),
+        "intra_edges",
+        "sum_dc2",
+        "max_dc",
+        F.expr("((4 * m * intra_edges - sum_dc2) * 1000000) div (4 * m * m)")
+        .cast("long")
+        .alias("q_micros"),
+    )
+
+
+LCC_TOP_K = 20
+
+
+@query(
+    "q_graph_local_clustering",
+    oracle=f"""
+        WITH {_EDGES_CTE},
+        tri AS MATERIALIZED (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM edges e1
+            JOIN edges e2 ON e1.dst = e2.src
+            JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        pertri AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ),
+        tcount AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+            FROM pertri GROUP BY node
+        ),
+        deg AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM sym GROUP BY src
+        )
+        SELECT d.node, d.degree,
+               CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+               CAST(2 * coalesce(t.n_tri, 0) * 1000000
+                    // (d.degree * (d.degree - 1)) AS BIGINT) AS lcc_ppm
+        FROM deg d LEFT JOIN tcount t ON t.node = d.node
+        WHERE d.degree >= 2
+        ORDER BY lcc_ppm DESC, d.node
+        LIMIT {LCC_TOP_K}
+    """,
+    description="Per-node local clustering coefficient: triangle incidences from the ordered triangle join exploded to all three corners, over per-node wedge counts; exact ppm, top-k via TakeOrdered",
+    tags=("graph", "join", "window"),
+)
+def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts-Strogatz local clustering per node — "how clique-like is
+    each product's neighborhood" — the node-granular complement of
+    q_graph_triangles' one global coefficient. Each triangle from the
+    id-ordered two-hop join increments ALL THREE corners (an inline
+    3-element explode of the triangle stream — rows 3x triangles, far
+    smaller than the wedge stream that produced them); coefficient =
+    2*tri / (deg*(deg-1)) in exact BIGINT ppm (degree >= 2 guards the
+    zero denominator). Top-k cut is orderBy+limit = TakeOrdered.
+    9th consumer of the memoized edge table."""
+    edges = copurchase_edges(spark, sf_dir)
+    sym = _symmetric(edges)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.array(
+                F.col("e1.src"), F.col("e1.dst"), F.col("e2.dst")
+            ).alias("corners")
+        )
+    )
+    tcount = (
+        tri.select(F.explode("corners").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    out = (
+        deg.filter(F.col("degree") >= 2)
+        .join(tcount, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.expr(
+                "(2 * coalesce(n_tri, 0) * 1000000)"
+                " div (degree * (degree - 1))"
+            )
+            .cast("long")
+            .alias("lcc_ppm"),
+        )
+    )
+    return out.orderBy(F.col("lcc_ppm").desc(), "node").limit(LCC_TOP_K)

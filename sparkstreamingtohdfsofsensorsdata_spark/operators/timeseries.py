@@ -1858,3 +1858,68 @@ def q_ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+PATH_TOP_K = 10
+
+
+@query(
+    "q_events_path_topk",
+    oracle=f"""
+        WITH p AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   string_agg(event_type, '>' ORDER BY event_id) AS path
+            FROM events
+            GROUP BY user_id, CAST(ts AS DATE)
+        )
+        SELECT path,
+               CAST(count(*) AS BIGINT)              AS n_sessions,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM p
+        GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT {PATH_TOP_K}
+    """,
+    description="Top-k most common per-user-day event paths: ordered path strings (event_id order — tie-free and truncation-immune), session + distinct-user counts, TakeOrdered cut",
+    tags=("timeseries", "aggregate", "funnel"),
+)
+def q_events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis — the "what do users actually do in a day"
+    complement of the fixed-pattern funnel: each (user, day) session
+    becomes its ordered event-type string, and the most common paths
+    rank by frequency. Ordering is by event_id (globally unique
+    BIGINT), NEVER raw ts: the fixture's nanosecond timestamps
+    truncate to micros on the Spark side only, so a ts order could
+    legally disagree between engines on within-microsecond ties, while
+    the unique key cannot.
+
+    Scale shape: one groupBy (user, day) whose collect_list is bounded
+    by per-day activity (array_sort on structs -> JVM-side transform +
+    array_join, no Python), one map-side-combinable path count
+    (count_distinct over user partials), TakeOrdered for the cut."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_id",
+        "event_type",
+    )
+    p = ev.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP_K)
+    )

@@ -364,6 +364,11 @@ KEYS = [
     "q_ts_vwap",
     "q_dq_benford",
     "q_agg_basket_pairs",
+    # round-11 batch 2
+    "q_graph_modularity",
+    "q_graph_local_clustering",
+    "q_events_path_topk",
+    "q_agg_count_min",
     "q_agg_group",
     "q_agg_global",
     "q_agg_count_distinct",

@@ -1122,3 +1122,16 @@ def test_drawdown_windows_are_chunk_bounded(spark):
     assert row_specs, "expected row-level windows ordered by event_id"
     for s in row_specs:
         assert "chunk" in s, f"row-level window lost its chunk partition: {s}"
+
+
+def test_local_clustering_topk_is_take_ordered(spark):
+    df = q(spark, "q_graph_local_clustering")
+    assert inspect.has_take_ordered(df)
+
+
+def test_count_min_probe_broadcasts_sketch(spark):
+    # The 1024-cell sketch must be the broadcast build side of the
+    # probe join; the sketch build must partially aggregate map-side.
+    df = q(spark, "q_agg_count_min")
+    assert inspect.has_broadcast_join(df)
+    assert inspect.has_partial_aggregation(df)
