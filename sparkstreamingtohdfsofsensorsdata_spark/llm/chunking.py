@@ -211,3 +211,89 @@ def q_llm_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_waste"),
         )
     )
+
+
+CURRICULUM_TIERS = 4
+# Chunk width for the two-level global rank over the difficulty spine
+# (operators/ranking recipe 2: low-cardinality metric + unique tiebreak
+# split across id ranges).
+CURRICULUM_ID_CHUNK = 4096
+
+
+@query(
+    "q_llm_curriculum",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS difficulty
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        r AS (
+            SELECT doc_id, difficulty,
+                   row_number() OVER (ORDER BY difficulty, doc_id) AS rk,
+                   count(*) OVER () AS n
+            FROM d
+        ),
+        t AS (
+            SELECT difficulty,
+                   CAST((rk - 1) * {CURRICULUM_TIERS} // n + 1 AS BIGINT)
+                       AS tier
+            FROM r
+        )
+        SELECT tier,
+               CAST(count(*) AS BIGINT)        AS n_docs,
+               CAST(min(difficulty) AS BIGINT) AS min_difficulty,
+               CAST(max(difficulty) AS BIGINT) AS max_difficulty,
+               CAST(sum(difficulty) AS BIGINT) AS tokens_total
+        FROM t GROUP BY tier
+    """,
+    description=f"Curriculum tiering: documents ranked by estimated token difficulty into {CURRICULUM_TIERS} equal tiers via the two-level chunked global rank (rank-arithmetic ntile, no single-partition sort)",
+    tags=("llm", "chunking", "sampling"),
+)
+def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning tier assignment: order the corpus by a
+    difficulty proxy (estimated BPE token count — longer docs cost and
+    teach more) and cut it into equal-population tiers a scheduler
+    feeds easy-to-hard. The tier is RANK ARITHMETIC ((rank-1)*T div n
+    + 1, the q_agg_rfm quintile idiom) over a TWO-LEVEL chunked global
+    rank (operators/ranking) — ntile() would single-partition-sort the
+    corpus; the chunk spine ((difficulty, doc_id-range)) keeps every
+    local window bounded. Boundary: NULL/empty docs are outside (no
+    difficulty), shared with the fertility/ensemble keys.
+
+    Scale shape: one scan + the two-level rank (bounded local windows
+    + broadcast chunk offsets) + one map-side-combined groupBy onto
+    CURRICULUM_TIERS rows."""
+    from ..operators.ranking import chunked_row_number
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            F.ceil(F.length("text") / 4.0).cast("long").alias("difficulty"),
+        )
+    )
+    ranked = chunked_row_number(
+        d,
+        ["difficulty", "doc_id"],
+        [
+            F.col("difficulty"),
+            F.floor(F.col("doc_id") / CURRICULUM_ID_CHUNK).cast("long"),
+        ],
+        rank_name="rk",
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    t = ranked.crossJoin(F.broadcast(n)).select(
+        "difficulty",
+        F.expr(f"((rk - 1) * {CURRICULUM_TIERS}) div n + 1")
+        .cast("long")
+        .alias("tier"),
+    )
+    return t.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("difficulty").alias("min_difficulty"),
+        F.max("difficulty").alias("max_difficulty"),
+        F.sum("difficulty").alias("tokens_total"),
+    )

@@ -1683,3 +1683,197 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nll"), 6).alias("min_nll"),
         F.round(F.max("nll"), 6).alias("max_nll"),
     )
+
+
+@query(
+    "q_llm_tokenizer_fertility",
+    oracle="""
+        WITH d AS (
+            SELECT lang, source,
+                   CAST(length(text) AS BIGINT)                  AS chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)  AS ws_toks,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT)      AS bpe_toks
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        )
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT)       AS n_docs,
+               CAST(sum(chars) AS BIGINT)     AS chars_total,
+               CAST(sum(ws_toks) AS BIGINT)   AS ws_tokens_total,
+               CAST(sum(bpe_toks) AS BIGINT)  AS bpe_tokens_total,
+               CAST(sum(chars) * 1000 // sum(ws_toks) AS BIGINT)
+                                              AS ws_fertility_milli,
+               CAST(sum(chars) * 1000 // sum(bpe_toks) AS BIGINT)
+                                              AS bpe_fertility_milli
+        FROM d GROUP BY lang, source
+    """,
+    description="Tokenizer fertility audit per (lang, source): chars per whitespace / BPE-estimate token in exact integer milli-units — the cross-language cost model a tokenizer change is judged by",
+    tags=("llm", "text", "audit"),
+)
+def q_llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility (characters consumed per emitted token) per language
+    and source — the number that decides how much compute a language
+    actually costs under a given tokenizer, and the first audit run
+    when swapping tokenizers. Two tokenizer models: whitespace tokens
+    and the 4-chars-per-token BPE estimate (q_llm_text_stats' columns,
+    aggregated corpus-wide). Empty/NULL documents are outside the
+    boundary on both engines (fertility of nothing is undefined, and
+    they would poison the denominator). Ratios are BIGINT
+    floor-division milli-units: denominators are provably positive
+    (every counted doc has >= 1 whitespace token and length > 0).
+
+    Scale shape: one scan, row-local token counts (JVM split/size,
+    no explode — the per-doc arrays never shuffle), one map-side
+    combined groupBy onto (lang, source) cardinality."""
+    toks = _tokens()
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "lang",
+            "source",
+            F.length("text").cast("long").alias("chars"),
+            F.size(toks).cast("long").alias("ws_toks"),
+            F.ceil(F.length("text") / 4.0).cast("long").alias("bpe_toks"),
+        )
+    )
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").alias("chars_total"),
+            F.sum("ws_toks").alias("ws_tokens_total"),
+            F.sum("bpe_toks").alias("bpe_tokens_total"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "chars_total",
+            "ws_tokens_total",
+            "bpe_tokens_total",
+            F.expr("(chars_total * 1000) div ws_tokens_total")
+            .cast("long")
+            .alias("ws_fertility_milli"),
+            F.expr("(chars_total * 1000) div bpe_tokens_total")
+            .cast("long")
+            .alias("bpe_fertility_milli"),
+        )
+    )
+
+
+# Ensemble weights (milli-scale): length gate 400, lexical diversity
+# (TTR) 300, stopword sanity 300. Integer end to end.
+ENSEMBLE_W_LEN = 400
+ENSEMBLE_W_TTR = 300
+ENSEMBLE_W_STOP = 300
+ENSEMBLE_HIGH = 700
+ENSEMBLE_MID = 400
+
+
+@query(
+    "q_llm_quality_ensemble",
+    oracle=f"""
+        WITH s AS (
+            SELECT source,
+                   CASE WHEN length(text) BETWEEN 100 AND 20000
+                        THEN 1 ELSE 0 END                         AS len_ok,
+                   CAST(len(list_distinct(string_split(text, ' '))) * 1000
+                        // len(string_split(text, ' ')) AS BIGINT) AS ttr_milli,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        t -> list_contains({list(STOPWORDS)!r}, t))) * 1000
+                        // len(string_split(text, ' ')) AS BIGINT) AS stop_milli
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        scored AS (
+            SELECT source,
+                   CAST(({ENSEMBLE_W_LEN} * len_ok * 1000
+                         + {ENSEMBLE_W_TTR} * ttr_milli
+                         + {ENSEMBLE_W_STOP} * (1000 - stop_milli)) // 1000
+                        AS BIGINT) AS score_milli
+            FROM s
+        ),
+        tiered AS (
+            SELECT source,
+                   CASE WHEN score_milli >= {ENSEMBLE_HIGH} THEN 'high'
+                        WHEN score_milli >= {ENSEMBLE_MID} THEN 'mid'
+                        ELSE 'low' END AS tier,
+                   score_milli
+            FROM scored
+        )
+        SELECT source, tier,
+               CAST(count(*) AS BIGINT)          AS n_docs,
+               CAST(sum(score_milli) AS BIGINT)  AS score_total_milli,
+               CAST(min(score_milli) AS BIGINT)  AS score_min,
+               CAST(max(score_milli) AS BIGINT)  AS score_max
+        FROM tiered GROUP BY source, tier
+    """,
+    description="Weighted quality-ensemble scoring: length/TTR/stopword signals combined into one integer milli-score, tier census per source — the single promote/demote number downstream filters key on",
+    tags=("llm", "text", "quality"),
+)
+def q_llm_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combines the per-doc quality signals into ONE weighted score —
+    production filters rank on a single calibrated number, not three
+    raw signals — and reports the tier census per source. Every signal
+    is integer milli-scale (BIGINT floor division; counted docs have
+    >= 1 token so denominators are positive) and the weighted sum is
+    integer arithmetic, so the score is hash-exact by construction.
+    Shares the documents-table boundary with the fertility audit
+    (NULL/empty text outside).
+
+    Scale shape: row-local token arrays (never shuffled), one
+    map-side-combined groupBy onto (source, tier)."""
+    toks = _tokens()
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    s = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "source",
+            F.when(F.length("text").between(100, 20000), 1)
+            .otherwise(0)
+            .alias("len_ok"),
+            (F.size(F.array_distinct(toks)).cast("long") * 1000).alias(
+                "_ttr_num"
+            ),
+            (
+                F.size(
+                    F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+                ).cast("long")
+                * 1000
+            ).alias("_stop_num"),
+            n_tok.cast("long").alias("_n_tok"),
+        )
+        .select(
+            "source",
+            "len_ok",
+            F.expr("_ttr_num div _n_tok").alias("ttr_milli"),
+            F.expr("_stop_num div _n_tok").alias("stop_milli"),
+        )
+    )
+    scored = s.select(
+        "source",
+        F.expr(
+            f"(({ENSEMBLE_W_LEN} * len_ok * 1000"
+            f" + {ENSEMBLE_W_TTR} * ttr_milli"
+            f" + {ENSEMBLE_W_STOP} * (1000 - stop_milli)) div 1000)"
+        )
+        .cast("long")
+        .alias("score_milli"),
+    )
+    tiered = scored.select(
+        "source",
+        "score_milli",
+        F.when(F.col("score_milli") >= ENSEMBLE_HIGH, "high")
+        .when(F.col("score_milli") >= ENSEMBLE_MID, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+    return tiered.groupBy("source", "tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score_milli").alias("score_total_milli"),
+        F.min("score_milli").alias("score_min"),
+        F.max("score_milli").alias("score_max"),
+    )

@@ -846,3 +846,114 @@ def q_join_fuzzy_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(block_sizes), "block")
         .select("block", "n_names", "n_close_pairs", "dist_sum")
     )
+
+
+# Synthetic deterministic point cloud for the spatial join: integer
+# coordinates derived from the customer key by modular multiplication
+# (two co-prime multipliers) — engine-identical, no RNG, no libm.
+SPATIAL_EXTENT = 4000  # coordinate range [0, EXTENT)
+SPATIAL_RADIUS = 100  # "close" threshold; also the grid cell size
+SPATIAL_TOP_K = 50
+
+
+@query(
+    "q_join_spatial_grid",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey AS id,
+                   (c_custkey * 7919) % {SPATIAL_EXTENT}   AS x,
+                   (c_custkey * 104729) % {SPATIAL_EXTENT} AS y
+            FROM customer
+        ),
+        cells AS (
+            SELECT id, x, y,
+                   x // {SPATIAL_RADIUS} AS cx, y // {SPATIAL_RADIUS} AS cy
+            FROM pts
+        ),
+        offsets AS (
+            SELECT dx, dy
+            FROM (SELECT unnest([-1, 0, 1]) AS dx),
+                 (SELECT unnest([-1, 0, 1]) AS dy)
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) AS d2
+            FROM cells a
+            JOIN offsets o ON TRUE
+            JOIN cells b
+              ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+             AND a.id < b.id
+        )
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               CAST(d2 AS BIGINT) AS d2
+        FROM pairs
+        WHERE d2 < {SPATIAL_RADIUS * SPATIAL_RADIUS}
+        ORDER BY d2, id_a, id_b
+        LIMIT {SPATIAL_TOP_K}
+    """,
+    description=f"Grid-blocked spatial self-join: integer point cloud bucketed into radius-sized cells, 3x3 neighbor-cell equi-join (never all-pairs), closest-{SPATIAL_TOP_K} pairs by exact integer squared distance",
+    tags=("join", "spatial", "blocking"),
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity self-join, the geospatial blocking pattern: bucket
+    points into grid cells the size of the search radius, probe each
+    point against its 3x3 neighbor cells via EQUI-join on the cell key
+    (a pair within the radius cannot span more than one cell step, so
+    the blocking is lossless), and keep pairs under the exact integer
+    squared-distance threshold. Each qualifying pair matches exactly
+    ONE offset (the cell delta), so no dedup pass is needed. Distance
+    stays squared-integer — no sqrt, no floats, hash-exact.
+
+    At 100 TB this is how point-proximity joins ship: the cell id is
+    the shuffle key (both sides hash-partition on it), per-cell
+    population bounds the quadratic term, and the 9-offset explode
+    costs a constant fan-out of the smaller stream. Top-k cut is
+    orderBy+limit = TakeOrdered on the (filtered) pair stream.
+
+    Coordinates here are a deterministic modular spray of the customer
+    key (no RNG, engine-identical); a real deployment reads real
+    lat/lon scaled to integer micro-degrees."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % SPATIAL_EXTENT).alias("x"),
+        ((F.col("c_custkey") * 104729) % SPATIAL_EXTENT).alias("y"),
+    )
+    cells = pts.select(
+        "id",
+        "x",
+        "y",
+        F.expr(f"x div {SPATIAL_RADIUS}").alias("cx"),
+        F.expr(f"y div {SPATIAL_RADIUS}").alias("cy"),
+    )
+    probes = cells.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("cx"),
+                        (F.col("cy") + dy).alias("cy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    ).select("id_a", "xa", "ya", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
+    d2 = (F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x")) + (
+        F.col("ya") - F.col("y")
+    ) * (F.col("ya") - F.col("y"))
+    pairs = (
+        probes.join(cells, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id"))
+        .select(
+            "id_a",
+            F.col("id").alias("id_b"),
+            d2.alias("d2"),
+        )
+        .filter(F.col("d2") < SPATIAL_RADIUS * SPATIAL_RADIUS)
+    )
+    return pairs.orderBy("d2", "id_a", "id_b").limit(SPATIAL_TOP_K)

@@ -369,6 +369,12 @@ KEYS = [
     "q_graph_local_clustering",
     "q_events_path_topk",
     "q_agg_count_min",
+    # round-11 batch 3 (NULL/empty documents sit OUTSIDE the shared
+    # text boundary; key 0 exercises the spatial origin cell)
+    "q_llm_tokenizer_fertility",
+    "q_llm_quality_ensemble",
+    "q_llm_curriculum",
+    "q_join_spatial_grid",
     "q_agg_group",
     "q_agg_global",
     "q_agg_count_distinct",

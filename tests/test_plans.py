@@ -1135,3 +1135,28 @@ def test_count_min_probe_broadcasts_sketch(spark):
     df = q(spark, "q_agg_count_min")
     assert inspect.has_broadcast_join(df)
     assert inspect.has_partial_aggregation(df)
+
+
+def test_spatial_grid_join_is_equi_on_cells(spark):
+    # The neighbor-cell probe must be a hash/sort-merge EQUI join on
+    # (cx, cy) — a BNLJ or cartesian here means the blocking failed and
+    # the key degrades to all-pairs; top-k must be TakeOrdered.
+    df = q(spark, "q_join_spatial_grid")
+    text = inspect.plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    assert inspect.has_take_ordered(df)
+
+
+def test_curriculum_rank_windows_are_chunk_bounded(spark):
+    import re
+
+    df = q(spark, "q_llm_curriculum")
+    text = inspect.plan_str(df)
+    wspecs = re.findall(r"windowspecdefinition\([^)]*\)", text)
+    spine = [s for s in wspecs if "doc_id" in s or "difficulty" in s]
+    assert spine, "expected rank windows over the difficulty spine"
+    for s in spine:
+        assert re.search(r"_?chunk\d*#", s.split("ASC")[0]), (
+            f"rank window lost its chunk partition: {s}"
+        )
