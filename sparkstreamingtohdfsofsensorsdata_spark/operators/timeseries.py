@@ -1923,3 +1923,98 @@ def q_events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(PATH_TOP_K)
     )
+
+
+SEQ_FIRST, SEQ_THEN = "view", "purchase"
+
+
+@query(
+    "q_events_sequence_next",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS next_type
+            FROM events
+        )
+        SELECT day,
+               CAST(count(*) AS BIGINT) AS n_immediate,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM s
+        WHERE event_type = '{SEQ_FIRST}' AND next_type = '{SEQ_THEN}'
+        GROUP BY day
+    """,
+    description=f"Strict-adjacency sequence match: '{SEQ_FIRST}' IMMEDIATELY followed by '{SEQ_THEN}' in the per-user event_id order (lead-based, unlike the funnel's first-after semantics), daily conversion counts",
+    tags=("timeseries", "window", "funnel"),
+)
+def q_events_sequence_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: the A-immediately-then-B pattern via
+    lead() over the per-user sequence — strict adjacency, which the
+    funnel key (first B any time after first A) cannot express. The
+    sequence order is event_id (globally unique), immune to the
+    fixture's ns->us timestamp truncation. One window exchange keyed
+    on user_id (bounded per-user partitions), one map-side-combinable
+    daily rollup; distinct-user partials bounded by user cardinality."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "event_id",
+    )
+    s = s.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        s.filter(
+            (F.col("event_type") == SEQ_FIRST)
+            & (F.col("next_type") == SEQ_THEN)
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_immediate"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+HIST2D_VALUE_BIN_CENTS = 5000  # 50-unit value bins, exact integer cents
+
+
+@query(
+    "q_agg_hist2d",
+    oracle=f"""
+        SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT)
+                   // {HIST2D_VALUE_BIN_CENTS} AS value_bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents_total
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="2-D histogram (hour-of-day x integer value bin): the heatmap primitive as one map-side-combined groupBy; bins from exact cents floor-division, never float bucketing",
+    tags=("aggregate", "histogram"),
+)
+def q_agg_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint distribution over two axes — the heatmap behind every
+    "when do high-value events happen" dashboard. Bin edges are exact
+    integer arithmetic (cents div width; hour() of the UTC-pinned
+    timestamp), so bucket membership can never flip between engines
+    the way float-multiplied edges can. One aggregation, shuffle
+    bounded by 24 x value-range/width cells regardless of input."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.select(
+            F.hour("ts").cast("long").alias("hour_of_day"),
+            F.expr(
+                f"(cast(floor(value * 100 + 0.5d) as bigint))"
+                f" div {HIST2D_VALUE_BIN_CENTS}"
+            ).alias("value_bin"),
+            cents.alias("cents"),
+        )
+        .groupBy("hour_of_day", "value_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_total"),
+        )
+    )

@@ -375,6 +375,9 @@ KEYS = [
     "q_llm_quality_ensemble",
     "q_llm_curriculum",
     "q_join_spatial_grid",
+    # round-11 batch 4
+    "q_events_sequence_next",
+    "q_agg_hist2d",
     "q_agg_group",
     "q_agg_global",
     "q_agg_count_distinct",
