@@ -124,53 +124,41 @@ def test_dedup_memos_evict_superseded_same_path_entries(spark):
 
 
 def test_registry_window_is_the_stale_cohort():
-    # Round-10 rotation contract (VERDICT r9 item 3): the driver
-    # verifies a 50-key prefix, and the r9 window consumed exactly the
-    # previous head-50 — so the head is rebuilt as (a) keys added THIS
-    # round (never had any chance of a verdict), then (b) the two keys
-    # whose r9 driver hash failed and were fixed (they need a green r10
-    # row), then (c) the three keys never driver-checked since their
-    # oracles were upgraded, then (d) everything else in ascending
-    # freshest-driver-verdict order (the r4/r5 cohort). Spot-pin the
-    # boundary so a future reorder cannot silently push a stale key
-    # out of the window.
+    """The r11 rotation (VERDICT r10 item 1): the driver checks a
+    50-key prefix of load_all(), so the prefix must be (a) the 15
+    round-11 additions, (b) the 4 keys whose code changed this round
+    (ANN ground-truth re-attribution + recall floors; triangle
+    orientation probe), then (c) the 45-key r5-stale cohort in its
+    pinned order — a 50-key window consumes (a)+(b) and the first 31
+    of (c). Spot-pin the boundary so a reorder cannot silently push a
+    stale key out of the window."""
+    from sparkstreamingtohdfsofsensorsdata_spark.registry import (
+        VERIFICATION_PRIORITY,
+    )
+
     front = list(registry.load_all())[:50]
-    r10_additions = [
-        "q_sample_weighted", "q_agg_gini", "q_events_attribution",
-        "q_events_markov", "q_anon_ldiversity", "q_dq_rules",
-        "q_graph_kcore", "q_join_fuzzy_block", "q_llm_shard_assign",
-        "q_agg_pareto", "q_graph_assortativity", "q_ts_time_bucket",
-        "q_scan_multi_source", "q_set_symdiff",
-        "q_agg_rfm", "q_ts_cohort_ltv", "q_agg_sketch_audit",
-        "q_stream_cdc_apply", "q_scan_backfill_union",
-        "q_fn_try_datetime",
+    r11_additions = [
+        "q_ts_drawdown", "q_events_streaks", "q_ts_vwap", "q_dq_benford",
+        "q_agg_basket_pairs", "q_graph_modularity",
+        "q_graph_local_clustering", "q_events_path_topk",
+        "q_agg_count_min", "q_llm_tokenizer_fertility",
+        "q_llm_quality_ensemble", "q_llm_curriculum", "q_join_spatial_grid",
+        "q_events_sequence_next", "q_agg_hist2d",
     ]
-    registered = [k for k in r10_additions if k in registry.load_all()]
-    n_new = len(registered)
-    assert set(front[:n_new]) == set(registered)
-    # next: the two r9 hash-fail fixes, then the three oracle-upgraded
-    # never-driver-checked keys
-    must_lead = [
-        "q_ts_cusum", "q_agg_decimal_exact",
-        "q_agg_approx_distinct", "q_agg_hll_union", "q_llm_sim_topk_lsh",
+    assert front[: len(r11_additions)] == r11_additions
+    changed = [
+        "q_llm_sim_topk", "q_llm_sim_topk_lsh", "q_llm_sim_topk_ivf",
+        "q_graph_triangles",
     ]
-    assert front[n_new : n_new + 5] == must_lead
-    # whatever slots remain go to the stalest cohort IN ORDER (r3
-    # verdicts first, then the r4 join cohort) — structural, so adding
-    # more round-10 keys shrinks the stale window without breaking it
-    stale_head = [
-        "q_stream_corpus_ingest", "q_scan_parquet",
-        "q_join_inner_equi", "q_join_broadcast", "q_join_left",
-        "q_join_right", "q_join_full", "q_join_semi", "q_join_anti",
-        "q_join_theta",
-    ]
-    k = min(len(stale_head), 50 - n_new - 5)
-    assert front[n_new + 5 : n_new + 5 + k] == stale_head[:k]
-    # keys the driver greened in r9 must NOT occupy window slots
-    # (except the two hash-fail fixes above)
-    assert "q_graph_wcc" not in front
-    assert "q_llm_zipf_slope" not in front
-    assert "q_scan_csv_malformed" not in front
+    assert front[15:19] == changed
+    # the stale cohort fills the rest of the window, in priority order
+    stale_head = [k for k in VERIFICATION_PRIORITY[19:]][:31]
+    assert front[19:50] == stale_head
+    assert "q_udf_row_scalar" in VERIFICATION_PRIORITY  # r12 tail intact
+    # keys the r10 driver greened must NOT occupy window slots
+    for greened in ("q_fn_try_datetime", "q_stream_cdc_apply", "q_agg_rfm"):
+        assert greened not in front
+
 
 
 def test_graph_family_docstring_in_sync():
