@@ -849,8 +849,11 @@ def q_join_fuzzy_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Synthetic deterministic point cloud for the spatial join: integer
-# coordinates derived from the customer key by modular multiplication
-# (two co-prime multipliers) — engine-identical, no RNG, no libm.
+# coordinates from md5 of the customer key (the shard_assign idiom) —
+# engine-identical, no RNG, no libm, and genuinely dispersed. (A
+# modular-multiplication lattice was tried first: its regular spacing
+# produced ZERO close pairs at sf0.001 — structured coordinates are
+# not a point cloud.)
 SPATIAL_EXTENT = 4000  # coordinate range [0, EXTENT)
 SPATIAL_RADIUS = 100  # "close" threshold; also the grid cell size
 SPATIAL_TOP_K = 50
@@ -861,8 +864,10 @@ SPATIAL_TOP_K = 50
     oracle=f"""
         WITH pts AS (
             SELECT c_custkey AS id,
-                   (c_custkey * 7919) % {SPATIAL_EXTENT}   AS x,
-                   (c_custkey * 104729) % {SPATIAL_EXTENT} AS y
+                   ('0x' || substring(md5('x:' || CAST(c_custkey AS VARCHAR)), 1, 6))::INT
+                       % {SPATIAL_EXTENT} AS x,
+                   ('0x' || substring(md5('y:' || CAST(c_custkey AS VARCHAR)), 1, 6))::INT
+                       % {SPATIAL_EXTENT} AS y
             FROM customer
         ),
         cells AS (
@@ -911,13 +916,30 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs a constant fan-out of the smaller stream. Top-k cut is
     orderBy+limit = TakeOrdered on the (filtered) pair stream.
 
-    Coordinates here are a deterministic modular spray of the customer
+    Coordinates here are a deterministic md5 spray of the customer
     key (no RNG, engine-identical); a real deployment reads real
     lat/lon scaled to integer micro-degrees."""
+
+    def coord(prefix: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.lit(prefix), F.col("c_custkey").cast("string"))
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % SPATIAL_EXTENT
+        )
+
     pts = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
-        ((F.col("c_custkey") * 7919) % SPATIAL_EXTENT).alias("x"),
-        ((F.col("c_custkey") * 104729) % SPATIAL_EXTENT).alias("y"),
+        coord("x").alias("x"),
+        coord("y").alias("y"),
     )
     cells = pts.select(
         "id",
