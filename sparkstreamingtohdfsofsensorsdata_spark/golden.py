@@ -829,3 +829,77 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs. Output is supplier-bounded (dim-sized), never
     fact-sized."""
     return _sql(spark, sf_dir, _Q20)
+
+
+@query(
+    "q_sql_view_chain",
+    oracle="""
+        WITH brand_parts AS (
+            SELECT p_partkey, p_brand, p_retailprice
+            FROM part WHERE p_size >= 20
+        ),
+        brand_sales AS (
+            SELECT bp.p_brand,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l JOIN brand_parts bp ON l.l_partkey = bp.p_partkey
+            GROUP BY bp.p_brand
+        )
+        SELECT s.p_brand,
+               s.n_lines,
+               s.revenue_cents,
+               CAST(c.n_parts AS BIGINT) AS n_parts,
+               CAST(s.revenue_cents // c.n_parts AS BIGINT)
+                   AS cents_per_part
+        FROM brand_sales s
+        JOIN (
+            SELECT p_brand, count(*) AS n_parts FROM brand_parts GROUP BY 1
+        ) c ON c.p_brand = s.p_brand
+    """,
+    description="Layered SQL view chain: temp views stacked three deep and queried through spark.sql — pins that view indirection costs NOTHING (Catalyst inlines views; the plan equals the hand-fused query)",
+    tags=("sql", "view", "golden"),
+)
+def q_sql_view_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BI-tool shape: analysts stack temp views (filtered dim ->
+    joined rollup -> per-unit ratios) and query the TOP one. The point
+    at scale is that Spark views are ANALYSIS-TIME MACROS — Catalyst
+    inlines the chain and optimizes the fused plan, so the part filter
+    still pushes into the parquet scan three layers down and the view
+    boundary costs zero runtime (the same chain as the oracle's
+    in-lined CTEs, which is the proof). View names are re-registered
+    per call (createOrReplaceTempView), so repeated runs in one
+    session stay self-consistent."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW vc_brand_parts AS
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part WHERE p_size >= 20
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW vc_brand_sales AS
+        SELECT bp.p_brand,
+               count(*) AS n_lines,
+               sum(cast(floor(l.l_extendedprice * 100 + 0.5d) AS bigint))
+                   AS revenue_cents
+        FROM lineitem l JOIN vc_brand_parts bp ON l.l_partkey = bp.p_partkey
+        GROUP BY bp.p_brand
+        """
+    )
+    return spark.sql(
+        """
+        SELECT s.p_brand,
+               s.n_lines,
+               s.revenue_cents,
+               c.n_parts,
+               (s.revenue_cents div c.n_parts) AS cents_per_part
+        FROM vc_brand_sales s
+        JOIN (
+            SELECT p_brand, count(*) AS n_parts
+            FROM vc_brand_parts GROUP BY p_brand
+        ) c ON c.p_brand = s.p_brand
+        """
+    )

@@ -2121,3 +2121,74 @@ def q_agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_agg_count_min.__doc__ = q_agg_count_min.__doc__.format(
     cells=CMS_DEPTH * CMS_WIDTH
 )
+
+
+@query(
+    "q_agg_herfindahl",
+    oracle="""
+        WITH s AS (
+            SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS spend
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT seg,
+               CAST(count(*) AS BIGINT)   AS n_cust,
+               CAST(sum(spend) AS BIGINT) AS spend_total_cents,
+               CAST(CASE WHEN sum(spend) <> 0
+                    THEN sum(CAST(spend AS HUGEINT) * spend) * 1000000
+                         // (CAST(sum(spend) AS HUGEINT) * sum(spend))
+                    END AS BIGINT)        AS hhi_ppm,
+               CAST(CASE WHEN sum(spend) <> 0
+                    THEN max(spend) * 1000000 // sum(spend)
+                    END AS BIGINT)        AS top_share_ppm
+        FROM s GROUP BY seg
+    """,
+    description="Herfindahl-Hirschman concentration per segment: sum of squared customer spend shares in exact ppm via 128-bit-wide (DECIMAL(38)/HUGEINT) integer arithmetic — the monopoly-screen complement of Gini/Pareto",
+    tags=("aggregate", "finance", "audit"),
+)
+def q_agg_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI = sum over customers of (spend share)^2 — the concentration
+    number regulators and marketplace dashboards quote, completing the
+    inequality family (Gini: rank-weighted dispersion; Pareto: how
+    many cover X%; HHI: sum of squared shares). Squared cents overflow
+    BIGINT at sf0.1 (a 1e8-cent customer squares to 1e16, and the
+    segment sum crosses 9.2e18), so both the numerator and the S^2
+    denominator accumulate in 128-bit-wide integers (Spark
+    DECIMAL(38,0), DuckDB HUGEINT) with ONE floor division at the end
+    — identical ppm on both engines.
+
+    Scale shape: one orders-customer equi-join, one map-side-combined
+    per-customer rollup, one per-segment aggregation. No window, no
+    Python."""
+    s = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("spend")
+        )
+    )
+    return s.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("spend").alias("spend_total_cents"),
+        # zero-total guard: S^2 == 0 raises on BOTH engines (ANSI /
+        # DuckDB division by zero) — a refunds-only segment must read
+        # NULL, not crash (q_ts_vwap's guard class)
+        F.expr(
+            "cast(case when sum(spend) <> 0 then"
+            " (sum(cast(spend as decimal(38,0)) * spend) * 1000000)"
+            " div (cast(sum(spend) as decimal(38,0)) * sum(spend))"
+            " end as bigint)"
+        ).alias("hhi_ppm"),
+        F.expr(
+            "cast(case when sum(spend) <> 0 then"
+            " (max(spend) * 1000000) div sum(spend) end as bigint)"
+        ).alias("top_share_ppm"),
+    )

@@ -516,3 +516,149 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dev_ppm"),
     )
+
+
+# t-closeness distance threshold (micros): classes whose ordered-EMD
+# from the global sensitive-attribute distribution exceeds this leak
+# distributional information k-anonymity and l-diversity both miss.
+T_CLOSENESS_MICROS = 250000
+
+
+@query(
+    "q_anon_tcloseness",
+    oracle=f"""
+        WITH j AS (
+            SELECT c.c_mktsegment AS seg, c.c_nationkey AS nat,
+                   o.o_orderpriority AS pri
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderpriority IS NOT NULL
+        ),
+        pri_vals AS (SELECT DISTINCT pri FROM j),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pri_vals),
+        g AS (
+            SELECT pri, CAST(count(*) AS BIGINT) AS n_g FROM j GROUP BY pri
+        ),
+        gtot AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM j),
+        classes AS (
+            SELECT seg, nat, CAST(count(*) AS BIGINT) AS nc
+            FROM j GROUP BY seg, nat
+        ),
+        grid AS (
+            SELECT c.seg, c.nat, c.nc, p.pri,
+                   CAST(coalesce(x.n, 0) AS BIGINT) AS n_c
+            FROM classes c
+            CROSS JOIN pri_vals p
+            LEFT JOIN (
+                SELECT seg, nat, pri, count(*) AS n FROM j GROUP BY 1, 2, 3
+            ) x ON x.seg = c.seg AND x.nat = c.nat AND x.pri = p.pri
+        ),
+        cums AS (
+            SELECT seg, nat, nc, pri,
+                   sum(n_c) OVER (PARTITION BY seg, nat ORDER BY pri) AS cum_c,
+                   (SELECT sum(g2.n_g) FROM g g2 WHERE g2.pri <= grid.pri)
+                       AS cum_g
+            FROM grid
+        ),
+        dist AS (
+            SELECT seg, nat, nc,
+                   CAST(sum(abs(cum_c * (SELECT ng FROM gtot)
+                                - cum_g * nc)) * 1000000
+                        // (nc * (SELECT ng FROM gtot)
+                            * ((SELECT m FROM m) - 1)) AS BIGINT)
+                       AS t_micros
+            FROM cums GROUP BY seg, nat, nc
+        )
+        SELECT seg,
+               CAST(count(*) AS BIGINT)   AS n_classes,
+               CAST(max(t_micros) AS BIGINT) AS worst_t_micros,
+               CAST(sum(CASE WHEN t_micros > {T_CLOSENESS_MICROS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_far_classes,
+               CAST(sum(CASE WHEN t_micros > {T_CLOSENESS_MICROS}
+                             THEN nc ELSE 0 END) AS BIGINT) AS rows_exposed
+        FROM dist GROUP BY seg
+    """,
+    description="t-closeness audit (ordered EMD between each QI class's sensitive distribution and the global one, exact cross-multiplied BIGINT micros) — the distribution-leak gate k-anonymity and l-diversity miss",
+    tags=("quality", "privacy", "aggregate"),
+)
+def q_anon_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the privacy-audit family (k-anonymity: class sizes;
+    l-diversity: distinct sensitive values; t-closeness: the
+    DISTRIBUTION of the sensitive value inside each class vs the
+    table). For the ordinal priority attribute the Earth-Mover
+    distance is the mean absolute difference of cumulative
+    distributions — computed here entirely in cross-multiplied BIGINTs
+    (|cum_c*N_g - cum_g*N_c| summed, one floor division at the end),
+    so the audit number is hash-exact.
+
+    Scale shape: one orders-by-customer equi-join (the l-diversity
+    join), one groupBy per granularity (class, class x value, value),
+    and the class x value grid is a crossJoin of two SMALL distinct
+    sets (classes x ordinal values) left-joined to counts — grid
+    construction is O(classes x values) regardless of input rows. The
+    per-class cumulative rides a window over m ordinal values, bounded
+    by construction."""
+    j = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isNotNull())
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+    )
+    pri_vals = j.select("pri").distinct()
+    classes = j.groupBy("seg", "nat").agg(F.count(F.lit(1)).alias("nc"))
+    cls_counts = j.groupBy("seg", "nat", "pri").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_g = Window.orderBy("pri").rowsBetween(Window.unboundedPreceding, 0)
+    glob = (
+        j.groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n_g"))
+        .withColumn("cum_g", F.sum("n_g").over(w_g))
+    )
+    ng = j.agg(F.count(F.lit(1)).alias("ng"))
+    m = pri_vals.agg(F.count(F.lit(1)).alias("m"))
+    grid = (
+        classes.crossJoin(F.broadcast(pri_vals))
+        .join(cls_counts, ["seg", "nat", "pri"], "left")
+        .select(
+            "seg", "nat", "nc", "pri", F.coalesce("n", F.lit(0)).alias("n_c")
+        )
+    )
+    w_c = (
+        Window.partitionBy("seg", "nat")
+        .orderBy("pri")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = (
+        grid.withColumn("cum_c", F.sum("n_c").over(w_c))
+        .join(F.broadcast(glob.select("pri", "cum_g")), "pri")
+        .crossJoin(F.broadcast(ng))
+        .crossJoin(F.broadcast(m))
+    )
+    # ng and m are global 1-row constants broadcast onto every grid row
+    # — constant within any group, so they join the grouping key rather
+    # than needing a fake aggregate around them
+    dist = cums.groupBy("seg", "nat", "nc", "ng", "m").agg(
+        F.expr(
+            "cast(sum(abs(cum_c * ng - cum_g * nc)) * 1000000"
+            " div (nc * ng * (m - 1)) as bigint)"
+        ).alias("t_micros")
+    )
+    return dist.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.max("t_micros").alias("worst_t_micros"),
+        F.sum(
+            F.when(F.col("t_micros") > T_CLOSENESS_MICROS, 1).otherwise(0)
+        ).alias("n_far_classes"),
+        F.sum(
+            F.when(F.col("t_micros") > T_CLOSENESS_MICROS, F.col("nc")).otherwise(
+                0
+            )
+        ).alias("rows_exposed"),
+    )

@@ -2018,3 +2018,80 @@ def q_agg_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("cents_total"),
         )
     )
+
+
+IAT_BUCKET_S = 600  # 10-minute inter-arrival histogram buckets
+IAT_DAY_CHUNK = 86400  # two-level lag: one chunk per whole-second day
+
+
+@query(
+    "q_events_inter_arrival",
+    oracle=f"""
+        WITH o AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+            FROM events
+        ),
+        d AS (
+            SELECT event_type,
+                   sec - lag(sec) OVER (
+                       PARTITION BY event_type ORDER BY sec, event_id) AS gap
+            FROM o
+        )
+        SELECT event_type,
+               CAST(gap // {IAT_BUCKET_S} AS BIGINT) AS gap_bucket,
+               CAST(count(*) AS BIGINT)              AS n,
+               CAST(sum(gap) AS BIGINT)              AS gap_total_s
+        FROM d WHERE gap IS NOT NULL
+        GROUP BY event_type, gap // {IAT_BUCKET_S}
+    """,
+    description="Inter-arrival-time histogram per event type (10-min buckets, whole seconds): TWO-LEVEL lag — within-day windows plus a broadcast day-boundary stitch — never a whole-table window per type",
+    tags=("timeseries", "window", "histogram"),
+)
+def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process profile — the burstiness/SLA screen run before
+    sizing stream consumers. Timestamps enter as FLOOR-OF-EPOCH whole
+    seconds: flooring to seconds absorbs the fixture's ns->us
+    truncation asymmetry (the gotcha that bans raw sub-second ts
+    arithmetic), and (sec, event_id) is a deterministic total order on
+    both engines.
+
+    Scale shape: lag() partitioned by event_type alone would put the
+    whole table in 5 partitions, so the lag is TWO-LEVEL like
+    q_ts_drawdown: within-(type, day) windows compute bounded local
+    lags, and each day's first gap is stitched from the previous day's
+    max second via a lag over the tiny (type, day) chunk table,
+    broadcast back. The histogram is one map-side-combined groupBy."""
+    o = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("sec"),
+    )
+    o = o.withColumn("day", F.expr(f"sec div {IAT_DAY_CHUNK}"))
+    w_in = Window.partitionBy("event_type", "day").orderBy("sec", "event_id")
+    local = o.withColumn("prev_in", F.lag("sec").over(w_in))
+    w_days = Window.partitionBy("event_type").orderBy("day")
+    chunk = (
+        o.groupBy("event_type", "day")
+        .agg(F.max("sec").alias("day_max"))
+        .withColumn("prev_day_max", F.lag("day_max").over(w_days))
+        .select("event_type", "day", "prev_day_max")
+    )
+    gaps = (
+        local.join(F.broadcast(chunk), ["event_type", "day"])
+        .select(
+            "event_type",
+            (
+                F.col("sec")
+                - F.coalesce("prev_in", "prev_day_max")
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return gaps.groupBy(
+        "event_type",
+        F.expr(f"gap div {IAT_BUCKET_S}").cast("long").alias("gap_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").alias("gap_total_s"),
+    )

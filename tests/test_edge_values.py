@@ -378,6 +378,12 @@ KEYS = [
     # round-11 batch 4
     "q_events_sequence_next",
     "q_agg_hist2d",
+    # round-11 batch 5 (NULL priorities sit outside the t-closeness
+    # boundary; negative spends exercise the HHI integer arithmetic)
+    "q_anon_tcloseness",
+    "q_agg_herfindahl",
+    "q_events_inter_arrival",
+    "q_sql_view_chain",
     "q_agg_group",
     "q_agg_global",
     "q_agg_count_distinct",

@@ -1160,3 +1160,12 @@ def test_curriculum_rank_windows_are_chunk_bounded(spark):
         assert re.search(r"_?chunk\d*#", s.split("ASC")[0]), (
             f"rank window lost its chunk partition: {s}"
         )
+
+
+def test_view_chain_inlines_and_pushes_down(spark):
+    # Views are analysis-time macros: the part filter declared three
+    # view layers up must still reach the parquet scan as a pushed
+    # filter, and the fused plan must broadcast the dim side.
+    df = q(spark, "q_sql_view_chain")
+    assert inspect.has_pushed_filters(df, "p_size")
+    assert inspect.has_broadcast_join(df)
