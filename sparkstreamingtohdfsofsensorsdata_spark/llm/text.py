@@ -1877,3 +1877,81 @@ def q_llm_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score_milli").alias("score_min"),
         F.max("score_milli").alias("score_max"),
     )
+
+
+OOV_VOCAB_K = 1000  # vocabulary = the corpus's top-K tokens
+
+
+@query(
+    "q_llm_oov_rate",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        vocab AS (
+            SELECT t FROM (
+                SELECT t, count(*) AS n,
+                       row_number() OVER (ORDER BY count(*) DESC, t) AS rk
+                FROM tok GROUP BY t
+            ) WHERE rk <= {OOV_VOCAB_K}
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS tokens_total,
+               CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS oov_tokens,
+               CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) * 1000000
+                    // count(*) AS BIGINT) AS oov_ppm
+        FROM tok LEFT JOIN vocab v USING (t)
+        GROUP BY source
+    """,
+    description=f"Out-of-vocabulary rate per source vs the corpus top-{OOV_VOCAB_K} token vocabulary: aggregated token counts join the broadcast vocab (raw tokens never shuffle per occurrence), exact integer ppm",
+    tags=("llm", "text", "audit"),
+)
+def q_llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer/vocabulary coverage audit: the fraction of token
+    OCCURRENCES outside the corpus's own top-K vocabulary, per source
+    — the number that decides whether a fixed vocab (or a domain
+    tokenizer) will shred a new source into UNK/byte fallbacks.
+    Vocabulary membership ties break (count desc, token asc), so the
+    cut is deterministic on both engines.
+
+    Scale shape: tokens aggregate to (source, token) COUNTS first (one
+    map-side-combined groupBy — per-occurrence rows never survive the
+    explode stage boundary), the top-K vocab is a TakeOrdered of the
+    (small) global token-count table, and the membership probe is a
+    broadcast left join of aggregated counts against the K-row vocab.
+    The oracle joins raw occurrences (fine for DuckDB); the Spark side
+    proves the aggregated-first shape is value-identical."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("source", F.explode(_tokens()).alias("t"))
+    )
+    per_src = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        per_src.groupBy("t")
+        .agg(F.sum("n").alias("n_tot"))
+        .orderBy(F.col("n_tot").desc(), "t")
+        .limit(OOV_VOCAB_K)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        per_src.join(F.broadcast(vocab), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("tokens_total"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0)).alias(
+                "oov_tokens"
+            ),
+        )
+        .select(
+            "source",
+            "tokens_total",
+            "oov_tokens",
+            F.expr("(oov_tokens * 1000000) div tokens_total")
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+    )

@@ -2095,3 +2095,74 @@ def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("gap").alias("gap_total_s"),
     )
+
+
+@query(
+    "q_events_anomaly_days",
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT)     AS n,
+                   CAST(sum(x) AS BIGINT)       AS sx,
+                   CAST(sum(x * x) AS BIGINT)   AS sq
+            FROM d GROUP BY event_type
+        )
+        SELECT d.event_type,
+               s.n AS n_days,
+               CAST(sum(CASE WHEN (d.x * s.n - s.sx) * (d.x * s.n - s.sx)
+                                  > 4 * (s.n * s.sq - s.sx * s.sx)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+               CAST(min(d.x) AS BIGINT) AS min_daily,
+               CAST(max(d.x) AS BIGINT) AS max_daily,
+               s.sx AS events_total
+        FROM d JOIN s ON s.event_type = d.event_type
+        GROUP BY d.event_type, s.n, s.sx
+    """,
+    description="Daily-rate anomaly days per event type: the 2-sigma z-test algebraically squared into PURE BIGINT form ((x*n - S)^2 > 4*(n*Q - S^2)) — no mean, no sqrt, no float anywhere",
+    tags=("timeseries", "aggregate", "audit"),
+)
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly screen: which days' event counts sit more than 2
+    population standard deviations from that type's mean. The test is
+    |x - mean| > 2*sigma, which cross-multiplies into the INTEGER
+    inequality (x*n - S)^2 > 4*(n*Q - S^2) with S = sum(x), Q =
+    sum(x^2) — exact on both engines with no division, no sqrt, no
+    float representation anywhere (the q_agg_moments cancellation
+    trap never arises because nothing is ever a float).
+
+    Scale shape: one map-side-combined daily rollup, one tiny
+    per-type power-sum aggregate broadcast back onto the day table,
+    one final per-type count. Day-table cardinality = days x types —
+    control-plane sized at any corpus scale."""
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sq"),
+    )
+    j = d.join(F.broadcast(s), "event_type")
+    anom = (
+        (F.col("x") * F.col("n") - F.col("sx"))
+        * (F.col("x") * F.col("n") - F.col("sx"))
+    ) > 4 * (F.col("n") * F.col("sq") - F.col("sx") * F.col("sx"))
+    return j.groupBy("event_type", "n", "sx").agg(
+        F.sum(F.when(anom, 1).otherwise(0)).alias("n_anomalous"),
+        F.min("x").alias("min_daily"),
+        F.max("x").alias("max_daily"),
+    ).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "n_anomalous",
+        "min_daily",
+        "max_daily",
+        F.col("sx").alias("events_total"),
+    )

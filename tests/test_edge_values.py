@@ -384,6 +384,9 @@ KEYS = [
     "q_agg_herfindahl",
     "q_events_inter_arrival",
     "q_sql_view_chain",
+    # round-11 batch 6
+    "q_llm_oov_rate",
+    "q_events_anomaly_days",
     "q_agg_group",
     "q_agg_global",
     "q_agg_count_distinct",

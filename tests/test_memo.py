@@ -125,11 +125,11 @@ def test_dedup_memos_evict_superseded_same_path_entries(spark):
 
 def test_registry_window_is_the_stale_cohort():
     """The r11 rotation (VERDICT r10 item 1): the driver checks a
-    50-key prefix of load_all(), so the prefix must be (a) the 19
+    50-key prefix of load_all(), so the prefix must be (a) the 21
     round-11 additions, (b) the 4 keys whose code changed this round
     (ANN ground-truth re-attribution + recall floors; triangle
     orientation probe), then (c) the 45-key r5-stale cohort in its
-    pinned order — a 50-key window consumes (a)+(b) and the first 27
+    pinned order — a 50-key window consumes (a)+(b) and the first 25
     of (c). Spot-pin the boundary so a reorder cannot silently push a
     stale key out of the window."""
     from sparkstreamingtohdfsofsensorsdata_spark.registry import (
@@ -145,16 +145,17 @@ def test_registry_window_is_the_stale_cohort():
         "q_llm_quality_ensemble", "q_llm_curriculum", "q_join_spatial_grid",
         "q_events_sequence_next", "q_agg_hist2d", "q_anon_tcloseness",
         "q_agg_herfindahl", "q_events_inter_arrival", "q_sql_view_chain",
+        "q_llm_oov_rate", "q_events_anomaly_days",
     ]
     assert front[: len(r11_additions)] == r11_additions
     changed = [
         "q_llm_sim_topk", "q_llm_sim_topk_lsh", "q_llm_sim_topk_ivf",
         "q_graph_triangles",
     ]
-    assert front[19:23] == changed
+    assert front[21:25] == changed
     # the stale cohort fills the rest of the window, in priority order
-    stale_head = [k for k in VERIFICATION_PRIORITY[23:]][:27]
-    assert front[23:50] == stale_head
+    stale_head = [k for k in VERIFICATION_PRIORITY[25:]][:25]
+    assert front[25:50] == stale_head
     assert "q_udf_row_scalar" in VERIFICATION_PRIORITY  # r12 tail intact
     # keys the r10 driver greened must NOT occupy window slots
     for greened in ("q_fn_try_datetime", "q_stream_cdc_apply", "q_agg_rfm"):
