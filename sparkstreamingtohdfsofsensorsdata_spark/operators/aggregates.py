@@ -1915,7 +1915,8 @@ BASKET_TOP_K = 50
                    ia.n_item AS n_a, ib.n_item AS n_b,
                    CAST(n_pair * 1000000 // (SELECT total FROM n_orders)
                         AS BIGINT) AS support_ppm,
-                   CAST(n_pair * (SELECT total FROM n_orders) * 1000000
+                   CAST(CAST(n_pair AS HUGEINT)
+                        * (SELECT total FROM n_orders) * 1000000
                         // (ia.n_item * ib.n_item) AS BIGINT) AS lift_micros
             FROM pair
             JOIN item ia ON ia.pk = part_a
@@ -1974,7 +1975,14 @@ def q_agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_pair * 1000000) div total").cast("long").alias(
                 "support_ppm"
             ),
-            F.expr("(n_pair * total * 1000000) div (n_a * n_b)")
+            # 128-bit-wide numerator (ADVICE r11): n_pair*total*1e6
+            # crosses 9.2e18 once n_pair*total exceeds ~9.2e12 (a few
+            # 1e5-pair SKUs over 1e8 baskets) — widen like
+            # q_graph_modularity so larger SFs can't silently wrap.
+            F.expr(
+                "(cast(n_pair as decimal(38,0)) * total * 1000000)"
+                " div (n_a * n_b)"
+            )
             .cast("long")
             .alias("lift_micros"),
         )
@@ -2140,7 +2148,7 @@ q_agg_count_min.__doc__ = q_agg_count_min.__doc__.format(
                     THEN sum(CAST(spend AS HUGEINT) * spend) * 1000000
                          // (CAST(sum(spend) AS HUGEINT) * sum(spend))
                     END AS BIGINT)        AS hhi_ppm,
-               CAST(CASE WHEN sum(spend) <> 0
+               CAST(CASE WHEN sum(spend) > 0
                     THEN max(spend) * 1000000 // sum(spend)
                     END AS BIGINT)        AS top_share_ppm
         FROM s GROUP BY seg
@@ -2187,8 +2195,16 @@ def q_agg_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (cast(sum(spend) as decimal(38,0)) * sum(spend))"
             " end as bigint)"
         ).alias("hhi_ppm"),
+        # sign guard (ADVICE r11, medium): with mixed-sign spends where
+        # sign(max) != sign(sum), DuckDB's // floors while Spark's div
+        # truncates — a one-sided hash divergence. sum(spend) > 0
+        # implies max(spend) > 0, so the quotient is non-negative and
+        # floor == truncate on both engines; anything else reads NULL
+        # (q_ts_vwap's guard class). hhi_ppm needs only the <> 0 guard:
+        # its numerator (sum of squares) and denominator (a square) are
+        # non-negative by construction.
         F.expr(
-            "cast(case when sum(spend) <> 0 then"
+            "cast(case when sum(spend) > 0 then"
             " (max(spend) * 1000000) div sum(spend) end as bigint)"
         ).alias("top_share_ppm"),
     )

@@ -177,8 +177,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wedge count from the degree table.
 
     Orientation decision (choose_triangle_orientation): the wedge
-    join's cost is sum over middle nodes of outdeg², where outdeg is
-    the out-degree under the chosen total order. One cheap pass over
+    join's cost is sum over middle nodes b of in(b)·out(b) — the exact
+    row count the (e1.dst == e2.src) join emits — under the chosen
+    total order (sum(outdeg²) was the r10 proxy; it overbills hubs
+    that sit at an end of the order, ADVICE r11). One cheap pass over
     the degree-annotated edge list computes that sum EXACTLY for both
     candidate orders — id order (a<b<c) and Schank-Wagner degree order
     (point each edge at its higher-(degree, id) endpoint, bounding
@@ -231,25 +233,50 @@ def _deg_order_wins(ann: DataFrame):
 
 def choose_triangle_orientation(edges: DataFrame) -> tuple:
     """(orientation, wedge_work_id, wedge_work_degree) for the graph:
-    exact sum(outdeg²) under each candidate total order, computed in
-    one degree-annotated pass; 'degree' only when it beats id order by
-    more than ORIENT_PENALTY. The two scalars collected are one row —
-    control-plane, like the IVF centroid round-trip."""
+    the EXACT wedge-join row count under each candidate total order,
+    computed in one degree-annotated pass; 'degree' only when it beats
+    id order by more than ORIENT_PENALTY. The two scalars collected
+    are one row — control-plane, like the IVF centroid round-trip.
+
+    Cost model (ADVICE r11): the wedge join (e1.dst == e2.src) emits
+    in(b)·out(b) rows at each middle node b, NOT out(b)² — a hub that
+    sits at one END of the total order (all edges outgoing or all
+    incoming) contributes zero wedges, which sum(outdeg²) wrongly
+    bills as deg². Per node the annotated pass yields deg (symmetric
+    neighbor count) and out under each order, so in·out =
+    (deg - out)·out is exact for both candidates."""
     ann = _degree_annotated(edges)
     per_node = ann.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg"),
         F.sum(F.when(F.col("dst") > F.col("src"), 1).otherwise(0)).alias(
             "out_id"
         ),
         F.sum(F.when(_deg_order_wins(ann), 1).otherwise(0)).alias("out_deg"),
     )
     row = per_node.agg(
-        F.sum(F.col("out_id") * F.col("out_id")).alias("w_id"),
-        F.sum(F.col("out_deg") * F.col("out_deg")).alias("w_deg"),
+        F.sum((F.col("deg") - F.col("out_id")) * F.col("out_id")).alias(
+            "w_id"
+        ),
+        F.sum((F.col("deg") - F.col("out_deg")) * F.col("out_deg")).alias(
+            "w_deg"
+        ),
     ).collect()[0]
     w_id = int(row["w_id"] or 0)
     w_deg = int(row["w_deg"] or 0)
     orient = "degree" if w_deg * ORIENT_PENALTY < w_id else "id"
     return orient, w_id, w_deg
+
+
+def _oriented_edges(edges: DataFrame, orient: str) -> DataFrame:
+    """The (src, dst) edge list under the chosen total order. Both
+    orientations emit each undirected edge exactly once, so any
+    consumer's triangle SET is identical either way — the choice is
+    pure join-work economics. Shared by q_graph_triangles and
+    q_graph_local_clustering (VERDICT r11 item 2)."""
+    if orient == "degree":
+        ann = _degree_annotated(edges)
+        return ann.filter(_deg_order_wins(ann)).select("src", "dst")
+    return edges  # already src < dst by construction
 
 
 def _triangle_stats(edges: DataFrame, orient: str) -> DataFrame:
@@ -259,11 +286,7 @@ def _triangle_stats(edges: DataFrame, orient: str) -> DataFrame:
     used — both branches are exact against the same oracle."""
     sym = _symmetric(edges)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    if orient == "degree":
-        ann = _degree_annotated(edges)
-        oriented = ann.filter(_deg_order_wins(ann)).select("src", "dst")
-    else:
-        oriented = edges  # already src < dst by construction
+    oriented = _oriented_edges(edges, orient)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
@@ -941,8 +964,8 @@ def _modularity_oracle() -> str:
             FROM dc LEFT JOIN ec ON ec.label = dc.label
         )
         SELECT n_communities, m AS n_edges, intra_edges, sum_dc2, max_dc,
-               CAST((4 * m * intra_edges - sum_dc2) * 1000000
-                    // (4 * m * m) AS BIGINT) AS q_micros
+               CAST((4 * CAST(m AS HUGEINT) * intra_edges - sum_dc2) * 1000000
+                    // (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS q_micros
         FROM agg
     """
 
@@ -1007,7 +1030,17 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "intra_edges",
         "sum_dc2",
         "max_dc",
-        F.expr("((4 * m * intra_edges - sum_dc2) * 1000000) div (4 * m * m)")
+        # 128-bit-wide numerator (ADVICE r11): 4*m*intra_edges*1e6
+        # overflows BIGINT once m exceeds ~2.4e6 edges — Spark
+        # (non-ANSI) would wrap silently while DuckDB raises, a
+        # silent-wrong-answer vs crash divergence at larger SFs. Widen
+        # m to DECIMAL(38,0)/HUGEINT (the q_agg_herfindahl pattern) so
+        # both engines compute the exact quotient; it is ~Q in [-1, 1]
+        # micros so the final BIGINT cast is always safe.
+        F.expr(
+            "((4 * cast(m as decimal(38,0)) * intra_edges - sum_dc2)"
+            " * 1000000) div (4 * cast(m as decimal(38,0)) * m)"
+        )
         .cast("long")
         .alias("q_micros"),
     )
@@ -1055,18 +1088,28 @@ def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watts-Strogatz local clustering per node — "how clique-like is
     each product's neighborhood" — the node-granular complement of
     q_graph_triangles' one global coefficient. Each triangle from the
-    id-ordered two-hop join increments ALL THREE corners (an inline
-    3-element explode of the triangle stream — rows 3x triangles, far
-    smaller than the wedge stream that produced them); coefficient =
+    two-hop join increments ALL THREE corners (an inline 3-element
+    explode of the triangle stream — rows 3x triangles, far smaller
+    than the wedge stream that produced them); coefficient =
     2*tri / (deg*(deg-1)) in exact BIGINT ppm (degree >= 2 guards the
     zero denominator). Top-k cut is orderBy+limit = TakeOrdered.
-    9th consumer of the memoized edge table."""
+    9th consumer of the memoized edge table.
+
+    The wedge join shares choose_triangle_orientation with
+    q_graph_triangles (VERDICT r11 item 2): the triangle SET is
+    orientation-invariant (each triangle emitted exactly once either
+    way, and all three corners are exploded regardless of which corner
+    was the join's middle), so on a power-law graph at 100x this
+    kernel gets the same sum(in·out) collapse the global count does.
+    The oracle stays pinned to id-order edges — same set."""
     edges = copurchase_edges(spark, sf_dir)
+    orient, _, _ = choose_triangle_orientation(edges)
+    oriented = _oriented_edges(edges, orient)
     sym = _symmetric(edges)
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(

@@ -561,10 +561,12 @@ T_CLOSENESS_MICROS = 250000
         ),
         dist AS (
             SELECT seg, nat, nc,
-                   CAST(sum(abs(cum_c * (SELECT ng FROM gtot)
-                                - cum_g * nc)) * 1000000
-                        // (nc * (SELECT ng FROM gtot)
-                            * ((SELECT m FROM m) - 1)) AS BIGINT)
+                   CAST(CASE WHEN (SELECT m FROM m) > 1
+                        THEN sum(abs(cum_c * (SELECT ng FROM gtot)
+                                     - cum_g * nc)) * 1000000
+                             // (nc * (SELECT ng FROM gtot)
+                                 * ((SELECT m FROM m) - 1))
+                        END AS BIGINT)
                        AS t_micros
             FROM cums GROUP BY seg, nat, nc
         )
@@ -644,10 +646,17 @@ def q_anon_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ng and m are global 1-row constants broadcast onto every grid row
     # — constant within any group, so they join the grouping key rather
     # than needing a fake aggregate around them
+    # m > 1 guard (ADVICE r11): a fixture whose sensitive attribute has
+    # a single distinct value makes the (m - 1) normalizer zero and both
+    # engines raise division-by-zero; a one-value distribution has zero
+    # EMD everywhere, so t_micros must read NULL-not-crash, mirroring
+    # the vwap/herfindahl guard class. Guarded identically in the
+    # oracle above.
     dist = cums.groupBy("seg", "nat", "nc", "ng", "m").agg(
         F.expr(
-            "cast(sum(abs(cum_c * ng - cum_g * nc)) * 1000000"
-            " div (nc * ng * (m - 1)) as bigint)"
+            "cast(case when m > 1 then"
+            " sum(abs(cum_c * ng - cum_g * nc)) * 1000000"
+            " div (nc * ng * (m - 1)) end as bigint)"
         ).alias("t_micros")
     )
     return dist.groupBy("seg").agg(

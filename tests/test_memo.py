@@ -124,42 +124,40 @@ def test_dedup_memos_evict_superseded_same_path_entries(spark):
 
 
 def test_registry_window_is_the_stale_cohort():
-    """The r11 rotation (VERDICT r10 item 1): the driver checks a
-    50-key prefix of load_all(), so the prefix must be (a) the 21
-    round-11 additions, (b) the 4 keys whose code changed this round
-    (ANN ground-truth re-attribution + recall floors; triangle
-    orientation probe), then (c) the 45-key r5-stale cohort in its
-    pinned order — a 50-key window consumes (a)+(b) and the first 25
-    of (c). Spot-pin the boundary so a reorder cannot silently push a
-    stale key out of the window."""
+    """The r12 rotation (VERDICT r11 item 1): the driver checks a
+    50-key prefix of load_all(), so the prefix must be (a) the 20-key
+    remainder of the r5-stale cohort (the keys whose only driver
+    verdict is still round 5), (b) the keys whose code changed this
+    round (ADVICE-r11 guards/widenings + shared orientation probe),
+    then (c) the round-12 additions. Spot-pin the boundary so a
+    reorder cannot silently push a stale key out of the window."""
     from sparkstreamingtohdfsofsensorsdata_spark.registry import (
         VERIFICATION_PRIORITY,
     )
 
     front = list(registry.load_all())[:50]
-    r11_additions = [
-        "q_ts_drawdown", "q_events_streaks", "q_ts_vwap", "q_dq_benford",
-        "q_agg_basket_pairs", "q_graph_modularity",
-        "q_graph_local_clustering", "q_events_path_topk",
-        "q_agg_count_min", "q_llm_tokenizer_fertility",
-        "q_llm_quality_ensemble", "q_llm_curriculum", "q_join_spatial_grid",
-        "q_events_sequence_next", "q_agg_hist2d", "q_anon_tcloseness",
-        "q_agg_herfindahl", "q_events_inter_arrival", "q_sql_view_chain",
-        "q_llm_oov_rate", "q_events_anomaly_days",
+    stale_remainder = [
+        "q_llm_split_leakage", "q_llm_text_stats", "q_llm_tfidf",
+        "q_llm_tokenize_vocab", "q_set_except", "q_set_union",
+        "q_set_union_distinct", "q_sink_partitioned",
+        "q_subquery_correlated", "q_subquery_scalar", "q_tpch_q10",
+        "q_tpch_q3", "q_tpch_q5", "q_udf_grouped_agg",
+        "q_udf_grouped_map", "q_udf_iter_pandas", "q_udf_map_in_arrow",
+        "q_udf_pandas_scalar", "q_udf_row_scalar", "q_udf_udtf",
     ]
-    assert front[: len(r11_additions)] == r11_additions
+    assert front[: len(stale_remainder)] == stale_remainder
     changed = [
-        "q_llm_sim_topk", "q_llm_sim_topk_lsh", "q_llm_sim_topk_ivf",
-        "q_graph_triangles",
+        "q_agg_herfindahl", "q_anon_tcloseness", "q_graph_modularity",
+        "q_agg_basket_pairs", "q_graph_triangles",
+        "q_graph_local_clustering",
     ]
-    assert front[21:25] == changed
-    # the stale cohort fills the rest of the window, in priority order
-    stale_head = [k for k in VERIFICATION_PRIORITY[25:]][:25]
-    assert front[25:50] == stale_head
-    assert "q_udf_row_scalar" in VERIFICATION_PRIORITY  # r12 tail intact
-    # keys the r10 driver greened must NOT occupy window slots
-    for greened in ("q_fn_try_datetime", "q_stream_cdc_apply", "q_agg_rfm"):
-        assert greened not in front
+    assert front[20:26] == changed
+    # round-12 additions fill the rest of the window, in priority order
+    r12_tail = [k for k in VERIFICATION_PRIORITY[26:]][:24]
+    assert front[26 : 26 + len(r12_tail)] == r12_tail
+    # keys the r11 driver greened must NOT occupy window slots
+    for greened in ("q_ts_drawdown", "q_llm_sim_topk", "q_agg_count_min"):
+        assert greened not in front[: 26 + len(r12_tail)]
 
 
 
