@@ -86,6 +86,7 @@ ANN_EXACT_CONSUMERS = (
     "q_llm_sim_topk",
     "q_llm_sim_topk_lsh",
     "q_llm_sim_topk_ivf",
+    "q_llm_sim_topk_pq",
 )
 
 # And for the co-purchase edge table all eight graph kernels read

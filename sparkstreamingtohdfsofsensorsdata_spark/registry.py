@@ -137,6 +137,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_graph_triangles",
     "q_graph_local_clustering",
     # (c) round-12 additions, batch order (appended as they land)
+    "q_llm_sim_topk_pq",
 )
 
 

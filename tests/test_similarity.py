@@ -40,11 +40,20 @@ def test_lsh_recall_floor(spark):
     assert _mean_recall(spark, _lsh_recall) >= LSH_RECALL_FLOOR
 
 
+def test_pq_recall_floor(spark):
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.similarity import (
+        PQ_RECALL_FLOOR,
+        _pq_recall,
+    )
+
+    assert _mean_recall(spark, _pq_recall) >= PQ_RECALL_FLOOR
+
+
 def test_ann_bound_asserted_contract(spark):
     """The registry-facing ANN keys emit the hash-gated contract shape:
     one row per strided boundary-passing query, mean_recall_ok TRUE on
     every row (what the DuckDB oracle asserts literally)."""
-    for name in ("q_llm_sim_topk_ivf", "q_llm_sim_topk_lsh"):
+    for name in ("q_llm_sim_topk_ivf", "q_llm_sim_topk_lsh", "q_llm_sim_topk_pq"):
         rows = registry.load_all()[name].fn(spark, SF).collect()
         assert rows, name
         assert all(r.mean_recall_ok for r in rows), name
