@@ -903,3 +903,91 @@ def q_sql_view_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c ON c.p_brand = s.p_brand
         """
     )
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+        WITH l AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)      AS qty_c,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+                   CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)    AS d_bps,
+                   CAST(floor(l_tax * 10000 + 0.5) AS BIGINT)         AS t_bps
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+        ),
+        p AS (
+            SELECT l_returnflag, l_linestatus, qty_c, cents, d_bps, t_bps,
+                   (cents * (10000 - d_bps)) // 10000 AS disc_cents
+            FROM l
+        )
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(qty_c) AS BIGINT)      AS sum_qty_centi,
+               CAST(sum(cents) AS BIGINT)      AS sum_base_cents,
+               CAST(sum(disc_cents) AS BIGINT) AS sum_disc_cents,
+               CAST(sum((disc_cents * (10000 + t_bps)) // 10000) AS BIGINT)
+                   AS sum_charge_cents,
+               CAST(sum(qty_c) // count(*) AS BIGINT) AS avg_qty_centi,
+               CAST(sum(cents) // count(*) AS BIGINT) AS avg_price_cents,
+               CAST(sum(d_bps) // count(*) AS BIGINT) AS avg_disc_bps,
+               CAST(count(*) AS BIGINT)               AS count_order
+        FROM p GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 (pricing summary, adapted to the repo's integer-exact money contract): full-scan partial+final agg over (returnflag, linestatus), all sums/avgs as exact BIGINT cents/centi/bps units",
+    tags=("golden", "sql", "tpch", "aggregate"),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the 22-query TPC-H suite (q2-q22 landed r5-r8). Q1 is
+    the canonical scan-dominated aggregation: no join, one groupBy
+    whose 4-6 groups make the partial agg absorb virtually all rows
+    map-side — at 100 TB the shuffle moves ~groups x partitions rows
+    regardless of input size, and the scan reads exactly the 7 needed
+    columns (ReadSchema-gated family).
+
+    Money arithmetic follows the repo's exact-integer contract rather
+    than the spec's DECIMAL: per-row floor-rendered cents/bps, the
+    (1-disc) and (1+tax) factors applied as integer basis-point
+    products with ONE floor division each (deterministic on both
+    engines; products bounded by 1e11 << 2^63), sums in BIGINT, avgs
+    as BIGINT floor-division ratios — so the whole result is
+    hash-exact with zero float accumulation anywhere."""
+    from pyspark.sql import functions as F
+
+    from .tables import load
+
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr("cast(floor(l_quantity * 100 + 0.5d) as bigint)").alias(
+                "qty_c"
+            ),
+            F.expr(
+                "cast(floor(l_extendedprice * 100 + 0.5d) as bigint)"
+            ).alias("cents"),
+            F.expr("cast(floor(l_discount * 10000 + 0.5d) as bigint)").alias(
+                "d_bps"
+            ),
+            F.expr("cast(floor(l_tax * 10000 + 0.5d) as bigint)").alias(
+                "t_bps"
+            ),
+        )
+        .withColumn(
+            "disc_cents", F.expr("(cents * (10000 - d_bps)) div 10000")
+        )
+    )
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty_c").alias("sum_qty_centi"),
+        F.sum("cents").alias("sum_base_cents"),
+        F.sum("disc_cents").alias("sum_disc_cents"),
+        F.sum(F.expr("(disc_cents * (10000 + t_bps)) div 10000")).alias(
+            "sum_charge_cents"
+        ),
+        F.expr("sum(qty_c) div count(*)").alias("avg_qty_centi"),
+        F.expr("sum(cents) div count(*)").alias("avg_price_cents"),
+        F.expr("sum(d_bps) div count(*)").alias("avg_disc_bps"),
+        F.count(F.lit(1)).alias("count_order"),
+    )

@@ -138,6 +138,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_graph_local_clustering",
     # (c) round-12 additions, batch order (appended as they land)
     "q_llm_sim_topk_pq",
+    "q_events_pattern_funnel",
+    "q_tpch_q1",
 )
 
 
