@@ -16,11 +16,71 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 import pandas as pd
 
 from sparkstreamingtohdfsofsensorsdata_spark.registry import load_all
 from sparkstreamingtohdfsofsensorsdata_spark.session import build_session
+
+
+class _CpuMeter:
+    """Cumulative executor-CPU-time sampler (VERDICT r11 item 7).
+
+    Wall-clock on this host swings 2-3x with external load, which is why
+    58 floors had to be min-merged across three serialized r11 runs.
+    Executor CPU time (sum of task ``executorCpuTime`` over stages) is
+    the contention-immune cost of a plan: a key whose wall spiked but
+    whose CPU sits at its committed floor is host contention by
+    construction, and a key whose CPU grew is a real plan regression no
+    quiet-host rerun will hide.
+
+    Sampling rides the status REST API (one HTTP GET per key boundary,
+    ~0.1 s, OUTSIDE every timed region) because py4j iteration over
+    AppStatusStore's stage list costs 3 JVM round trips per stage.
+    Accounting is monotone per (stageId, attemptId) so UI stage
+    eviction can only under-count a stage once, never double-count or
+    go backwards. Python-UDF worker CPU is NOT included (the JVM idles
+    while Arrow batches are in Python) — cpu_s is the JVM-side cost,
+    which is the right basis for floors because it is what the plan
+    shape controls. Every failure degrades to ``enabled=False`` —
+    metering must never sink a bench run."""
+
+    def __init__(self, spark) -> None:
+        self._seen: dict[tuple[int, int], int] = {}
+        self._total_ns = 0
+        self._url = None
+        try:
+            sc = spark.sparkContext
+            base = sc.uiWebUrl
+            if base:
+                self._url = (
+                    f"{base}/api/v1/applications/{sc.applicationId}"
+                    "/stages?status=complete"
+                )
+        except Exception:
+            self._url = None
+        self.enabled = self._url is not None
+
+    def sample(self) -> float | None:
+        """Advance the monotone counter; return cumulative CPU seconds."""
+        if not self.enabled:
+            return None
+        try:
+            with urllib.request.urlopen(self._url, timeout=15) as resp:
+                stages = json.load(resp)
+            for st in stages:
+                key = (st["stageId"], st["attemptId"])
+                cpu = int(st.get("executorCpuTime", 0))
+                prev = self._seen.get(key, 0)
+                if cpu > prev:
+                    self._total_ns += cpu - prev
+                    self._seen[key] = cpu
+            return self._total_ns / 1e9
+        except Exception as exc:  # pragma: no cover - meter must not sink bench
+            print(f"bench: cpu meter disabled: {exc}", file=sys.stderr)
+            self.enabled = False
+            return None
 
 
 def _warmup(spark, sf_dir: str) -> None:
@@ -289,6 +349,13 @@ def _stdout_line(payload: dict) -> dict:
             "load_med": lvals[len(lvals) // 2] if lvals else None,
             "load_max": lvals[-1] if lvals else None,
             "n_rerun": len(payload.get("rerun_s", {})),
+            # contention-immune companion to `value`: total executor
+            # CPU s of the kept runs (per-key map in bench_last.json)
+            "cpu_total": payload.get("cpu_total"),
+            # rocksdb state-store canary rows/s (error → null)
+            "stream_rps_rocksdb": payload.get("stream_canary", {})
+            .get("rocksdb", {})
+            .get("rows_per_s"),
             # streaming canary headline (rows/s; full record in
             # bench_last.json stream_canary)
             "stream_rps": payload.get("stream_canary", {}).get(
@@ -334,6 +401,12 @@ def _stdout_line(payload: dict) -> dict:
     return build(0, 0, with_t=False)
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
 def _stream_canary(spark, sf_dir: str) -> dict:
     """Streaming micro-batch throughput canary (VERDICT r10 item 8).
 
@@ -348,32 +421,35 @@ def _stream_canary(spark, sf_dir: str) -> dict:
     visible trend; the q_stream_* keys alone hide slow drift inside
     per-key noise because each carries sink/rig setup too. Failures
     degrade to an ``error`` field — the canary must never sink a bench
-    run."""
+    run.
+
+    Since r12 (VERDICT r11 item 4) the canary runs TWICE: once on the
+    default HDFS-backed state store and once on the RocksDB provider
+    (`spark.sql.streaming.stateStore.providerClass`) — the knob every
+    real deployment of a streaming-to-storage sensor engine flips for
+    large state, exercised here instead of merely documented
+    (SCALE.md). The headline stream_rps stays the default-provider
+    number so the cross-round trend line is unbroken; the rocksdb
+    record rides next to it. A missing JNI lib degrades to an ``error``
+    field inside the rocksdb record only."""
     import shutil
 
     canary_chunks = 8
-    try:
-        from sparkstreamingtohdfsofsensorsdata_spark.session import scratch_dir
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+
+    def one_run(stream_ops, replay: str, n_rows: int) -> dict:
         from sparkstreamingtohdfsofsensorsdata_spark.sources.factory import (
-            make_replay_dir,
             stream_source,
         )
-        from sparkstreamingtohdfsofsensorsdata_spark.streaming import ops
         from sparkstreamingtohdfsofsensorsdata_spark.streaming.runner import (
             run_to_memory,
         )
 
-        replay = scratch_dir("bench_replay_")
-        try:
-            make_replay_dir(spark, sf_dir, replay, n_chunks=canary_chunks)
-            n_rows = spark.read.parquet(replay).count()
-            stream = stream_source(spark, replay, max_files_per_trigger=1)
-            start = time.perf_counter()
-            out = run_to_memory(ops.tumbling_counts(stream))
-            out.write.format("noop").mode("overwrite").save()
-            wall = time.perf_counter() - start
-        finally:
-            shutil.rmtree(replay, ignore_errors=True)
+        stream = stream_source(spark, replay, max_files_per_trigger=1)
+        start = time.perf_counter()
+        out = run_to_memory(stream_ops(stream))
+        out.write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - start
         return {
             "rows": n_rows,
             "micro_batches": canary_chunks,
@@ -381,6 +457,34 @@ def _stream_canary(spark, sf_dir: str) -> dict:
             "rows_per_s": int(n_rows / wall) if wall > 0 else -1,
             "load_1m": _load_1m(),
         }
+
+    try:
+        from sparkstreamingtohdfsofsensorsdata_spark.session import scratch_dir
+        from sparkstreamingtohdfsofsensorsdata_spark.sources.factory import (
+            make_replay_dir,
+        )
+        from sparkstreamingtohdfsofsensorsdata_spark.streaming import ops
+
+        replay = scratch_dir("bench_replay_")
+        try:
+            make_replay_dir(spark, sf_dir, replay, n_chunks=canary_chunks)
+            n_rows = spark.read.parquet(replay).count()
+            record = one_run(ops.tumbling_counts, replay, n_rows)
+            try:
+                spark.conf.set(provider_conf, _ROCKSDB_PROVIDER)
+                rocks = one_run(ops.tumbling_counts, replay, n_rows)
+                rocks["provider"] = "rocksdb"
+            except Exception as exc:  # e.g. JNI lib absent in sandbox
+                print(
+                    f"bench: rocksdb canary FAILED: {exc}", file=sys.stderr
+                )
+                rocks = {"provider": "rocksdb", "error": str(exc)[:200]}
+            finally:
+                spark.conf.unset(provider_conf)
+            record["rocksdb"] = rocks
+        finally:
+            shutil.rmtree(replay, ignore_errors=True)
+        return record
     except Exception as exc:  # pragma: no cover - canary must not sink bench
         print(f"bench: stream canary FAILED: {exc}", file=sys.stderr)
         return {"error": str(exc)[:200]}
@@ -394,11 +498,26 @@ def main() -> None:
         # A non-sf<N> directory name is a valid bench target; a dead
         # bench over an unparseable LABEL is not. Null it and run.
         sf = None
-    spark = build_session(app_name="bench")
+    # UI on for bench only: the status REST endpoint is what the CPU
+    # meter samples (one GET per key boundary, outside timed regions).
+    # retainedStages is raised so 267 keys' stages never evict
+    # mid-run; the suite/sweep sessions keep the UI off as before.
+    spark = build_session(
+        app_name="bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            "spark.ui.retainedStages": "40000",
+            "spark.ui.retainedJobs": "40000",
+        },
+    )
 
     _warmup(spark, sf_dir)
+    meter = _CpuMeter(spark)
+    cursor = meter.sample()  # cumulative CPU after warmup = key-0 baseline
     specs = load_all()
     timings: dict[str, float] = {}
+    cpus: dict[str, float] = {}  # executor CPU s of the KEPT run
     loads: dict[str, float] = {}  # 1-min load when the key's KEPT run started
     reruns: dict[str, float] = {}  # rerun wall-clock for adjudicated keys
     # intermediate costs fronted for their canonical payers (see above)
@@ -408,6 +527,18 @@ def main() -> None:
         ANN_PAYER_EXACT: 0.0,
         GRAPH_PAYER: 0.0,
     }
+    prepaid_cpu = dict.fromkeys(prepaid, 0.0)
+
+    def charge(payer: str, build_fn) -> None:
+        """Run a payer-charged materialization, attributing both its
+        wall-clock and its executor CPU to the payer's slot."""
+        nonlocal cursor
+        prepaid[payer] += build_fn(spark, sf_dir)
+        after = meter.sample()
+        if cursor is not None and after is not None:
+            prepaid_cpu[payer] += after - cursor
+        cursor = after
+
     for name, spec in specs.items():
         # The payer-charged materializations sit OUTSIDE the consumer's
         # try: a pair/label build failure must not mark the CONSUMER
@@ -418,25 +549,25 @@ def main() -> None:
             if name in CC_FAMILY and name != CC_PAYER_PAIRS and _cc_pairs_cold(
                 spark, sf_dir
             ):
-                prepaid[CC_PAYER_PAIRS] += _cc_materialize_pairs(spark, sf_dir)
+                charge(CC_PAYER_PAIRS, _cc_materialize_pairs)
             if (
                 name in CC_LABEL_CONSUMERS
                 and name != CC_PAYER_LABELS
                 and _cc_labels_cold(spark, sf_dir)
             ):
-                prepaid[CC_PAYER_LABELS] += _cc_materialize_labels(spark, sf_dir)
+                charge(CC_PAYER_LABELS, _cc_materialize_labels)
             if (
                 name in ANN_EXACT_CONSUMERS
                 and name != ANN_PAYER_EXACT
                 and _ann_exact_cold(spark, sf_dir)
             ):
-                prepaid[ANN_PAYER_EXACT] += _ann_materialize_exact(spark, sf_dir)
+                charge(ANN_PAYER_EXACT, _ann_materialize_exact)
             if (
                 name in GRAPH_FAMILY
                 and name != GRAPH_PAYER
                 and _graph_edges_cold(spark, sf_dir)
             ):
-                prepaid[GRAPH_PAYER] += _graph_materialize_edges(spark, sf_dir)
+                charge(GRAPH_PAYER, _graph_materialize_edges)
         except Exception as exc:
             print(f"bench: prepay for {name} failed: {exc}", file=sys.stderr)
         try:
@@ -447,10 +578,17 @@ def main() -> None:
             load_at_start = _load_1m()
             timings[name] = round(_run_one(spec, spark, sf_dir), 3)
             loads[name] = load_at_start
+            after = meter.sample()
+            if cursor is not None and after is not None:
+                cpus[name] = round(after - cursor, 3)
+            cursor = after
         except Exception as exc:  # a failing query must not sink the run
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
+            cursor = meter.sample()  # don't charge the wreckage downstream
     for payer, cost in prepaid.items():
+        if prepaid_cpu.get(payer) and cpus.get(payer, -1.0) >= 0:
+            cpus[payer] = round(cpus[payer] + prepaid_cpu[payer], 3)
         if not cost:
             continue
         if timings.get(payer, -1.0) >= 0:
@@ -474,14 +612,21 @@ def main() -> None:
     # (bench_floor.json) — the floor names the steady-state cost a
     # previous run proved achievable, so exceeding it flags a stall
     # even when the absolute time is small.
-    floor_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_floor.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(floor_path) as fh:
+        with open(os.path.join(here, "bench_floor.json")) as fh:
             floor = json.load(fh)
     except (OSError, ValueError):
         floor = {}
+    # CPU floors (VERDICT r11 item 7): committed per-key executor-CPU
+    # floors, contention-immune by construction — a key over its CPU
+    # floor regressed its PLAN (or its data), not its host, so it is a
+    # rerun suspect even when wall-clock happens to look fine.
+    try:
+        with open(os.path.join(here, "bench_floor_cpu.json")) as fh:
+            floor_cpu = json.load(fh)
+    except (OSError, ValueError):
+        floor_cpu = {}
     ok = sorted(t for t in timings.values() if t >= 0)
     deadline = time.perf_counter() + 150  # bound the rerun phase
     if ok:
@@ -492,6 +637,11 @@ def main() -> None:
             n
             for n, t in timings.items()
             if n in floor and floor[n] > 0 and t > 1.8 * floor[n]
+        }
+        suspects |= {
+            n
+            for n, c in cpus.items()
+            if n in floor_cpu and floor_cpu[n] > 0 and c > 1.8 * floor_cpu[n]
         }
         # Each payer carries its intermediate's cost regardless of
         # registry order (see the attribution block above), so a payer
@@ -518,12 +668,22 @@ def main() -> None:
                     ),
                     3,
                 )
+                after = meter.sample()
+                rerun_cpu = (
+                    round(after - cursor, 3)
+                    if cursor is not None and after is not None
+                    else None
+                )
+                cursor = after
                 reruns[name] = rerun
                 if rerun < timings[name]:
                     timings[name] = rerun
                     loads[name] = rerun_load
+                    if rerun_cpu is not None:
+                        cpus[name] = rerun_cpu
             except Exception as exc:
                 print(f"bench: {name} rerun FAILED: {exc}", file=sys.stderr)
+                cursor = meter.sample()
     canary = _stream_canary(spark, sf_dir)
     spark.stop()
 
@@ -533,6 +693,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # Executor CPU seconds of each key's KEPT run (VERDICT r11
+        # item 7): the contention-immune per-key cost. Floors over this
+        # live in bench_floor_cpu.json; the wall-clock floors stay the
+        # headline because they are what BASELINE.md's history is in.
+        "cpu_s": cpus,
+        "cpu_total": round(sum(cpus.values()), 1) if cpus else None,
         "sf": sf,
         # Contention adjudication record (VERDICT r8 item 3): `load_1m`
         # is the 1-min load when each key's KEPT run started; `rerun_s`
