@@ -991,3 +991,99 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(d_bps) div count(*)").alias("avg_disc_bps"),
         F.count(F.lit(1)).alias("count_order"),
     )
+
+
+_LATERAL = """
+    SELECT n.n_name,
+           t.c_custkey        AS top_custkey,
+           t.bal_cents        AS top_bal_cents,
+           a.n_cust,
+           a.total_bal_cents
+    FROM nation n,
+    LATERAL (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY bal_cents DESC, c_custkey
+        LIMIT 1
+    ) t,
+    LATERAL (
+        SELECT CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)          AS total_bal_cents
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+    ) a
+"""
+
+
+@query(
+    "q_sql_lateral_join",
+    oracle=_LATERAL,
+    description="LATERAL correlated subqueries: per-nation top-1 customer (ORDER BY + LIMIT inside the lateral) and a lateral aggregate, same SQL text on both engines",
+    tags=("golden", "sql", "lateral"),
+)
+def q_sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL subqueries — the SQL-standard form of "for each outer
+    row, run this parameterized subquery": one lateral with ORDER BY +
+    LIMIT (top-1 per group without a window) and one lateral aggregate,
+    in the SAME SQL text both engines parse. Catalyst decorrelates
+    both: the LIMIT lateral becomes a rank-window over a hash join and
+    the aggregate lateral a grouped join — i.e., the engine, not the
+    user, picks the join-vs-window physical form; nations that lack
+    customers drop on both sides (inner lateral).
+
+    Scale shape: after decorrelation the plan is customer shuffled once
+    by nationkey against a broadcast 25-row nation — no per-row
+    re-execution, which is the point of pinning LATERAL through the
+    optimizer rather than looping driver-side."""
+    return _sql(spark, sf_dir, _LATERAL)
+
+
+_RECURSIVE = """
+    WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < DATE '2001-08-01'
+    )
+    SELECT y.yr,
+           CAST(count(DISTINCT y.m) AS BIGINT) AS n_months,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL
+                    THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT)     AS revenue_cents
+    FROM (SELECT m, CAST(EXTRACT(YEAR FROM m) AS INT) AS yr
+          FROM months) y
+    LEFT JOIN orders o
+      ON CAST(o.o_orderdate AS DATE) >= y.m
+     AND CAST(o.o_orderdate AS DATE) < y.m + INTERVAL 1 MONTH
+    GROUP BY y.yr
+"""
+
+
+@query(
+    "q_sql_recursive_cte",
+    oracle=_RECURSIVE,
+    description="WITH RECURSIVE month-spine generation (80 iterations) joined back to orders: recursion parity pinned on identical SQL text (Spark 4 recursive CTE support)",
+    tags=("golden", "sql", "recursive"),
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE — the SQL surface every calendar-spine, org-chart
+    and bill-of-materials query needs, newly supported by Spark 4's
+    parser/optimizer (UnionLoop execution). The recursion builds an
+    80-month date spine (fixture orders span 1995-01..2001-08), then a
+    range LEFT JOIN rolls order counts and exact revenue cents into
+    spine years — months with no orders still count toward n_months,
+    pinning the recursion's row set, not just aggregates that would
+    hide a missing iteration.
+
+    Scale shape: the recursive part is 80 driver-side rows (recursion
+    depth bounds the spine, never the data); the only data-sized work
+    is the orders range join against a broadcast spine and one yearly
+    rollup. Recursion over DATA (transitive closure) stays in the
+    iterative DataFrame kernels (q_graph_wcc's pointer doubling) —
+    a recursive CTE would re-shuffle the whole edge set per iteration
+    with no checkpoint truncation."""
+    return _sql(spark, sf_dir, _RECURSIVE)

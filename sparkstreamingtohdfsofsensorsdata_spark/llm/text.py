@@ -1955,3 +1955,75 @@ def q_llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oov_ppm"),
         )
     )
+
+
+@query(
+    "q_llm_mix_temperature",
+    oracle="""
+        WITH n AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            WHERE lang IS NOT NULL
+            GROUP BY lang
+        ),
+        s AS (
+            SELECT lang, n_docs,
+                   CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5)
+                        AS BIGINT) AS s_micros
+            FROM n
+        )
+        SELECT lang,
+               n_docs,
+               CAST(n_docs * 1000000 // (SELECT sum(n_docs) FROM s)
+                    AS BIGINT) AS prop_ppm,
+               CAST(s_micros * 1000000 // (SELECT sum(s_micros) FROM s)
+                    AS BIGINT) AS w_ppm,
+               CAST(s_micros * 1000000 // (SELECT sum(s_micros) FROM s)
+                    - n_docs * 1000000 // (SELECT sum(n_docs) FROM s)
+                    AS BIGINT) AS boost_ppm
+        FROM s
+    """,
+    description="Temperature-scaled sampling mix (alpha=0.5): per-language weights proportional to sqrt(n_docs) in exact ppm — the multilingual up/down-sampling table, with the boost over proportional sampling",
+    tags=("llm", "sampling", "mix"),
+)
+def q_llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights — the standard multilingual
+    rebalance (sample language i with w_i proportional to p_i^alpha,
+    alpha=0.5): head languages are down-weighted, tail languages
+    boosted, and boost_ppm quantifies it against proportional
+    sampling. q_llm_mix_sample draws BY fixed rates; this key COMPUTES
+    the rate table. Exactness: IEEE sqrt is correctly rounded, so
+    floor(sqrt(n)*1e6+0.5) is the same BIGINT on both engines; weights
+    then normalize with pure integer floor-division — no
+    order-dependent double sums (the per-language s_micros are summed
+    as BIGINTs).
+
+    Scale shape: one map-side-combined count per language, then
+    arithmetic over a language-cardinality table with its two scalar
+    totals broadcast (Spark: a 1-row crossJoin, the repo's
+    broadcast-scalar idiom). Nothing data-sized moves."""
+    n = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    s = n.withColumn(
+        "s_micros",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1e6 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    totals = s.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("s_micros").alias("tot_s")
+    )
+    j = s.crossJoin(F.broadcast(totals))
+    return j.select(
+        "lang",
+        "n_docs",
+        F.expr("n_docs * 1000000 div tot_docs").alias("prop_ppm"),
+        F.expr("s_micros * 1000000 div tot_s").alias("w_ppm"),
+        F.expr(
+            "s_micros * 1000000 div tot_s - n_docs * 1000000 div tot_docs"
+        ).alias("boost_ppm"),
+    )

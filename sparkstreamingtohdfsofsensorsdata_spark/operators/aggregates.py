@@ -2208,3 +2208,187 @@ def q_agg_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (max(spend) * 1000000) div sum(spend) end as bigint)"
         ).alias("top_share_ppm"),
     )
+
+
+# Composite arg-max key: (value micros, event_id) packed into one
+# 128-bit integer so BOTH engines order it natively — DuckDB's arg_max
+# rejects STRUCT keys, and a double key loses integer exactness. The
+# shift must exceed any event_id; 1e10 leaves v_micros * 1e10 + id
+# inside DECIMAL(38)/HUGEINT headroom up to ~1e27 ids.
+ARGMAX_SHIFT = 10_000_000_000
+
+
+@query(
+    "q_agg_argmax",
+    oracle=f"""
+        SELECT event_type,
+               arg_max(user_id,
+                       CAST(floor(value * 1e6 + 0.5) AS HUGEINT)
+                       * {ARGMAX_SHIFT} + event_id)     AS top_user,
+               arg_min(user_id,
+                       CAST(floor(value * 1e6 + 0.5) AS HUGEINT)
+                       * {ARGMAX_SHIFT} + event_id)     AS bottom_user,
+               arg_max(CAST(floor(value * 1e6 + 0.5) AS BIGINT),
+                       event_id)                        AS last_value_micros,
+               arg_min(CAST(floor(value * 1e6 + 0.5) AS BIGINT),
+                       event_id)                        AS first_value_micros
+        FROM events
+        GROUP BY event_type
+    """,
+    description="arg_max/arg_min (max_by/min_by): which row attains the group's extreme — deterministic under ties via a packed (value_micros, event_id) 128-bit composite key",
+    tags=("aggregate",),
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by — "WHO attains the extreme", the lookup every
+    dashboard needs after min/max and the aggregate form of the
+    self-join-free top-1. Ties are real (value has ~5e8 distinct
+    micros over more rows at scale), so the ordering key packs
+    (v_micros, event_id) into one 128-bit integer: unique, hence ONE
+    deterministic winner on both engines; Spark orders the DECIMAL(38)
+    exactly as DuckDB orders the HUGEINT.
+
+    Scale shape: a single map-side-combined aggregation — max_by
+    carries one (key, value) pair per partition per group through the
+    shuffle, never the rows. No window, no join, no Python."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("v_micros"),
+    )
+    packed = (
+        F.col("v_micros").cast("decimal(38,0)") * F.lit(ARGMAX_SHIFT)
+        + F.col("event_id")
+    ).alias("pk")
+    ev = ev.select("event_type", "user_id", "event_id", "v_micros", packed)
+    return ev.groupBy("event_type").agg(
+        F.expr("max_by(user_id, pk)").alias("top_user"),
+        F.expr("min_by(user_id, pk)").alias("bottom_user"),
+        F.expr("max_by(v_micros, event_id)").alias("last_value_micros"),
+        F.expr("min_by(v_micros, event_id)").alias("first_value_micros"),
+    )
+
+
+@query(
+    "q_agg_bitops",
+    oracle="""
+        SELECT event_type,
+               bit_and(user_id)                      AS id_and,
+               bit_or(user_id)                       AS id_or,
+               bit_xor(user_id)                      AS id_xor,
+               bit_or(CAST(1 AS BIGINT) << CAST(user_id % 56 AS INT))
+                                                     AS presence_mask,
+               CAST(bit_count(
+                   bit_or(CAST(1 AS BIGINT) << CAST(user_id % 56 AS INT))
+               ) AS INT)                             AS mask_card
+        FROM events
+        GROUP BY event_type
+    """,
+    description="Bitwise aggregates (bit_and/bit_or/bit_xor) + a shifted-bit presence mask with popcount — the 64-slot bitmap-sketch primitive",
+    tags=("aggregate", "bitwise"),
+)
+def q_agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregation over group members plus the
+    1<<(k % 56) presence-mask fold — the primitive behind small-domain
+    bitmap indexes and feature-flag rollups (q_agg_bitmap_distinct
+    builds whole bitmaps; this is the single-word degenerate form that
+    needs no explode). XOR doubles as the parity check used by
+    replication audits.
+
+    Scale shape: one map-side-combined aggregation; every combiner
+    state is a single 64-bit word per group. No shuffle beyond the
+    5-group final, no window, no Python."""
+    ev = load(spark, sf_dir, "events")
+    mask = F.expr("bit_or(shiftleft(cast(1 as bigint), cast(user_id % 56 as int)))")
+    return ev.groupBy("event_type").agg(
+        F.expr("bit_and(user_id)").alias("id_and"),
+        F.expr("bit_or(user_id)").alias("id_or"),
+        F.expr("bit_xor(user_id)").alias("id_xor"),
+        mask.alias("presence_mask"),
+        F.expr(
+            "cast(bit_count(bit_or(shiftleft(cast(1 as bigint),"
+            " cast(user_id % 56 as int)))) as int)"
+        ).alias("mask_card"),
+    )
+
+
+@query(
+    "q_agg_chi2",
+    oracle="""
+        WITH cell AS (
+            SELECT event_type,
+                   CAST(isodow(CAST(ts AS DATE)) - 1 AS INT) AS dow,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, dow, o,
+                   CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+                   CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT)        AS c,
+                   CAST(sum(o) OVER () AS BIGINT)                        AS n
+            FROM cell
+        )
+        SELECT event_type,
+               CAST(sum(
+                   (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                   * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                   * 1000000
+                   // (CAST(r AS HUGEINT) * c * n)
+               ) AS BIGINT)                 AS chi2_ppm,
+               CAST(count(*) AS BIGINT)     AS n_cells,
+               CAST(max(o) AS BIGINT)       AS max_cell
+        FROM tot
+        GROUP BY event_type
+    """,
+    description="Chi-squared independence audit (event_type x day-of-week contingency) in exact ppm via 128-bit integer arithmetic — sum of per-cell floor((O*N - R*C)^2 * 1e6 / (R*C*N))",
+    tags=("aggregate", "stats", "audit"),
+)
+def q_agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared contribution per event_type over the
+    (event_type x day-of-week) contingency table — the independence
+    screen behind seasonality and instrumentation-drift alerts
+    (complements q_events_ab_test's two-sample z and q_dq_benford's
+    digit law). The algebraic form (O*N - R*C)^2 / (R*C*N) avoids the
+    fractional expectation E, so each term is a ratio of integers:
+    summed as per-cell floor(term * 1e6) in 128-bit (DECIMAL(38) /
+    HUGEINT) — bit-identical on both engines. (Per-cell flooring, not
+    floor-of-sum, is the pinned contract; with ppm granularity the two
+    differ by < n_cells ppm.) Day-of-week is Spark weekday() == DuckDB
+    isodow()-1 (Mon=0) — NOT dayofweek(), whose week origin differs
+    between the engines. 128-bit headroom bounds the input at ~5e7
+    rows per table ((O*N)^2*1e6 < 1e38); beyond that, drop the ppm
+    scale or move to the normalized phi statistic.
+
+    Scale shape: one map-side-combined cell count (35 cells), then
+    windows + the final fold over the TINY cell table — the windows
+    run on 35 rows, never the events. No Python."""
+    cell = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.weekday(F.col("ts").cast("date")).cast("int").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = cell.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    term = (
+        "(cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)"
+        " * (cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)"
+        " * 1000000"
+    )
+    denom = "(cast(r as decimal(38,0)) * c * n)"
+    return tot.groupBy("event_type").agg(
+        F.expr(f"cast(sum({term} div {denom}) as bigint)").alias("chi2_ppm"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("o").alias("max_cell"),
+    )

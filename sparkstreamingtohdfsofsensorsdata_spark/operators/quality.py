@@ -671,3 +671,224 @@ def q_anon_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rows_exposed"),
     )
+
+
+# PSI contract: 10 fixed-width value buckets (width 50 over the
+# fixture's [0, 500) value range, top bucket open), reference period =
+# days before the split date, current = the rest. Laplace 0.5
+# smoothing keeps empty buckets finite exactly as monitoring systems
+# ship it.
+PSI_SPLIT_DAY = "2024-01-16"
+PSI_BUCKET_W = 50
+PSI_BUCKETS = 10
+
+
+@query(
+    "q_dq_psi",
+    oracle=f"""
+        WITH b AS (
+            SELECT event_type,
+                   CASE WHEN CAST(ts AS DATE) < DATE '{PSI_SPLIT_DAY}'
+                        THEN 0 ELSE 1 END AS period,
+                   least(CAST(floor(value / {PSI_BUCKET_W}) AS INT),
+                         {PSI_BUCKETS - 1}) AS bucket,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events
+            GROUP BY 1, 2, 3
+        ),
+        grid AS (
+            SELECT et.event_type, gs.bucket,
+                   coalesce(r.c, 0) AS c_ref,
+                   coalesce(u.c, 0) AS c_cur
+            FROM (SELECT DISTINCT event_type FROM b) et
+            CROSS JOIN (SELECT unnest(range({PSI_BUCKETS})) AS bucket) gs
+            LEFT JOIN b r ON r.event_type = et.event_type
+                         AND r.bucket = gs.bucket AND r.period = 0
+            LEFT JOIN b u ON u.event_type = et.event_type
+                         AND u.bucket = gs.bucket AND u.period = 1
+        ),
+        tot AS (
+            SELECT event_type, bucket, c_ref, c_cur,
+                   sum(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+                   sum(c_cur) OVER (PARTITION BY event_type) AS n_cur
+            FROM grid
+        )
+        SELECT event_type,
+               CAST(max(n_ref) AS BIGINT) AS n_ref,
+               CAST(max(n_cur) AS BIGINT) AS n_cur,
+               round(sum(
+                   ((c_ref + 0.5) / (n_ref + {PSI_BUCKETS} * 0.5)
+                    - (c_cur + 0.5) / (n_cur + {PSI_BUCKETS} * 0.5))
+                   * ln(((c_ref + 0.5) / (n_ref + {PSI_BUCKETS} * 0.5))
+                        / ((c_cur + 0.5) / (n_cur + {PSI_BUCKETS} * 0.5)))
+               ), 6) AS psi
+        FROM tot
+        GROUP BY event_type
+    """,
+    description="Population Stability Index per event_type: 10 fixed-width value buckets, Laplace-smoothed reference-vs-current distributions, the drift score model-monitoring systems alert on",
+    tags=("quality", "drift", "audit"),
+)
+def q_dq_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI — THE production drift metric (scorecard monitoring's
+    standard: <0.1 stable, 0.1-0.25 drifting, >0.25 act): compares the
+    value distribution before/after a split date over fixed buckets,
+    sum((p-q)*ln(p/q)). Buckets are integer-exact; the only floats are
+    the final smoothed ratios and one ln per bucket, summed over a
+    FIXED 10-bucket grid (explicitly densified with zero counts so
+    both engines sum the same 10 terms — a missing empty bucket would
+    silently change the score) and rounded to 6 dp like q_llm_entropy
+    (drift ~1e-15 against a 1e-6 grid).
+
+    Scale shape: one map-side-combined (type, period, bucket) count —
+    a ~100-row table no matter the input size; the grid densify, the
+    window totals, and the PSI fold all run on that tiny table. No
+    Python, no data-sized window."""
+    b = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.when(
+                F.col("ts").cast("date") < F.lit(PSI_SPLIT_DAY).cast("date"),
+                0,
+            )
+            .otherwise(1)
+            .alias("period"),
+            F.least(
+                F.floor(F.col("value") / PSI_BUCKET_W).cast("int"),
+                F.lit(PSI_BUCKETS - 1),
+            ).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    et = b.select("event_type").distinct()
+    grid = et.crossJoin(
+        F.broadcast(
+            b.sparkSession.range(PSI_BUCKETS).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    ref = b.filter(F.col("period") == 0).select(
+        "event_type", "bucket", F.col("c").alias("c_ref")
+    )
+    cur = b.filter(F.col("period") == 1).select(
+        "event_type", "bucket", F.col("c").alias("c_cur")
+    )
+    g = (
+        grid.join(ref, ["event_type", "bucket"], "left")
+        .join(cur, ["event_type", "bucket"], "left")
+        .fillna(0, subset=["c_ref", "c_cur"])
+    )
+    w = Window.partitionBy("event_type")
+    tot = g.select(
+        "event_type",
+        "bucket",
+        "c_ref",
+        "c_cur",
+        F.sum("c_ref").over(w).alias("n_ref"),
+        F.sum("c_cur").over(w).alias("n_cur"),
+    )
+    smooth = PSI_BUCKETS * 0.5
+    p = (F.col("c_ref") + 0.5) / (F.col("n_ref") + smooth)
+    q = (F.col("c_cur") + 0.5) / (F.col("n_cur") + smooth)
+    return tot.groupBy("event_type").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+    )
+
+
+# Generalization ladder for the k-anonymity release decision: each
+# level coarsens BOTH quasi-identifiers (user bucket, time grain).
+ANON_LADDER_K = 5
+
+
+@query(
+    "q_anon_generalize",
+    oracle=f"""
+        WITH rows_qi AS (
+            SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        lvl AS (
+            SELECT 0 AS level, user_id % 1024 AS qi_user,
+                   CAST(day AS VARCHAR) AS qi_time
+            FROM rows_qi
+            UNION ALL
+            SELECT 1, user_id % 128,
+                   CAST(date_trunc('week', day) AS VARCHAR)
+            FROM rows_qi
+            UNION ALL
+            SELECT 2, user_id % 16,
+                   CAST(date_trunc('month', day) AS VARCHAR)
+            FROM rows_qi
+        ),
+        cls AS (
+            SELECT level, qi_user, qi_time,
+                   CAST(count(*) AS BIGINT) AS sz
+            FROM lvl GROUP BY 1, 2, 3
+        )
+        SELECT level,
+               CAST(count(*) AS BIGINT)  AS n_classes,
+               CAST(min(sz) AS BIGINT)   AS min_class,
+               CAST(sum(CASE WHEN sz < {ANON_LADDER_K} THEN sz ELSE 0 END)
+                    AS BIGINT)           AS n_suppressed,
+               CAST(CASE WHEN min(sz) >= {ANON_LADDER_K} THEN 1 ELSE 0 END
+                    AS INT)              AS meets_k
+        FROM cls
+        GROUP BY level
+    """,
+    description="k-anonymity generalization ladder: three coarsening levels of the (user bucket, time grain) quasi-identifier pair, per-level class counts / suppression cost / k-compliance — the release-decision table",
+    tags=("quality", "privacy", "audit"),
+)
+def q_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision table behind a k-anonymous release:
+    q_anon_kanonymity AUDITS one quasi-identifier choice; real privacy
+    reviews walk a generalization LADDER (coarsen user bucket 1024 →
+    128 → 16 and time day → week → month) and pick the first level
+    whose minimum class size clears k, trading utility (n_classes)
+    against suppression cost (rows in classes still under k). All
+    integer counts; week/month grains via date_trunc, which both
+    engines define identically (ISO Monday weeks).
+
+    Scale shape: one union of three map-side-combined groupBys over
+    (bucketed) quasi-identifiers — level cardinality caps at
+    1024 x days, 128 x weeks, 16 x months — then a 3-row fold.
+    No window, no Python, no skew (bucketing is modular)."""
+    rows_qi = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    levels = [
+        (0, F.col("user_id") % 1024, F.col("day").cast("string")),
+        (
+            1,
+            F.col("user_id") % 128,
+            F.date_trunc("week", "day").cast("date").cast("string"),
+        ),
+        (
+            2,
+            F.col("user_id") % 16,
+            F.date_trunc("month", "day").cast("date").cast("string"),
+        ),
+    ]
+    lvl = None
+    for level, qi_user, qi_time in levels:
+        part = rows_qi.select(
+            F.lit(level).alias("level"),
+            qi_user.alias("qi_user"),
+            qi_time.alias("qi_time"),
+        )
+        lvl = part if lvl is None else lvl.unionAll(part)
+    cls = lvl.groupBy("level", "qi_user", "qi_time").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return cls.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("sz").alias("min_class"),
+        F.sum(
+            F.when(F.col("sz") < ANON_LADDER_K, F.col("sz")).otherwise(0)
+        ).alias("n_suppressed"),
+        F.when(F.min("sz") >= ANON_LADDER_K, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("meets_k"),
+    )

@@ -2268,3 +2268,274 @@ def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_daily",
         F.col("sx").alias("events_total"),
     )
+
+
+# Concurrency sweep: each event is active for a fixed lease after its
+# start; both boundary points of an interval stay in the START's day
+# (per-day rollup of sessions started that day). Chunk = hour-of-epoch,
+# so every window is bounded by one hour of boundary points.
+CONCURRENCY_LEASE_S = 300
+CONCURRENCY_CHUNK_S = 3600
+
+
+@query(
+    "q_events_concurrency",
+    oracle=f"""
+        WITH pts AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   epoch_us(ts) // 1000000 AS t, 1 AS delta, event_id
+            FROM events
+            UNION ALL
+            SELECT CAST(ts AS DATE) AS day,
+                   epoch_us(ts) // 1000000 + {CONCURRENCY_LEASE_S} AS t,
+                   -1 AS delta, event_id
+            FROM events
+        ),
+        run AS (
+            SELECT day, delta,
+                   sum(delta) OVER (
+                       PARTITION BY day
+                       ORDER BY t, delta, event_id) AS active
+            FROM pts
+        )
+        SELECT day,
+               CAST(max(active) AS BIGINT)      AS max_concurrent,
+               CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT)                  AS n_started
+        FROM run
+        GROUP BY day
+    """,
+    description="Peak concurrency per day: interval-boundary sweep (+1 at start, -1 at lease end) with a two-level chunked running sum — no whole-day single-partition window on the Spark side",
+    tags=("timeseries", "events", "window"),
+)
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per day — the capacity-planning number
+    (max simultaneous sessions/devices) every sensor fleet dashboard
+    leads with. Each event holds a fixed 300 s lease; the sweep puts
+    +1 at the start and -1 at the lease end, orders boundary points by
+    (t, delta, event_id) — ends sort before starts at the same instant
+    (half-open [s, e) intervals), and the trailing event_id makes the
+    prefix sequence fully deterministic — and takes the max running
+    sum. Both boundary points stay in the start's day, so a day reads
+    "peak concurrency of sessions started that day".
+
+    Scale shape: the oracle's per-day window would put one whole day
+    in one partition — the few-huge-partitions trap. The running sum
+    is prefix-decomposable, so the kernel is q_ts_drawdown's two-level
+    pattern: bounded local windows per (day, hour-chunk), a tiny
+    per-chunk total table whose exclusive prefix sum is each chunk's
+    offset, and the day's peak = max over chunks of (offset + local
+    running max) — computed without ever joining back to the points.
+    Every window is bounded by one hour of boundaries. No Python."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.unix_timestamp("ts").alias("s"),
+        "event_id",
+    )
+    pts = ev.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        ev.select(
+            "day",
+            (F.col("s") + CONCURRENCY_LEASE_S).alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    pts = pts.withColumn(
+        "chunk", F.floor(F.col("t") / CONCURRENCY_CHUNK_S)
+    )
+    w_in = (
+        Window.partitionBy("day", "chunk")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = pts.withColumn("lrun", F.sum("delta").over(w_in))
+    chunk_tbl = local.groupBy("day", "chunk").agg(
+        F.sum("delta").alias("c_sum"),
+        F.max("lrun").alias("c_maxrun"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("c_started"),
+    )
+    w_prev = (
+        Window.partitionBy("day")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = chunk_tbl.withColumn(
+        "offset", F.coalesce(F.sum("c_sum").over(w_prev), F.lit(0))
+    )
+    return offs.groupBy("day").agg(
+        F.max(F.col("offset") + F.col("c_maxrun")).alias("max_concurrent"),
+        F.sum("c_started").alias("n_started"),
+    )
+
+
+@query(
+    "q_events_step_latency",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, min(ts) AS st
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        conv AS (
+            SELECT s.user_id, CAST(s.st AS DATE) AS cohort_day,
+                   min((epoch_us(e.ts) - epoch_us(s.st)) // 1000000) AS lat_s
+            FROM s JOIN events e ON e.user_id = s.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s.st
+            GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT cohort_day, lat_s,
+                   row_number() OVER (
+                       PARTITION BY cohort_day
+                       ORDER BY lat_s, user_id) AS rn,
+                   count(*) OVER (PARTITION BY cohort_day) AS n
+            FROM conv
+        )
+        SELECT cohort_day,
+               CAST(max(n) AS BIGINT)  AS n_converted,
+               CAST(min(lat_s) AS BIGINT) AS min_latency_s,
+               CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat_s END)
+                    AS BIGINT)         AS median_latency_s,
+               CAST(max(CASE WHEN rn = n - (n * 10 // 100) THEN lat_s END)
+                    AS BIGINT)         AS p90_latency_s,
+               CAST(max(lat_s) AS BIGINT) AS max_latency_s
+        FROM r
+        GROUP BY cohort_day
+    """,
+    description="Signup->purchase conversion latency distribution per signup-day cohort: exact discrete median/p90 via per-cohort rank, integer seconds",
+    tags=("timeseries", "funnel", "percentile"),
+)
+def q_events_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — q_ts_funnel reports WHETHER users
+    convert; product teams then ask HOW FAST, per signup-day cohort.
+    Latency is integer epoch seconds; the median is the exact lower
+    median (rank (n+1)//2) and p90 the exact rank n - n*10//100
+    element — discrete order statistics picked by row_number with a
+    (lat_s, user_id) tiebreak, identical on both engines, not an
+    interpolated percentile whose fractional arithmetic could drift.
+
+    Scale shape: signup min-agg, purchase join, and conversion min-agg
+    all co-partition on user_id (one shuffle key, high cardinality, no
+    skew). The rank window partitions by cohort day — bounded by a
+    day's converters; at 100x either chunk it like q_ts_drawdown or
+    accept ~1e6-row partitions, both documented in SCALE.md."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    conv = (
+        s.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pt")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pt") > F.col("st"))
+        .groupBy("user_id", F.col("st").cast("date").alias("cohort_day"))
+        .agg(
+            F.min(
+                F.expr("(unix_micros(pt) - unix_micros(st)) div 1000000")
+            ).alias("lat_s")
+        )
+    )
+    w = Window.partitionBy("cohort_day").orderBy("lat_s", "user_id")
+    wn = Window.partitionBy("cohort_day")
+    r = conv.select(
+        "cohort_day",
+        "lat_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    median_rn = F.expr("(n + 1) div 2")
+    p90_rn = F.expr("n - (n * 10 div 100)")
+    return r.groupBy("cohort_day").agg(
+        F.max("n").alias("n_converted"),
+        F.min("lat_s").alias("min_latency_s"),
+        F.max(F.when(F.col("rn") == median_rn, F.col("lat_s"))).alias(
+            "median_latency_s"
+        ),
+        F.max(F.when(F.col("rn") == p90_rn, F.col("lat_s"))).alias(
+            "p90_latency_s"
+        ),
+        F.max("lat_s").alias("max_latency_s"),
+    )
+
+
+SAX_ALPHABET = 4
+
+
+@query(
+    "q_ts_sax",
+    oracle=f"""
+        WITH sym AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+                   chr(96 + CAST(ntile({SAX_ALPHABET}) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(value * 1e6 + 0.5) AS BIGINT),
+                                event_id) AS INT)) AS s
+            FROM events
+        ),
+        words AS (
+            SELECT user_id, day,
+                   string_agg(s, '' ORDER BY event_id) AS sax_word
+            FROM sym GROUP BY 1, 2
+        )
+        SELECT sax_word,
+               CAST(count(*) AS BIGINT)                AS n_user_days,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM words
+        GROUP BY sax_word
+    """,
+    description="SAX symbolic discretization: per-user rank-quartile symbols (ntile over exact micros), per-(user, day) words via ordered string_agg, word frequency table — the motif-mining preprocessor",
+    tags=("timeseries", "window", "text"),
+)
+def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbolic Aggregate approXimation: discretize each user's value
+    series into a small alphabet and emit per-(user, day) words, then
+    the corpus-wide word frequency table — the preprocessing step of
+    motif/anomaly mining over sensor series (HOT SAX family).
+    Classical SAX z-normalizes against Gaussian breakpoints; that is
+    float mean/std, so this kernel uses the rank-equivalent ntile(4)
+    over exact value micros instead — same symbol semantics
+    (per-series quartile bands), fully integer-deterministic, and
+    ntile's bucket-fill rule (first n%4 buckets one longer) is
+    identical in Spark and DuckDB given the unique (v_micros,
+    event_id) order.
+
+    Scale shape: the ntile window partitions per user (high
+    cardinality, bounded rows per user), the word build is one
+    groupBy(user, day) whose ordered concatenation Spark expresses as
+    array_sort(collect_list(struct(event_id, s))) — bounded by a
+    user-day's events — and the final word histogram is a
+    map-side-combined count. No Python."""
+    w = Window.partitionBy("user_id").orderBy("v_micros", "event_id")
+    sym = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "event_id",
+            F.floor(F.col("value") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("v_micros"),
+        )
+        .withColumn(
+            "sym_bucket", F.ntile(SAX_ALPHABET).over(w)
+        )
+        .withColumn("s", F.expr("char(96 + sym_bucket)"))
+    )
+    words = sym.groupBy("user_id", "day").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(event_id, s))),"
+            " x -> x.s), '')"
+        ).alias("sax_word")
+    )
+    return words.groupBy("sax_word").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

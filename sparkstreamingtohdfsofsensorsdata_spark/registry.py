@@ -140,6 +140,17 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_sim_topk_pq",
     "q_events_pattern_funnel",
     "q_tpch_q1",
+    "q_agg_argmax",
+    "q_agg_bitops",
+    "q_agg_chi2",
+    "q_events_concurrency",
+    "q_events_step_latency",
+    "q_ts_sax",
+    "q_sql_lateral_join",
+    "q_sql_recursive_cte",
+    "q_dq_psi",
+    "q_anon_generalize",
+    "q_llm_mix_temperature",
 )
 
 
