@@ -574,3 +574,114 @@ def q_fn_try_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("max_ts"),
         )
     )
+
+
+@query(
+    "q_fn_month_arith",
+    oracle="""
+        SELECT CAST(date_trunc('month',
+                    CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH)
+                    AS DATE)                                 AS billing_month,
+               CAST(count(*) AS BIGINT)                      AS n_orders,
+               CAST(sum(CASE WHEN day(CAST(o_orderdate AS DATE)
+                                      + INTERVAL 1 MONTH)
+                                  < day(CAST(o_orderdate AS DATE))
+                             THEN 1 ELSE 0 END) AS BIGINT)   AS n_clamped,
+               CAST(min(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH)
+                    AS DATE)                                 AS first_billing,
+               CAST(max(last_day(CAST(o_orderdate AS DATE)))
+                    AS DATE)                                 AS last_eom
+        FROM orders
+        GROUP BY 1
+    """,
+    description="Calendar month arithmetic semantics pin: +1 month with end-of-month clamping (Jan 31 -> Feb 29), clamp counting, and last_day() — the billing-cycle date math both engines must agree on",
+    tags=("function", "date"),
+)
+def q_fn_month_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month arithmetic is where date libraries silently disagree:
+    adding a month to Jan 31 can clamp (Feb 28/29), overflow (Mar 2/3)
+    or error depending on the engine. Spark's add_months and DuckDB's
+    + INTERVAL 1 MONTH both CLAMP — this key pins that equivalence on
+    real data (billing date = order date + 1 month), counts how many
+    orders actually hit the clamp (day-of-month shrank), and pins
+    last_day() parity alongside. q_fn_date covers extraction/trunc;
+    this is the mutation semantics its docstring defers.
+
+    Scale shape: single scan, map-side-combined monthly rollup; every
+    expression is JVM-side date math. No join, no window, no
+    Python."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("od")
+    )
+    b = o.select(
+        "od",
+        F.add_months("od", 1).alias("bd"),
+    )
+    return b.groupBy(
+        F.date_trunc("month", "bd").cast("date").alias("billing_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.dayofmonth("bd") < F.dayofmonth("od"), 1).otherwise(0)
+        ).alias("n_clamped"),
+        F.min("bd").alias("first_billing"),
+        F.max(F.last_day("od")).alias("last_eom"),
+    )
+
+
+@query(
+    "q_fn_collation",
+    oracle="""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        a AS (
+            SELECT source, tok FROM toks
+            WHERE regexp_matches(tok, '^[A-Za-z]+$')
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT)                    AS n_tokens,
+               CAST(count(DISTINCT tok) AS BIGINT)         AS n_cs,
+               CAST(count(DISTINCT lower(tok)) AS BIGINT)  AS n_ci,
+               CAST(count(DISTINCT tok) - count(DISTINCT lower(tok))
+                    AS BIGINT)                             AS n_case_merged
+        FROM a
+        GROUP BY source
+    """,
+    description="Collation-aware distinct counting: case-sensitive vs UTF8_LCASE-collated token vocabulary per source (Spark 4 collate() surface; oracle mirrors with lower()) over an ASCII-pinned token set",
+    tags=("function", "string", "collation"),
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's collation surface: COUNT(DISTINCT collate(tok,
+    'UTF8_LCASE')) — grouping/equality under a case-insensitive
+    collation WITHOUT rewriting the data to lower() first, which is
+    how warehouses express CI dedup post-SQL:2023. The oracle mirrors
+    with lower() — equivalent on the ASCII-only token set this key
+    pins with a regex (non-ASCII case folding is where engine
+    collations genuinely diverge, so the contract stays inside the
+    common subset; the Spark side uses the collation machinery
+    itself).
+
+    Scale shape: explode to (source, token), two distinct-counts per
+    group — Spark plans multi-distinct via expand (2x the token rows,
+    map-side-combined); the regex filter prunes before the expand. No
+    Python."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok").rlike("^[A-Za-z]+$"))
+    )
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_cs"),
+        F.expr("count(distinct collate(tok, 'UTF8_LCASE'))").alias("n_ci"),
+        F.expr(
+            "count(distinct tok)"
+            " - count(distinct collate(tok, 'UTF8_LCASE'))"
+        ).alias("n_case_merged"),
+    )

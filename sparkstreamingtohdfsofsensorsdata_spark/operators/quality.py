@@ -892,3 +892,148 @@ def q_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("meets_k"),
     )
+
+
+@query(
+    "q_dq_freshness",
+    oracle="""
+        WITH mx AS (
+            SELECT max(epoch_us(ts)) AS gmax_us FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)          AS n_events,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+               CAST((mx.gmax_us - max(epoch_us(ts))) // 1000000
+                    AS BIGINT)                   AS lag_s,
+               CAST(sum(CASE WHEN epoch_us(ts)
+                                  >= mx.gmax_us - CAST(86400 AS BIGINT) * 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day,
+               CAST(CASE WHEN (mx.gmax_us - max(epoch_us(ts))) // 1000000
+                              > 3600
+                         THEN 1 ELSE 0 END AS INT) AS stale
+        FROM events, mx
+        GROUP BY event_type, mx.gmax_us
+    """,
+    description="Feed freshness audit: per-stream last-seen timestamp, lag behind the corpus head in exact seconds, last-24h volume, staleness flag — the first data-quality page of any ingestion dashboard",
+    tags=("quality", "freshness", "audit"),
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion freshness — "is every feed still alive, and how far
+    behind the head is it?": per event_type the last event, its lag
+    behind the global maximum timestamp in whole seconds, the last-24h
+    event count, and an hour-threshold staleness flag. The canonical
+    first check on a streaming-to-storage pipeline's output tables.
+    All integer microseconds; the lag floor-divides AFTER the
+    subtraction so both engines truncate the same difference.
+
+    Scale shape: one map-side-combined per-type aggregation plus a
+    1-row global max broadcast back (crossJoin-a-scalar idiom) — the
+    24h window predicate folds into the same single pass as a
+    conditional sum, so the table is scanned once. No window, no
+    Python."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    gmax = ev.agg(F.max("us").alias("gmax_us"))
+    per = ev.crossJoin(F.broadcast(gmax)).groupBy("event_type", "gmax_us").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("us").alias("last_us"),
+        F.sum(
+            F.when(F.col("us") >= F.col("gmax_us") - 86400 * 1_000_000, 1)
+            .otherwise(0)
+        ).alias("n_last_day"),
+    )
+    return per.select(
+        "event_type",
+        "n_events",
+        "last_us",
+        F.expr("(gmax_us - last_us) div 1000000").alias("lag_s"),
+        "n_last_day",
+        F.expr(
+            "cast(case when (gmax_us - last_us) div 1000000 > 3600"
+            " then 1 else 0 end as int)"
+        ).alias("stale"),
+    )
+
+
+# Seeded-noise DP release: epsilon and the md5-derived uniform are part
+# of the pinned contract — "reproducible audit mode", where the noise is
+# a deterministic function of (release_tag, group key) so two engines
+# (and two re-runs of the same release) agree bit-for-bit.
+DP_EPSILON_INV = 2.0  # Laplace scale b = 1/epsilon (epsilon = 0.5)
+DP_RELEASE_TAG = "r12"
+
+
+@query(
+    "q_anon_dp_counts",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY 1, 2
+        ),
+        u AS (
+            SELECT event_type, day, n,
+                   (CAST(('0x' || substring(
+                        md5('{DP_RELEASE_TAG}' || event_type || day), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS uni
+            FROM c
+        )
+        SELECT event_type, day, n,
+               round(n - {DP_EPSILON_INV}
+                     * CASE WHEN uni < 0 THEN -1.0 ELSE 1.0 END
+                     * ln(1.0 - 2.0 * abs(uni)), 6) AS noisy_n
+        FROM u
+    """,
+    description="Differentially-private count release (reproducible audit mode): per-(event_type, day) counts + Laplace(1/eps) noise from a seeded md5-uniform via inverse-CDF — bit-reproducible across engines and re-runs",
+    tags=("quality", "privacy", "audit"),
+)
+def q_anon_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DP-release mechanics (Laplace mechanism on count queries,
+    sensitivity 1, b = 1/epsilon) in REPRODUCIBLE AUDIT MODE: the
+    uniform driving the inverse-CDF comes from md5(tag || group key),
+    so an auditor — or a second engine — re-derives the exact same
+    noise. A production release would swap the seeded uniform for a
+    CSPRNG draw; everything else (the inverse-CDF transform
+    -b*sign(u)*ln(1-2|u|), the epsilon bookkeeping) is the deployment
+    code path. The md5 31-bit slice is exact in both engines; the one
+    ln rounds at 6 dp like q_llm_entropy.
+
+    Scale shape: one map-side-combined (type, day) count, then pure
+    per-row scalar arithmetic — noise needs no shuffle at all."""
+    c = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uni = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(DP_RELEASE_TAG),
+                            F.col("event_type"),
+                            F.col("day").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 0.5
+        )
+        / 4294967296.0
+        - 0.5
+    )
+    noisy = F.col("n") - DP_EPSILON_INV * F.when(
+        F.col("uni") < 0, -1.0
+    ).otherwise(1.0) * F.log(1.0 - 2.0 * F.abs(F.col("uni")))
+    return (
+        c.withColumn("uni", uni)
+        .withColumn("noisy_n", F.round(noisy, 6))
+        .select("event_type", "day", "n", "noisy_n")
+    )

@@ -2539,3 +2539,87 @@ def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_user_days"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# Bot screen: the top-K most metronomic users by inter-event gap spread.
+BOT_MIN_EVENTS = 10
+BOT_TOP_K = 20
+
+
+@query(
+    "q_events_bot_screen",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS pus
+            FROM events
+        ),
+        s AS (
+            SELECT user_id,
+                   CAST(count(*) + 1 AS BIGINT)    AS n_events,
+                   CAST(min(us - pus) AS BIGINT)   AS min_gap_us,
+                   CAST(max(us - pus) AS BIGINT)   AS max_gap_us,
+                   CAST(sum(us - pus) AS BIGINT)   AS span_us
+            FROM g WHERE pus IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id, n_events, min_gap_us, max_gap_us,
+               max_gap_us - min_gap_us AS spread_us,
+               CAST(n_events * 3600000000 // span_us AS BIGINT)
+                   AS events_per_hour_milli
+        FROM s
+        WHERE n_events >= {BOT_MIN_EVENTS} AND span_us > 0
+        ORDER BY spread_us, user_id
+        LIMIT {BOT_TOP_K}
+    """,
+    description="Bot/automation screen: top-20 most metronomic users by inter-event gap spread (max-min, exact integer microseconds) with event-rate, the regular-cadence detector fleet telemetry runs first",
+    tags=("timeseries", "events", "anomaly"),
+)
+def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated traffic beats humans at REGULARITY, not volume: a
+    scripted poller's inter-event gaps cluster around its timer while
+    human gaps spread over orders of magnitude. The screen ranks users
+    (>= 10 events) by gap spread (max-min, exact integer us) and
+    reports cadence rate — the first-pass bot detector for clickstream
+    and device fleets (complements q_events_anomaly_days' volume
+    screen and q_events_inter_arrival's corpus histogram, which have
+    no per-user regularity signal).
+
+    Scale shape: the lag window partitions per user (high cardinality,
+    bounded per-user rows); per-user gap stats are one map-side
+    combinable aggregation; the final cut is a global TakeOrdered
+    (top-20) — never a full sort. No Python."""
+    g = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        g.withColumn("pus", F.lag("us").over(w))
+        .filter(F.col("pus").isNotNull())
+        .select("user_id", (F.col("us") - F.col("pus")).alias("gap"))
+    )
+    s = gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.min("gap").alias("min_gap_us"),
+        F.max("gap").alias("max_gap_us"),
+        F.sum("gap").alias("span_us"),
+    )
+    return (
+        s.filter(
+            (F.col("n_events") >= BOT_MIN_EVENTS) & (F.col("span_us") > 0)
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "min_gap_us",
+            "max_gap_us",
+            (F.col("max_gap_us") - F.col("min_gap_us")).alias("spread_us"),
+            F.expr("n_events * 3600000000 div span_us").alias(
+                "events_per_hour_milli"
+            ),
+        )
+        .orderBy("spread_us", "user_id")
+        .limit(BOT_TOP_K)
+    )

@@ -151,6 +151,11 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_dq_psi",
     "q_anon_generalize",
     "q_llm_mix_temperature",
+    "q_dq_freshness",
+    "q_anon_dp_counts",
+    "q_fn_month_arith",
+    "q_fn_collation",
+    "q_events_bot_screen",
 )
 
 
