@@ -164,6 +164,7 @@ GRAPH_FAMILY = (
     "q_graph_assortativity",
     "q_graph_modularity",
     "q_graph_local_clustering",
+    "q_graph_label_propagation",
 )
 
 

@@ -61,9 +61,10 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Memoized per (live session, sf_dir fingerprint) — the same
     session-attached cache the SimHash dedup family uses (llm/dedup):
-    all ten graph kernels (degree, triangles, pagerank,
+    all eleven graph kernels (degree, triangles, pagerank,
     common-neighbors, bfs, wcc, kcore, assortativity, modularity,
-    local-clustering — bench.py GRAPH_FAMILY, enumeration pinned by
+    local-clustering, label-propagation — bench.py GRAPH_FAMILY,
+    enumeration pinned by
     tests/test_memo.py::test_graph_family_docstring_in_sync so the
     count can never drift again) read this ONE table, which is the
     production "materialize the edge list once, bucket by src, every
@@ -1144,3 +1145,109 @@ def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("lcc_ppm").desc(), "node").limit(LCC_TOP_K)
+
+
+# Synchronous majority label propagation: bounded rounds, no self-vote,
+# ties broken to the SMALLEST label — all three choices pinned because
+# LPA variants genuinely differ on them. The vote winner per node is
+# picked by one packed ordering key: cnt * LPA_PACK - label (HUGEINT /
+# DECIMAL(38)), max ⇒ highest count, then lowest label.
+LPA_ROUNDS = 3
+LPA_PACK = 1_000_000_000_000
+
+
+def _lpa_oracle() -> str:
+    steps = []
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        steps.append(
+            f"""v{r} AS (
+            SELECT e.src AS node, {prev}.lbl AS nl,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM edges e JOIN {prev} ON {prev}.node = e.dst
+            GROUP BY 1, 2
+        ),
+        l{r} AS MATERIALIZED (
+            SELECT node,
+                   arg_max(nl, CAST(c AS HUGEINT) * {LPA_PACK} - nl) AS lbl
+            FROM v{r} GROUP BY node
+        )"""
+        )
+        prev = f"l{r}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH oedges AS MATERIALIZED (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM oedges
+            UNION ALL
+            SELECT dst, src FROM oedges
+        ),
+        l0 AS (
+            SELECT DISTINCT src AS node, src AS lbl FROM edges
+        ),
+        {chain},
+        comm AS (
+            SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size
+            FROM {prev} GROUP BY lbl
+        )
+        SELECT comm_size,
+               CAST(count(*) AS BIGINT) AS n_communities
+        FROM comm GROUP BY comm_size
+    """
+
+
+@query(
+    "q_graph_label_propagation",
+    oracle=_lpa_oracle(),
+    description="Synchronous majority label propagation (3 bounded rounds, min-label ties, no self-vote): community-size distribution; vote winner via one packed 128-bit (count, -label) arg_max per node per round",
+    tags=("graph", "iterative"),
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation (Raghavan's LPA) — the near-linear community
+    detector run when modularity maximization is too expensive;
+    complements q_graph_wcc (connectivity, min-label) and
+    q_graph_modularity (partition QUALITY given communities — at scale
+    this key produces the partition that one scores). Synchronous
+    variant with the three determinism choices pinned: bounded
+    LPA_ROUNDS rounds, no self-vote, ties to the smallest label. The
+    per-node vote winner is max_by over cnt * 1e12 - label in 128-bit
+    (DECIMAL(38)/HUGEINT), one deterministic winner per node per round
+    on both engines.
+
+    Scale shape: per round, ONE co-partitioned join (labels to edges
+    on dst) + ONE map-side-combinable (node, label) count + ONE
+    max_by groupBy — all shuffles on node keys, the GraphFrames
+    aggregate-messages plan. Rounds are bounded (3), so no
+    convergence-dependent lineage growth; the shared memoized edge
+    table (bench GRAPH_FAMILY) is read twice per round (both
+    directions) and never rebuilt."""
+    edges = copurchase_edges(spark, sf_dir)
+    both = edges.select(
+        F.col("src").alias("s"), F.col("dst").alias("d")
+    ).unionAll(edges.select(F.col("dst").alias("s"), F.col("src").alias("d")))
+    labels = both.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            both.join(
+                labels.withColumnRenamed("node", "d_node"),
+                F.col("d") == F.col("d_node"),
+            )
+            .groupBy(F.col("s").alias("node"), F.col("lbl").alias("nl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = votes.groupBy("node").agg(
+            F.expr(
+                f"max_by(nl, cast(c as decimal(38,0)) * {LPA_PACK} - nl)"
+            ).alias("lbl")
+        )
+    comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("comm_size"))
+    return comm.groupBy("comm_size").agg(
+        F.count(F.lit(1)).alias("n_communities")
+    )

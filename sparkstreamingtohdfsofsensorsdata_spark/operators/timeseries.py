@@ -2623,3 +2623,130 @@ def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("spread_us", "user_id")
         .limit(BOT_TOP_K)
     )
+
+
+@query(
+    "q_events_survival",
+    oracle="""
+        WITH mx AS (
+            SELECT max(epoch_us(ts)) AS gmax_us FROM events
+        ),
+        s AS (
+            SELECT user_id, min(epoch_us(ts)) AS su
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        conv AS (
+            SELECT s.user_id, min(epoch_us(e.ts)) AS pu
+            FROM s JOIN events e ON e.user_id = s.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.su
+            GROUP BY s.user_id
+        ),
+        subj AS (
+            SELECT s.user_id,
+                   CASE WHEN conv.pu IS NOT NULL THEN 1 ELSE 0 END AS ev,
+                   CASE WHEN conv.pu IS NOT NULL
+                        THEN (conv.pu - s.su) // 86400000000
+                        ELSE (mx.gmax_us - s.su) // 86400000000
+                   END AS t_day
+            FROM s LEFT JOIN conv ON s.user_id = conv.user_id, mx
+        ),
+        day_tbl AS (
+            SELECT t_day,
+                   CAST(sum(ev) AS BIGINT)     AS n_events,
+                   CAST(sum(1 - ev) AS BIGINT) AS n_censored
+            FROM subj GROUP BY t_day
+        ),
+        risk AS (
+            SELECT t_day, n_events, n_censored,
+                   CAST((SELECT count(*) FROM subj) AS BIGINT)
+                   - CAST(coalesce(sum(n_events + n_censored) OVER (
+                         ORDER BY t_day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS n_risk
+            FROM day_tbl
+        )
+        SELECT t_day, n_risk, n_events, n_censored,
+               CAST(n_events * 1000000 // n_risk AS BIGINT) AS hazard_ppm
+        FROM risk
+    """,
+    description="Kaplan-Meier-style survival table for signup->purchase: per-day at-risk counts, events, right-censoring at corpus end, exact hazard in ppm — the retention curve's rigorous form",
+    tags=("timeseries", "funnel", "survival"),
+)
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survival-analysis life table behind "how long until users
+    convert": each signup is a subject, the first later purchase is
+    the event, subjects without one are RIGHT-CENSORED at the corpus
+    head — the statistically honest treatment q_ts_funnel's raw
+    conversion rate ignores (users who signed up yesterday haven't
+    had time to convert). Per whole-day time bucket: at-risk count
+    (subjects observed >= t), events, censorings, and the exact
+    discrete hazard d_t/n_t in ppm. The KM survival curve is the
+    running product of (1 - hazard); the table keeps integer exactness
+    by reporting the hazard itself (a float cumprod would be
+    order-dependent).
+
+    Scale shape: signup/purchase aggregation and the left join all
+    co-partition on user_id; the life table then lives at day-bucket
+    cardinality (~30 rows), where the one cumulative window is free.
+    Corpus head broadcasts as a 1-row scalar. No Python."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    gmax = ev.agg(F.max("us").alias("gmax_us"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("su"))
+    )
+    conv = (
+        s.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("us").alias("pu")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pu") > F.col("su"))
+        .groupBy("user_id")
+        .agg(F.min("pu").alias("pu"))
+    )
+    subj = (
+        s.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.when(F.col("pu").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.when(
+                F.col("pu").isNotNull(),
+                F.expr("(pu - su) div 86400000000"),
+            )
+            .otherwise(F.expr("(gmax_us - su) div 86400000000"))
+            .alias("t_day"),
+        )
+    )
+    day_tbl = subj.groupBy("t_day").agg(
+        F.sum("ev").alias("n_events"),
+        F.sum(F.lit(1) - F.col("ev")).alias("n_censored"),
+    )
+    total = subj.agg(F.count(F.lit(1)).alias("n_subj"))
+    w = (
+        Window.partitionBy()
+        .orderBy("t_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        day_tbl.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_subj")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w),
+                F.lit(0),
+            ),
+        )
+    )
+    return risk.select(
+        "t_day",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.expr("n_events * 1000000 div n_risk").alias("hazard_ppm"),
+    )

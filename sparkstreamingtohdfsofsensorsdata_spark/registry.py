@@ -156,6 +156,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_fn_month_arith",
     "q_fn_collation",
     "q_events_bot_screen",
+    "q_graph_label_propagation",
+    "q_events_survival",
 )
 
 

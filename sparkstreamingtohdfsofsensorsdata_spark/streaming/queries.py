@@ -429,7 +429,14 @@ def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap groups (a day's window spans chunk boundaries), so the
     fold genuinely exercises supersession, not just union. Changelogs
     are aggregated rows (group cardinality, not input rows) — the
-    driver-side capture is control-plane-sized by construction."""
+    driver-side capture is control-plane-sized by construction.
+
+    Deployment shape (VERDICT r11): this harness IS the sink here, so
+    it collect()s each epoch's changed groups to fold them in-process;
+    a production update-mode consumer keeps the same foreachBatch hook
+    but UPSERTS each changelog batch into the keyed store
+    executor-side (batch_df.write / foreach partition writer — the
+    q_stream_foreach_upsert shape), never collecting to the driver."""
     from ..sources.factory import memo_replay_dir, stream_source
     from .runner import run_foreach_batch
 
