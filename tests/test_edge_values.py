@@ -414,6 +414,32 @@ KEYS = [
     "q_tpch_q21",
     "q_subquery_scalar",
     "q_subquery_correlated",
+    # round-12 additions over the same hostile surface: purchase-before-
+    # signup rows (survival/step-latency strict ordering), single-member
+    # cohorts (median_rn == p90_rn == 1), tiny/zero-edge graphs (LPA),
+    # NULL order dates (month arithmetic), empty/NULL documents
+    # (collation regex prune, temperature mix), sub-minute event spans
+    # (freshness lag, concurrency sweep), empty bot screens
+    "q_tpch_q1",
+    "q_events_pattern_funnel",
+    "q_agg_argmax",
+    "q_agg_bitops",
+    "q_agg_chi2",
+    "q_events_concurrency",
+    "q_events_step_latency",
+    "q_ts_sax",
+    "q_sql_lateral_join",
+    "q_sql_recursive_cte",
+    "q_dq_psi",
+    "q_anon_generalize",
+    "q_llm_mix_temperature",
+    "q_dq_freshness",
+    "q_anon_dp_counts",
+    "q_fn_month_arith",
+    "q_fn_collation",
+    "q_events_bot_screen",
+    "q_graph_label_propagation",
+    "q_events_survival",
     # scans/sinks/samples/merge re-write and re-read the hostile rows
     # through every format (csv/orc/json/text-lines incl. the \\N null
     # sentinel), and the UDF surface crosses them through Arrow.

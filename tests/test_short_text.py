@@ -79,6 +79,8 @@ KEYS = [
     "q_llm_simhash",
     "q_llm_simhash_banded",
     "q_llm_mix_sample",
+    "q_llm_mix_temperature",
+    "q_fn_collation",
     "q_llm_bpe_train",
     "q_llm_contamination",
     "q_llm_split_leakage",

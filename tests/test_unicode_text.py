@@ -114,6 +114,8 @@ KEYS = [
     "q_llm_shard_assign",
     "q_llm_unigram_logprob",
     "q_llm_url_normalize",
+    "q_llm_mix_temperature",
+    "q_fn_collation",
     "q_llm_ngram_containment",
     "q_llm_passage_dedup",
     "q_llm_pmi_bigrams",
