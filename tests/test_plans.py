@@ -1169,3 +1169,37 @@ def test_view_chain_inlines_and_pushes_down(spark):
     df = q(spark, "q_sql_view_chain")
     assert inspect.has_pushed_filters(df, "p_size")
     assert inspect.has_broadcast_join(df)
+
+
+def test_lateral_decorrelates_to_group_limit(spark):
+    """q_sql_lateral_join's ORDER BY + LIMIT lateral must not execute
+    per outer row: Catalyst decorrelates it to a WindowGroupLimit
+    (rank pushed BELOW the shuffle as a partial) feeding a broadcast
+    join — the plan that scales. A CartesianProduct or a re-executed
+    subquery here would be the 100x disaster this gate exists for."""
+    s = inspect.plan_str(q(spark, "q_sql_lateral_join"))
+    assert "WindowGroupLimit" in s
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_concurrency_sweep_windows_are_chunk_bounded(spark):
+    """q_events_concurrency's data-sized running sum must stay on the
+    (day, chunk) two-level decomposition: every Window node that orders
+    the boundary points carries `chunk` in its partition spec, so no
+    whole-day single-partition window survives a refactor."""
+    s = inspect.plan_str(q(spark, "q_events_concurrency"))
+    point_windows = [
+        line
+        for line in s.splitlines()
+        if "Window [" in line and "t#" in line and "delta" in line
+    ]
+    assert point_windows, "boundary-point window vanished from the plan"
+    assert all("chunk" in line for line in point_windows)
+
+
+def test_argmax_aggregates_map_side(spark):
+    """q_agg_argmax's whole point at scale: max_by moves one (key,
+    value) pair per partition per group through the shuffle — i.e. a
+    partial_max_by must appear below the exchange."""
+    assert inspect.has_partial_aggregation(q(spark, "q_agg_argmax"))
