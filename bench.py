@@ -165,6 +165,7 @@ GRAPH_FAMILY = (
     "q_graph_modularity",
     "q_graph_local_clustering",
     "q_graph_label_propagation",
+    "q_graph_landmark_closeness",
 )
 
 

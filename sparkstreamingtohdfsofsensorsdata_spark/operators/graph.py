@@ -61,10 +61,10 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Memoized per (live session, sf_dir fingerprint) — the same
     session-attached cache the SimHash dedup family uses (llm/dedup):
-    all eleven graph kernels (degree, triangles, pagerank,
+    all twelve graph kernels (degree, triangles, pagerank,
     common-neighbors, bfs, wcc, kcore, assortativity, modularity,
-    local-clustering, label-propagation — bench.py GRAPH_FAMILY,
-    enumeration pinned by
+    local-clustering, label-propagation, landmark-closeness —
+    bench.py GRAPH_FAMILY, enumeration pinned by
     tests/test_memo.py::test_graph_family_docstring_in_sync so the
     count can never drift again) read this ONE table, which is the
     production "materialize the edge list once, bucket by src, every
@@ -1250,4 +1250,151 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("comm_size"))
     return comm.groupBy("comm_size").agg(
         F.count(F.lit(1)).alias("n_communities")
+    )
+
+
+# Landmark closeness: bounded BFS from the top-degree landmark nodes.
+LANDMARK_K = 4
+LANDMARK_ROUNDS = 3
+
+
+def _landmark_oracle() -> str:
+    """Multi-source bounded BFS as chained CTEs — _bfs_oracle's relax
+    step with the landmark id carried through the (lm, node) key."""
+    far = LANDMARK_ROUNDS + 1
+    ctes = [
+        f"""deg AS MATERIALIZED (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM sym GROUP BY src
+        ),
+        lms AS MATERIALIZED (
+            SELECT node AS lm FROM deg ORDER BY d DESC, node LIMIT {LANDMARK_K}
+        ),
+        d0 AS MATERIALIZED (
+            SELECT l.lm, n.node,
+                   CASE WHEN n.node = l.lm THEN 0 END AS dist
+            FROM lms l CROSS JOIN (SELECT DISTINCT src AS node FROM sym) n
+        )"""
+    ]
+    for r in range(1, LANDMARK_ROUNDS + 1):
+        prev = f"d{r - 1}"
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+            SELECT d.lm, d.node,
+                   CASE WHEN least(
+                       coalesce(d.dist, {far}),
+                       coalesce(m.reach + 1, {far})
+                   ) <= {LANDMARK_ROUNDS} THEN least(
+                       coalesce(d.dist, {far}),
+                       coalesce(m.reach + 1, {far})
+                   ) END AS dist
+            FROM {prev} d
+            LEFT JOIN (
+                SELECT p.lm, e.dst AS node, min(p.dist) AS reach
+                FROM sym e JOIN {prev} p ON e.src = p.node
+                WHERE p.dist IS NOT NULL
+                GROUP BY p.lm, e.dst
+            ) m ON m.lm = d.lm AND m.node = d.node
+        )"""
+        )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {_EDGES_CTE},
+        {body}
+        SELECT lm,
+               CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_d1,
+               CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_d2,
+               CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_d3,
+               CAST(sum(CASE WHEN dist >= 1 THEN 1000000 // dist
+                             ELSE 0 END) AS BIGINT) AS harmonic_ppm
+        FROM d{LANDMARK_ROUNDS}
+        WHERE dist IS NOT NULL
+        GROUP BY lm
+    """
+
+
+@query(
+    "q_graph_landmark_closeness",
+    oracle=_landmark_oracle(),
+    description=f"Landmark harmonic closeness: bounded {LANDMARK_ROUNDS}-hop multi-source BFS from the top-{LANDMARK_K} degree hubs, per-landmark ring sizes + exact harmonic centrality in ppm",
+    tags=("graph", "iterative"),
+)
+def q_graph_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness from landmark hubs — the centrality the full
+    all-pairs form can never afford at scale, so production systems
+    (and the sketch literature) bound it: pick K high-degree landmarks
+    deterministically ((degree DESC, id) — a TakeOrdered over the tiny
+    degree table), run ONE bounded multi-source BFS carrying the
+    landmark id through the (lm, node) key, and report per-landmark
+    ring sizes plus the exact harmonic sum (1e6 // dist is integer
+    ppm; the harmonic form handles unreached nodes by simply omitting
+    them, which the truncated-BFS contract makes explicit).
+
+    Scale shape: the relax round is q_graph_bfs's plan with a wider
+    key — one co-partitioned edge join + one (lm, dst) min-groupBy per
+    round, K multiplying the frontier rows, never the edge table;
+    localCheckpoint truncates per-round lineage. K and the round bound
+    cap the work at K x BFS, the standard landmark trade."""
+    sym = _symmetric(copurchase_edges(spark, sf_dir))
+    far = LANDMARK_ROUNDS + 1
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    lms = (
+        deg.orderBy(F.col("d").desc(), F.col("src"))
+        .limit(LANDMARK_K)
+        .select(F.col("src").alias("lm"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    dist = F.broadcast(lms).crossJoin(nodes).select(
+        "lm",
+        "node",
+        F.when(F.col("node") == F.col("lm"), F.lit(0)).alias("dist"),
+    )
+    for _ in range(LANDMARK_ROUNDS):
+        reach = (
+            sym.join(
+                dist.filter(F.col("dist").isNotNull()),
+                sym["src"] == F.col("node"),
+            )
+            .groupBy(
+                F.col("lm").alias("rlm"), F.col("dst").alias("rnode")
+            )
+            .agg((F.min("dist") + 1).alias("reach"))
+        )
+        dist = (
+            dist.join(
+                reach,
+                (F.col("lm") == F.col("rlm"))
+                & (F.col("node") == F.col("rnode")),
+                "left",
+            )
+            .select(
+                "lm",
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(far)),
+                    F.coalesce(F.col("reach"), F.lit(far)),
+                ).alias("raw"),
+            )
+            .select(
+                "lm",
+                "node",
+                F.when(
+                    F.col("raw") <= LANDMARK_ROUNDS, F.col("raw")
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    reached = dist.filter(F.col("dist").isNotNull())
+    return reached.groupBy("lm").agg(
+        F.sum(F.when(F.col("dist") == 1, 1).otherwise(0)).alias("n_d1"),
+        F.sum(F.when(F.col("dist") == 2, 1).otherwise(0)).alias("n_d2"),
+        F.sum(F.when(F.col("dist") == 3, 1).otherwise(0)).alias("n_d3"),
+        F.sum(
+            F.when(
+                F.col("dist") >= 1, F.expr("1000000 div dist")
+            ).otherwise(0)
+        ).alias("harmonic_ppm"),
     )

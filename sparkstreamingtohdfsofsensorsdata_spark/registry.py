@@ -158,6 +158,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_events_bot_screen",
     "q_graph_label_propagation",
     "q_events_survival",
+    "q_graph_landmark_closeness",
 )
 
 
