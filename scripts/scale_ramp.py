@@ -52,6 +52,14 @@ RAMP_KEYS = [
     "q_graph_kcore",
     "q_agg_gini",
     "q_agg_rfm",
+    # round-12 heavy additions: the boundary sweep (two-level chunked),
+    # SAX (per-user ntile + ordered word build), bounded-round LPA and
+    # multi-source landmark BFS over the shared edge memo (memo cleared
+    # per tier so each tier pays its own build).
+    "q_events_concurrency",
+    "q_ts_sax",
+    "q_graph_label_propagation",
+    "q_graph_landmark_closeness",
 ]
 
 

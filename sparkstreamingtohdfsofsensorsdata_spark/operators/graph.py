@@ -112,6 +112,39 @@ def clear_edges_memo(spark: SparkSession) -> None:
         spark._copurchase_edges_memo.clear()
 
 
+def triangle_orientation(spark: SparkSession, sf_dir: str) -> tuple:
+    """Session-memoized orientation decision for the co-purchase graph
+    (r12): BOTH wedge consumers (q_graph_triangles,
+    q_graph_local_clustering) need the same per-graph decision, and
+    the probe is two aggregations over the edge table — running it
+    once per (session, sf) is the production "decide once per
+    materialized graph" shape, and bench.py charges the one probe to a
+    canonical payer (TRI_PAYER) so per-key numbers stay
+    rotation-stable. choose_triangle_orientation stays pure for
+    fixture graphs (tests probe synthetic hubs directly)."""
+    from ..llm.dedup import _evict_same_path, _memo, memo_key
+
+    cache = _memo(spark, "_tri_orientation_memo")
+    key = memo_key(sf_dir)
+    if key not in cache:
+        _evict_same_path(cache, key)
+        cache[key] = choose_triangle_orientation(
+            copurchase_edges(spark, sf_dir)
+        )
+    return cache[key]
+
+
+def orientation_warm(spark: SparkSession, sf_dir: str) -> bool:
+    from ..llm.dedup import memo_key
+
+    return memo_key(sf_dir) in getattr(spark, "_tri_orientation_memo", {})
+
+
+def clear_orientation_memo(spark: SparkSession) -> None:
+    getattr(spark, "_tri_orientation_memo", {}).clear()
+
+
+
 def _symmetric(edges: DataFrame) -> DataFrame:
     """Both orientations; UNION ALL is exact because src < dst makes
     the orientations disjoint."""
@@ -197,7 +230,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph. At 100 TB the probe is two aggregations over the memoized
     edge list — noise next to one wedge join round."""
     edges = copurchase_edges(spark, sf_dir)
-    orient, _, _ = choose_triangle_orientation(edges)
+    orient, _, _ = triangle_orientation(spark, sf_dir)
     return _triangle_stats(edges, orient)
 
 
@@ -1104,7 +1137,7 @@ def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel gets the same sum(in·out) collapse the global count does.
     The oracle stays pinned to id-order edges — same set."""
     edges = copurchase_edges(spark, sf_dir)
-    orient, _, _ = choose_triangle_orientation(edges)
+    orient, _, _ = triangle_orientation(spark, sf_dir)
     oriented = _oriented_edges(edges, orient)
     sym = _symmetric(edges)
     deg = sym.groupBy(F.col("src").alias("node")).agg(
