@@ -53,6 +53,12 @@ HEADLINE = (
     ("q_graph_kcore", "iterative semi-join peel over the memoized edge table; JVM-side rounds"),
     ("q_join_fuzzy_block", "equi hash join on the blocking key; levenshtein as an in-join residual, never a cartesian"),
     ("q_sample_weighted", "weighted Bernoulli predicate evaluated in the scan stage, before the single group-by exchange"),
+    # round-12 headline shapes
+    ("q_sql_lateral_join", "LATERAL decorrelated: WindowGroupLimit partial below the shuffle + broadcast joins, no per-row subquery"),
+    ("q_sql_recursive_cte", "WITH RECURSIVE via UnionLoop: 80-row spine, data-sized work is one broadcast range join"),
+    ("q_events_concurrency", "two-level boundary sweep: (day, chunk)-bounded windows, chunk offsets from the tiny chunk table"),
+    ("q_agg_chi2", "contingency cells aggregated FIRST; windows + 128-bit ppm fold run on the 35-row cell grid"),
+    ("q_graph_landmark_closeness", "multi-source BFS relax: co-partitioned edge join + (lm, dst) min-groupBy per bounded round"),
 )
 
 
