@@ -2027,3 +2027,84 @@ def q_llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_micros * 1000000 div tot_s - n_docs * 1000000 div tot_docs"
         ).alias("boost_ppm"),
     )
+
+
+@query(
+    "q_llm_dataset_card",
+    oracle="""
+        WITH d AS (
+            SELECT source, lang, text, n_chars,
+                   CASE WHEN text IS NULL OR text = '' THEN 0
+                        ELSE len(string_split(text, ' ')) END AS n_tok,
+                   md5(coalesce(text, '')) AS h
+            FROM documents
+        ),
+        per AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT)                 AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT)             AS n_chars,
+                   CAST(sum(n_tok) AS BIGINT)               AS n_tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT)     AS n_langs,
+                   CAST(count(DISTINCT h) AS BIGINT)        AS n_uniq,
+                   CAST(sum(CASE WHEN text IS NULL OR text = ''
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+            FROM d GROUP BY source
+        )
+        SELECT source, n_docs, n_chars, n_tokens, n_langs, n_empty,
+               CAST((n_docs - n_uniq) * 1000000 // n_docs AS BIGINT)
+                   AS dup_ppm,
+               CAST(n_tokens * 1000 // n_docs AS BIGINT)
+                   AS tokens_per_doc_milli
+        FROM per
+    """,
+    description="Dataset card per source: docs/chars/tokens, language spread, empty-doc count, exact-dup rate ppm, mean doc length — the one-pass summary every corpus release ships",
+    tags=("llm", "corpus", "audit"),
+)
+def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card table — the per-source summary a corpus
+    release publishes (docs, volume in chars/tokens, language spread,
+    empty-document count, exact-duplicate rate, mean length). The
+    individual metrics exist as dedicated keys (text_stats, domain
+    stats, exact dedup); a real release wants them in ONE pass over
+    the corpus, and this key pins that composition: all seven metrics
+    fold in a single groupBy over one scan — the multi-distinct is
+    planned via expand, everything else is a conditional sum. Dup rate
+    counts md5-identical texts (q_llm_exact_dedup's criterion) as
+    (n_docs - distinct hashes) in exact ppm.
+
+    Scale shape: one scan, one groupBy(source) with two distinct
+    aggregates (Spark expands to 3x rows map-side, still combinable);
+    token counts are size(split()) — JVM-side, no explode, the token
+    STREAM never materializes. No join, no window, no Python."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.when(
+            F.col("text").isNull() | (F.col("text") == ""), 0
+        )
+        .otherwise(F.size(F.split("text", " ")))
+        .alias("n_tok"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+        F.when(F.col("text").isNull() | (F.col("text") == ""), 1)
+        .otherwise(0)
+        .alias("is_empty"),
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("n_uniq"),
+        F.sum("is_empty").alias("n_empty"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        "n_langs",
+        "n_empty",
+        F.expr("(n_docs - n_uniq) * 1000000 div n_docs").alias("dup_ppm"),
+        F.expr("n_tokens * 1000 div n_docs").alias("tokens_per_doc_milli"),
+    )

@@ -1037,3 +1037,83 @@ def q_anon_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("noisy_n", F.round(noisy, 6))
         .select("event_type", "day", "n", "noisy_n")
     )
+
+
+@query(
+    "q_dq_referential",
+    oracle="""
+        WITH rel AS (
+            SELECT 'orders->customer' AS relationship,
+                   CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+                   CAST((SELECT count(*) FROM orders o
+                         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                           WHERE c.c_custkey = o.o_custkey))
+                        AS BIGINT) AS n_orphan
+            UNION ALL
+            SELECT 'lineitem->orders',
+                   CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+                   CAST((SELECT count(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                           WHERE o.o_orderkey = l.l_orderkey))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem->part',
+                   CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+                   CAST((SELECT count(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM part p
+                                           WHERE p.p_partkey = l.l_partkey))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'customer->nation',
+                   CAST((SELECT count(*) FROM customer) AS BIGINT),
+                   CAST((SELECT count(*) FROM customer c
+                         WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                           WHERE n.n_nationkey = c.c_nationkey))
+                        AS BIGINT)
+        )
+        SELECT relationship, n_child, n_orphan,
+               CAST(n_orphan * 1000000 // n_child AS BIGINT) AS orphan_ppm
+        FROM rel
+    """,
+    description="Referential-integrity audit across the star schema's four foreign keys: anti-join orphan counts + orphan rate in exact ppm — the cross-table DQ page q_dq_rules' single-table checks can't see",
+    tags=("quality", "integrity", "audit"),
+)
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity over the whole star schema: for each
+    child->parent relationship, how many child rows have no parent
+    (left-anti join count) and the orphan rate in exact ppm. This is
+    the first page of any warehouse DQ report and the one class
+    q_dq_rules (single-table nulls/ranges) structurally cannot catch;
+    broken ingestion almost always shows up here first (partial
+    parent loads, late dimensions).
+
+    Scale shape: each relationship is ONE left-anti hash join — the
+    parent key side aggregates to distinct keys first and broadcasts
+    when small (nation/customer), shuffles co-partitioned otherwise;
+    counts fold map-side. The four relationships union into a 4-row
+    table. No window, no Python."""
+    rels = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in rels:
+        c = load(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
+        orphans = c.join(p, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphan")
+        )
+        total = c.agg(F.count(F.lit(1)).alias("n_child"))
+        row = (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                "n_orphan",
+                F.expr("n_orphan * 1000000 div n_child").alias("orphan_ppm"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -159,6 +159,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_graph_label_propagation",
     "q_events_survival",
     "q_graph_landmark_closeness",
+    "q_dq_referential",
+    "q_llm_dataset_card",
 )
 
 

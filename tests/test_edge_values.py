@@ -440,6 +440,8 @@ KEYS = [
     "q_events_bot_screen",
     "q_graph_label_propagation",
     "q_events_survival",
+    "q_dq_referential",
+    "q_llm_dataset_card",
     # scans/sinks/samples/merge re-write and re-read the hostile rows
     # through every format (csv/orc/json/text-lines incl. the \\N null
     # sentinel), and the UDF surface crosses them through Arrow.

@@ -228,3 +228,37 @@ def test_triangle_orientation_probe_both_ways(spark):
         row = _triangle_stats(hub, o).collect()[0]
         assert row.n_triangles == 8, (o, row)
         assert row.n_nodes == 62 and row.n_edges == 67
+
+
+def test_orientation_memo_single_probe(spark):
+    """r12: both wedge consumers share ONE memoized orientation
+    decision per (session, sf) — the second caller must hit the memo
+    (bench charges the single probe to TRI_PAYER, so attribution is
+    rotation-stable only if the memo actually holds), and clearing
+    re-arms it."""
+    from sparkstreamingtohdfsofsensorsdata_spark.operators import graph
+
+    sf = "/root/testdata/sf0.001"
+    graph.clear_orientation_memo(spark)
+    assert not graph.orientation_warm(spark, sf)
+    first = graph.triangle_orientation(spark, sf)
+    assert graph.orientation_warm(spark, sf)
+    # memo hit: the same tuple object comes back, no recompute
+    assert graph.triangle_orientation(spark, sf) is first
+    graph.clear_orientation_memo(spark)
+    assert not graph.orientation_warm(spark, sf)
+
+
+def test_tri_payer_in_bench_family():
+    """The bench prepay tables must stay in sync with the graph module:
+    TRI_FAMILY ⊆ GRAPH_FAMILY (edges prepay runs first, so the probe
+    never pays the edge build) and the payer is the triangle key."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+
+    assert set(bench.TRI_FAMILY) <= set(bench.GRAPH_FAMILY)
+    assert bench.TRI_PAYER == "q_graph_triangles"
+    assert bench.TRI_PAYER in bench.TRI_FAMILY

@@ -80,6 +80,7 @@ KEYS = [
     "q_llm_simhash_banded",
     "q_llm_mix_sample",
     "q_llm_mix_temperature",
+    "q_llm_dataset_card",
     "q_fn_collation",
     "q_llm_bpe_train",
     "q_llm_contamination",

@@ -115,6 +115,7 @@ KEYS = [
     "q_llm_unigram_logprob",
     "q_llm_url_normalize",
     "q_llm_mix_temperature",
+    "q_llm_dataset_card",
     "q_fn_collation",
     "q_llm_ngram_containment",
     "q_llm_passage_dedup",
