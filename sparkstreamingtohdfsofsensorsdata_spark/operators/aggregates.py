@@ -2392,3 +2392,107 @@ def q_agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         F.max("o").alias("max_cell"),
     )
+
+
+# Winsorized mean: clamp at the exact discrete p05/p95 order statistics.
+WINSOR_CHUNK_MICROS = 50_000_000  # ~50-unit value chunks for the 2-level rank
+
+
+@query(
+    "q_agg_winsorized",
+    oracle="""
+        WITH v AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, vm,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY vm, event_id) AS i,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM v
+        ),
+        cuts AS (
+            SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(max(CASE WHEN i = n * 5 // 100 + 1 THEN vm END)
+                        AS BIGINT) AS lo_micros,
+                   CAST(max(CASE WHEN i = n - n * 5 // 100 THEN vm END)
+                        AS BIGINT) AS hi_micros
+            FROM r GROUP BY event_type
+        )
+        SELECT r.event_type,
+               CAST(max(c.n) AS BIGINT)          AS n,
+               CAST(max(c.lo_micros) AS BIGINT)  AS lo_micros,
+               CAST(max(c.hi_micros) AS BIGINT)  AS hi_micros,
+               CAST(sum(CASE WHEN r.vm < c.lo_micros THEN 1 ELSE 0 END)
+                    AS BIGINT)                   AS n_clamped_lo,
+               CAST(sum(CASE WHEN r.vm > c.hi_micros THEN 1 ELSE 0 END)
+                    AS BIGINT)                   AS n_clamped_hi,
+               CAST(sum(least(greatest(r.vm, c.lo_micros), c.hi_micros))
+                    // max(c.n) AS BIGINT)       AS winsor_mean_micros,
+               CAST(sum(r.vm) // max(c.n) AS BIGINT) AS raw_mean_micros
+        FROM r JOIN cuts c ON r.event_type = c.event_type
+        GROUP BY r.event_type
+    """,
+    description="Winsorized mean per event_type: clamp at the exact discrete p05/p95 order statistics (two-level chunked rank, no single-partition sort), clamp counts, winsorized vs raw mean in exact micros",
+    tags=("aggregate", "robust", "stats"),
+)
+def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean — the robust-location estimator metric pipelines
+    use when MAD (q_ts_outlier_mad) flags too much and trimming throws
+    data away: clamp the tails at p05/p95 and average. Percentile cuts
+    are EXACT discrete order statistics (rank n*5//100 + 1 and
+    n - n*5//100 under the unique (v_micros, event_id) order), not
+    interpolated floats, so the whole key stays BIGINT-exact including
+    the final floor-division means.
+
+    Scale shape: the rank that finds the cuts is a 5-partition
+    whole-table window in the naive plan — q_agg_gini's trap — so it
+    rides operators/ranking.chunked_row_number (value-range chunks,
+    monotone in the (vm, event_id) order within a chunk width). The
+    cuts table (one row per type) broadcasts back for the clamp
+    pass. No Python."""
+    from .ranking import chunked_row_number
+
+    v = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("vm"),
+    )
+    ranked = chunked_row_number(
+        v,
+        ["vm", "event_id"],
+        [(F.floor(F.col("vm") / WINSOR_CHUNK_MICROS)).cast("long")],
+        part_cols=["event_type"],
+        rank_name="i",
+    )
+    n_tbl = ranked.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    with_n = ranked.join(F.broadcast(n_tbl), "event_type")
+    cuts = with_n.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("i") == F.expr("n * 5 div 100 + 1"), F.col("vm"))
+        ).alias("lo_micros"),
+        F.max(
+            F.when(F.col("i") == F.expr("n - n * 5 div 100"), F.col("vm"))
+        ).alias("hi_micros"),
+    )
+    joined = v.join(F.broadcast(cuts), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("lo_micros").alias("lo_micros"),
+        F.max("hi_micros").alias("hi_micros"),
+        F.sum(
+            F.when(F.col("vm") < F.col("lo_micros"), 1).otherwise(0)
+        ).alias("n_clamped_lo"),
+        F.sum(
+            F.when(F.col("vm") > F.col("hi_micros"), 1).otherwise(0)
+        ).alias("n_clamped_hi"),
+        F.expr(
+            "sum(least(greatest(vm, lo_micros), hi_micros)) div max(n)"
+        ).alias("winsor_mean_micros"),
+        F.expr("sum(vm) div max(n)").alias("raw_mean_micros"),
+    )

@@ -368,3 +368,101 @@ def commit_upsert(
     # a lakehouse catalog commits via mergeInto).
     commit_upsert.committed_via = committed_via
     return spark.table(table)
+
+
+@query(
+    "q_join_point_in_time",
+    oracle=f"""
+        WITH changes AS (
+            SELECT o_custkey AS c_custkey, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= DATE '2001-01-01'
+            GROUP BY o_custkey
+        ),
+        merged AS (
+            SELECT c.c_custkey, c.c_mktsegment,
+                   CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS old_cents,
+                   CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                     + 100 * ch.n_orders                          AS new_cents,
+                   ch.c_custkey IS NOT NULL                       AS changed
+            FROM customer c
+            LEFT JOIN changes ch USING (c_custkey)
+        ),
+        dim AS (
+            SELECT c_custkey, c_mktsegment, old_cents AS acctbal_cents,
+                   DATE '1995-01-01' AS valid_from,
+                   DATE '{EFFECTIVE}' AS valid_to, FALSE AS is_current
+            FROM merged WHERE changed
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, new_cents,
+                   DATE '{EFFECTIVE}', NULL, TRUE
+            FROM merged WHERE changed
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, old_cents,
+                   DATE '1995-01-01', NULL, TRUE
+            FROM merged WHERE NOT changed
+        )
+        SELECT d.c_mktsegment,
+               CAST(count(*) AS BIGINT)                   AS n_orders,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+               CAST(sum(CASE WHEN d.is_current THEN 0 ELSE 1 END)
+                    AS BIGINT)                            AS n_on_closed,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)                            AS revenue_cents,
+               CAST(sum(d.acctbal_cents) AS BIGINT)       AS joined_bal_cents
+        FROM orders o
+        JOIN dim d
+          ON d.c_custkey = o.o_custkey
+         AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+         AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)
+        GROUP BY d.c_mktsegment
+    """,
+    description="Point-in-time (as-of) join of facts onto the SCD-2 dimension q_merge_scd2 builds: each order matched to the customer version valid at its order date — the consumption pattern every SCD-2 table exists for",
+    tags=("merge", "scd2", "join"),
+)
+def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reason SCD-2 tables exist: joining FACTS to the dimension
+    version that was TRUE AT THE TIME (orders at their order date —
+    q_merge_scd2 builds the versions; this key consumes them, reusing
+    that registered builder so the two keys can never drift). Validity
+    is the half-open [valid_from, valid_to) with NULL = open, so every
+    order matches EXACTLY one version — the oracle's join multiplicity
+    pins that invariant (a row-count change here means overlapping or
+    gapped versions). Closed-version matches are counted separately:
+    they are the rows a naive current-only join silently mis-joins.
+
+    Scale shape: one equi join on the customer key with the date-range
+    residual evaluated in-join (never a cartesian); both sides shuffle
+    co-partitioned on the key, versions-per-customer is tiny (<= 2
+    here, bounded by change history in general). One final segment
+    rollup. No window, no Python."""
+    dim = q_merge_scd2(spark, sf_dir).select(
+        "c_custkey",
+        "c_mktsegment",
+        "acctbal_cents",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    j = o.join(
+        dim,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("od") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to"))),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.when(F.col("is_current"), 0).otherwise(1)).alias(
+            "n_on_closed"
+        ),
+        F.sum("cents").alias("revenue_cents"),
+        F.sum("acctbal_cents").alias("joined_bal_cents"),
+    )

@@ -161,6 +161,10 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_graph_landmark_closeness",
     "q_dq_referential",
     "q_llm_dataset_card",
+    # beyond the 50-key window — covered by the exact sweep this round,
+    # fronted for the r13 rotation
+    "q_agg_winsorized",
+    "q_join_point_in_time",
 )
 
 

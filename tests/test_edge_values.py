@@ -442,6 +442,8 @@ KEYS = [
     "q_events_survival",
     "q_dq_referential",
     "q_llm_dataset_card",
+    "q_agg_winsorized",
+    "q_join_point_in_time",
     # scans/sinks/samples/merge re-write and re-read the hostile rows
     # through every format (csv/orc/json/text-lines incl. the \\N null
     # sentinel), and the UDF surface crosses them through Arrow.
