@@ -2417,9 +2417,11 @@ def q_events_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: signup min-agg, purchase join, and conversion min-agg
     all co-partition on user_id (one shuffle key, high cardinality, no
-    skew). The rank window partitions by cohort day — bounded by a
-    day's converters; at 100x either chunk it like q_ts_drawdown or
-    accept ~1e6-row partitions, both documented in SCALE.md."""
+    skew). The per-cohort rank rides operators/ranking's two-level
+    chunked row_number (latency-range chunks — monotone in the
+    (lat_s, user_id) order), so no cohort ever owns a whole-day sort
+    partition; cohort sizes come from a broadcast count table instead
+    of a count window over the same partition."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
@@ -2443,13 +2445,18 @@ def q_events_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lat_s")
         )
     )
-    w = Window.partitionBy("cohort_day").orderBy("lat_s", "user_id")
-    wn = Window.partitionBy("cohort_day")
-    r = conv.select(
-        "cohort_day",
-        "lat_s",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    from .ranking import chunked_row_number
+
+    ranked = chunked_row_number(
+        conv.select("cohort_day", "lat_s", "user_id"),
+        ["lat_s", "user_id"],
+        [(F.floor(F.col("lat_s") / 3600)).cast("long")],
+        part_cols=["cohort_day"],
+        rank_name="rn",
+    )
+    n_tbl = conv.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n"))
+    r = ranked.join(F.broadcast(n_tbl), "cohort_day").select(
+        "cohort_day", "lat_s", "rn", "n"
     )
     median_rn = F.expr("(n + 1) div 2")
     p90_rn = F.expr("n - (n * 10 div 100)")
