@@ -2496,3 +2496,81 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("winsor_mean_micros"),
         F.expr("sum(vm) div max(n)").alias("raw_mean_micros"),
     )
+
+
+@query(
+    "q_agg_theil",
+    oracle="""
+        WITH s AS (
+            SELECT c.c_mktsegment AS seg,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS spend
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, o.o_custkey
+        ),
+        pos AS (
+            SELECT seg, spend,
+                   CAST(sum(spend) OVER (PARTITION BY seg) AS BIGINT) AS tot,
+                   CAST(count(*) OVER (PARTITION BY seg) AS BIGINT)   AS n
+            FROM s WHERE spend > 0
+        )
+        SELECT seg,
+               CAST(max(n) AS BIGINT)   AS n_cust,
+               CAST(max(tot) AS BIGINT) AS spend_total_cents,
+               round(sum(
+                   (spend / (CAST(tot AS DOUBLE) / n))
+                   * ln(spend / (CAST(tot AS DOUBLE) / n)) / n
+               ), 6) AS theil_t
+        FROM pos
+        GROUP BY seg
+    """,
+    description="Theil T inequality index per segment over positive customer spends: (1/n) sum((x/mu) ln(x/mu)) at 6dp — the decomposable member of the inequality family (Gini/Pareto/HHI lack between-group additivity)",
+    tags=("aggregate", "finance", "stats"),
+)
+def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T — the inequality index economists reach for when they
+    need DECOMPOSABILITY (total = within-group + between-group, which
+    Gini famously lacks): (1/n) sum((x/mu) ln(x/mu)) over positive
+    customer spends per segment; 0 = perfect equality, ln(n) = one
+    customer holds everything. Completes the inequality family
+    (q_agg_gini rank-based, q_agg_pareto coverage, q_agg_herfindahl
+    squared shares). Spends are exact integer cents; mu enters as the
+    exact rational tot/n evaluated identically in IEEE doubles on both
+    engines, and the one ln rounds at 6 dp like q_llm_entropy
+    (per-term drift ~1e-15 against the 1e-6 grid). Zero/negative
+    spends are excluded from the ln domain by contract — the same
+    positive-support restriction the published index carries.
+
+    Scale shape: the per-customer rollup is one co-partitioned
+    join + groupBy; the per-segment totals ride two windows over the
+    customer-cardinality table (bounded, not the orders); the final
+    fold is map-side combinable. No Python."""
+    s = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("spend")
+        )
+    )
+    w = Window.partitionBy("seg")
+    pos = s.filter(F.col("spend") > 0).select(
+        "seg",
+        "spend",
+        F.sum("spend").over(w).alias("tot"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mu = F.col("tot").cast("double") / F.col("n")
+    ratio = F.col("spend") / mu
+    return pos.groupBy("seg").agg(
+        F.max("n").alias("n_cust"),
+        F.max("tot").alias("spend_total_cents"),
+        F.round(F.sum(ratio * F.log(ratio) / F.col("n")), 6).alias(
+            "theil_t"
+        ),
+    )

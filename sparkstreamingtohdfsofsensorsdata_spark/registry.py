@@ -165,6 +165,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # fronted for the r13 rotation
     "q_agg_winsorized",
     "q_join_point_in_time",
+    "q_agg_theil",
 )
 
 

@@ -444,6 +444,7 @@ KEYS = [
     "q_llm_dataset_card",
     "q_agg_winsorized",
     "q_join_point_in_time",
+    "q_agg_theil",
     # scans/sinks/samples/merge re-write and re-read the hostile rows
     # through every format (csv/orc/json/text-lines incl. the \\N null
     # sentinel), and the UDF surface crosses them through Arrow.
