@@ -2286,7 +2286,7 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY event_type
     """,
-    description="Bitwise aggregates (bit_and/bit_or/bit_xor) + a shifted-bit presence mask with popcount — the 64-slot bitmap-sketch primitive",
+    description="Bitwise aggregates (bit_and/bit_or/bit_xor) + a shifted-bit presence mask with popcount — the 56-slot bitmap-sketch primitive (56 keeps 1<<k inside positive BIGINT range)",
     tags=("aggregate", "bitwise"),
 )
 def q_agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,18 +98,107 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+def sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized SYMMETRIC adjacency (both orientations of the
+    co-purchase edge list), lazily checkpointed (r13, VERDICT r12
+    item 3 — graph-family CPU diet): before this memo every kernel
+    re-derived ``_symmetric(edges)`` and most re-aggregated the degree
+    table, paying the same union + shuffle up to twelve times per
+    bench. At scale this IS the materialized adjacency list bucketed
+    by src that every kernel mounts. Charged to GRAPH_PAYER with the
+    edge build (bench `_graph_materialize_edges`)."""
+    from ..llm.dedup import _evict_same_path, _memo, memo_key
+
+    cache = _memo(spark, "_graph_sym_memo")
+    key = memo_key(sf_dir)
+    if key not in cache:
+        _evict_same_path(cache, key)
+        cache[key] = _symmetric(
+            copurchase_edges(spark, sf_dir)
+        ).localCheckpoint(eager=False)
+    return cache[key]
+
+
+def degree_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (node, degree) table — one map-side-combined
+    groupBy over the memoized symmetric adjacency, checkpointed once
+    and reused by every kernel that needs degrees or the node set
+    (previously each paid its own shuffle). Node-sized, so at 100 TB
+    it broadcasts. Charged to GRAPH_PAYER (it is q_graph_degree's own
+    first aggregation)."""
+    from ..llm.dedup import _evict_same_path, _memo, memo_key
+
+    cache = _memo(spark, "_graph_degree_memo")
+    key = memo_key(sf_dir)
+    if key not in cache:
+        _evict_same_path(cache, key)
+        cache[key] = (
+            sym_edges(spark, sf_dir)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .localCheckpoint(eager=False)
+        )
+    return cache[key]
+
+
+def cc_labels_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized connected-component labels of the co-purchase
+    graph (min-label propagation via the shared llm/dedup library).
+    Both q_graph_wcc (its own computation — the canonical payer) and
+    q_graph_modularity (scores the CC partition) consume the SAME
+    label table; before this memo each ran the full pointer-doubling
+    iteration independently (r13, VERDICT r12 item 3)."""
+    from ..llm.dedup import _evict_same_path, _memo, memo_key, propagate_min_labels
+
+    cache = _memo(spark, "_graph_cc_memo")
+    key = memo_key(sf_dir)
+    if key not in cache:
+        _evict_same_path(cache, key)
+        pairs = copurchase_edges(spark, sf_dir).select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+        )
+        cache[key] = propagate_min_labels(pairs)
+    return cache[key]
+
+
 def edges_warm(spark: SparkSession, sf_dir: str) -> bool:
-    """True iff copurchase_edges would be served from the memo."""
+    """True iff the GRAPH_PAYER-charged intermediates (edge list +
+    symmetric adjacency + degree table) would all be served from
+    memos."""
     from ..llm.dedup import memo_key
 
-    return memo_key(sf_dir) in getattr(spark, "_copurchase_edges_memo", {})
+    key = memo_key(sf_dir)
+    return all(
+        key in getattr(spark, attr, {})
+        for attr in (
+            "_copurchase_edges_memo",
+            "_graph_sym_memo",
+            "_graph_degree_memo",
+        )
+    )
 
 
 def clear_edges_memo(spark: SparkSession) -> None:
-    """Drop the edge memo (bench rerun honesty: a payer rerun must pay
-    the build again, not read its own warm cache)."""
-    if hasattr(spark, "_copurchase_edges_memo"):
-        spark._copurchase_edges_memo.clear()
+    """Drop the edge-layer memos (bench rerun honesty: a payer rerun
+    must pay the builds again, not read its own warm cache). The
+    dependent sym/degree memos fall with the edge memo — serving them
+    warm over a cold edge table would split the family's attribution."""
+    for attr in (
+        "_copurchase_edges_memo",
+        "_graph_sym_memo",
+        "_graph_degree_memo",
+    ):
+        getattr(spark, attr, {}).clear()
+
+
+def cc_warm(spark: SparkSession, sf_dir: str) -> bool:
+    from ..llm.dedup import memo_key
+
+    return memo_key(sf_dir) in getattr(spark, "_graph_cc_memo", {})
+
+
+def clear_cc_memo(spark: SparkSession) -> None:
+    getattr(spark, "_graph_cc_memo", {}).clear()
 
 
 def triangle_orientation(spark: SparkSession, sf_dir: str) -> tuple:
@@ -129,19 +218,67 @@ def triangle_orientation(spark: SparkSession, sf_dir: str) -> tuple:
     if key not in cache:
         _evict_same_path(cache, key)
         cache[key] = choose_triangle_orientation(
-            copurchase_edges(spark, sf_dir)
+            copurchase_edges(spark, sf_dir),
+            sym=sym_edges(spark, sf_dir),
+            deg=degree_table(spark, sf_dir).select(
+                F.col("node").alias("src"), "degree"
+            ),
+        )
+    return cache[key]
+
+
+def triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized CLOSED-triangle stream (a, b, c) under the
+    probed orientation — the output of the expensive two-hop wedge
+    join, materialized ONCE and consumed by both wedge consumers
+    (r13, VERDICT r12 item 3): q_graph_triangles folds it to the
+    global count, q_graph_local_clustering explodes the three corners
+    to per-node incidence counts. Rows = n_triangles (orders of
+    magnitude fewer than the wedge stream that produced them), so the
+    checkpoint is cheap next to re-running the join. Charged to
+    TRI_PAYER with the orientation probe (it is the triangle key's own
+    computation)."""
+    from ..llm.dedup import _evict_same_path, _memo, memo_key
+
+    cache = _memo(spark, "_tri_corners_memo")
+    key = memo_key(sf_dir)
+    if key not in cache:
+        _evict_same_path(cache, key)
+        edges = copurchase_edges(spark, sf_dir)
+        orient, _, _ = triangle_orientation(spark, sf_dir)
+        oriented = _oriented_edges(edges, orient)
+        e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+        cache[key] = (
+            e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+            .join(
+                e3,
+                (F.col("e3.src") == F.col("e1.src"))
+                & (F.col("e3.dst") == F.col("e2.dst")),
+            )
+            .select(
+                F.col("e1.src").alias("a"),
+                F.col("e1.dst").alias("b"),
+                F.col("e2.dst").alias("c"),
+            )
+            .localCheckpoint(eager=False)
         )
     return cache[key]
 
 
 def orientation_warm(spark: SparkSession, sf_dir: str) -> bool:
+    """True iff the TRI_PAYER-charged intermediates (orientation probe
+    + closed-triangle table) would both be served from memos."""
     from ..llm.dedup import memo_key
 
-    return memo_key(sf_dir) in getattr(spark, "_tri_orientation_memo", {})
+    key = memo_key(sf_dir)
+    return key in getattr(spark, "_tri_orientation_memo", {}) and key in getattr(
+        spark, "_tri_corners_memo", {}
+    )
 
 
 def clear_orientation_memo(spark: SparkSession) -> None:
     getattr(spark, "_tri_orientation_memo", {}).clear()
+    getattr(spark, "_tri_corners_memo", {}).clear()
 
 
 
@@ -171,10 +308,8 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (node) is the co-partitioning key of every other graph kernel
     here, so at scale the edge table bucketed by src serves all of
     them shuffle-free."""
-    sym = _symmetric(copurchase_edges(spark, sf_dir))
     return (
-        sym.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("degree"))
+        degree_table(spark, sf_dir)
         .groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
@@ -230,8 +365,24 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph. At 100 TB the probe is two aggregations over the memoized
     edge list — noise next to one wedge join round."""
     edges = copurchase_edges(spark, sf_dir)
-    orient, _, _ = triangle_orientation(spark, sf_dir)
-    return _triangle_stats(edges, orient)
+    tri = triangle_corners(spark, sf_dir).agg(F.count(F.lit(1)).alias("t"))
+    stats = degree_table(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("degree") * (F.col("degree") - 1)) / 2.0).alias("wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(stats)
+        .crossJoin(n_edges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.round(3.0 * F.col("t") / F.col("wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )
 
 
 # Degree order must beat id order by MORE than this factor of wedge
@@ -241,13 +392,19 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORIENT_PENALTY = 1.5
 
 
-def _degree_annotated(edges: DataFrame) -> DataFrame:
+def _degree_annotated(
+    edges: DataFrame, sym: DataFrame | None = None, deg: DataFrame | None = None
+) -> DataFrame:
     """Symmetric edges with both endpoint degrees: (src, dst, deg_src,
     deg_dst). Two node-keyed joins against the (node-sized) degree
     table — the standard degree-annotation shape; at scale both sides
-    hash-partition on the node key."""
-    sym = _symmetric(edges)
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    hash-partition on the node key. Callers holding the memoized
+    adjacency/degree tables pass them in; fixture-graph callers (pure
+    tests) omit them and pay the derivation."""
+    if sym is None:
+        sym = _symmetric(edges)
+    if deg is None:
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     da = deg.select(F.col("src").alias("a"), F.col("degree").alias("deg_src"))
     db = deg.select(F.col("src").alias("b"), F.col("degree").alias("deg_dst"))
     return (
@@ -265,7 +422,9 @@ def _deg_order_wins(ann: DataFrame):
     )
 
 
-def choose_triangle_orientation(edges: DataFrame) -> tuple:
+def choose_triangle_orientation(
+    edges: DataFrame, sym: DataFrame | None = None, deg: DataFrame | None = None
+) -> tuple:
     """(orientation, wedge_work_id, wedge_work_degree) for the graph:
     the EXACT wedge-join row count under each candidate total order,
     computed in one degree-annotated pass; 'degree' only when it beats
@@ -279,7 +438,7 @@ def choose_triangle_orientation(edges: DataFrame) -> tuple:
     bills as deg². Per node the annotated pass yields deg (symmetric
     neighbor count) and out under each order, so in·out =
     (deg - out)·out is exact for both candidates."""
-    ann = _degree_annotated(edges)
+    ann = _degree_annotated(edges, sym=sym, deg=deg)
     per_node = ann.groupBy("src").agg(
         F.count(F.lit(1)).alias("deg"),
         F.sum(F.when(F.col("dst") > F.col("src"), 1).otherwise(0)).alias(
@@ -413,14 +572,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored by the oracle; a deployment adds the |delta| < eps
     convergence collect exactly like propagate_min_labels.
     """
-    edges = copurchase_edges(spark, sf_dir)
-    sym = _symmetric(edges).localCheckpoint()
-    deg = (
-        sym.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .select(F.col("src").alias("node"), "degree")
-        .localCheckpoint()
-    )
+    sym = sym_edges(spark, sf_dir)
+    deg = degree_table(spark, sf_dir)
     n = deg.count()
     if n == 0:
         # a corpus with no co-purchased pairs has no graph: return the
@@ -523,9 +676,10 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation is the standard cap); the degree table is tiny and
     broadcasts; the anti join rides the same (id_a, id_b) keys the
     wedge groupBy just partitioned."""
-    edges = copurchase_edges(spark, sf_dir)
-    sym = _symmetric(edges)
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    sym = sym_edges(spark, sf_dir)
+    deg = degree_table(spark, sf_dir).select(
+        F.col("node").alias("src"), "degree"
+    )
     e1, e2 = sym.alias("e1"), sym.alias("e2")
     wedge = (
         e1.filter(F.col("e1.dst") % LINKPRED_QUERY_MOD == 0)
@@ -635,11 +789,10 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, each frontier join reuses the edge table's src bucketing,
     and localCheckpoint truncates the per-round lineage exactly as in
     propagate_min_labels."""
-    sym = _symmetric(copurchase_edges(spark, sf_dir))
-    nodes = sym.select("src").distinct()
-    dist = nodes.select(
-        F.col("src").alias("node"),
-        F.when(F.col("src") % BFS_SEED_MOD == 0, F.lit(0)).alias("dist"),
+    sym = sym_edges(spark, sf_dir)
+    dist = degree_table(spark, sf_dir).select(
+        "node",
+        F.when(F.col("node") % BFS_SEED_MOD == 0, F.lit(0)).alias("dist"),
     )
     for _ in range(BFS_ROUNDS):
         reach = (
@@ -722,15 +875,7 @@ def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     suite); the DuckDB oracle reuses the matching bounded-round
     chained-CTE generator. One operator, two graphs, one kernel —
     the library story the CC family was built for."""
-    from ..llm.dedup import propagate_min_labels
-
-    # propagate_min_labels' caller contract names the pair columns
-    # (id_a, id_b), deduplicated with id_a != id_b — the ordered edge
-    # list renamed
-    pairs = copurchase_edges(spark, sf_dir).select(
-        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
-    )
-    labels = propagate_min_labels(pairs)
+    labels = cc_labels_graph(spark, sf_dir)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("comp_size"))
@@ -816,8 +961,17 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: bounded {rounds}-round chained-CTE peel with an error()
     convergence guard (peel depth observed <= 6 at every SF)."""
-    sym = _symmetric(copurchase_edges(spark, sf_dir))
-    alive = sym.select("src").distinct().select(F.col("src").alias("node"))
+    sym = sym_edges(spark, sf_dir)
+    # Seed the peel from the memoized degree table: round one of the
+    # all-alive loop is exactly "keep nodes with full-graph degree
+    # >= k", so starting from that set skips one whole-graph join
+    # round (r13 CPU diet); the peel's fixed point — the unique
+    # maximal k-core — is unchanged for any starting superset of it.
+    alive = (
+        degree_table(spark, sf_dir)
+        .filter(F.col("degree") >= KCORE_K)
+        .select("node")
+    )
     prev_n = -1
     for _ in range(KCORE_MAX_ITERS):
         a_src = alive.select(F.col("node").alias("n_src"))
@@ -917,10 +1071,10 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     or buckets by the edge key), one map-side-combined power-sum agg.
     Nothing quadratic, no window.
     """
-    sym = _symmetric(copurchase_edges(spark, sf_dir))
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    dx = deg.select(F.col("src").alias("na"), F.col("d").alias("dx"))
-    dy = deg.select(F.col("src").alias("nb"), F.col("d").alias("dy"))
+    sym = sym_edges(spark, sf_dir)
+    deg = degree_table(spark, sf_dir)
+    dx = deg.select(F.col("node").alias("na"), F.col("degree").alias("dx"))
+    dy = deg.select(F.col("node").alias("nb"), F.col("degree").alias("dy"))
     pairs = (
         sym.join(dx, sym["src"] == F.col("na"))
         .join(dy, sym["dst"] == F.col("nb"))
@@ -1025,13 +1179,8 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     modularity pass is two node-keyed joins of labels onto edges plus
     two map-side-combinable groupBys onto community cardinality; the
     final statistic folds ONE row. No floats anywhere."""
-    from ..llm.dedup import propagate_min_labels
-
     edges = copurchase_edges(spark, sf_dir)
-    pairs = edges.select(
-        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
-    )
-    labels = propagate_min_labels(pairs)
+    labels = cc_labels_graph(spark, sf_dir)
     la = labels.select(F.col("node").alias("src"), F.col("label").alias("lab_a"))
     lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("lab_b"))
     ec = (
@@ -1041,7 +1190,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("lab_a").alias("label"))
         .agg(F.count(F.lit(1)).alias("e_c"))
     )
-    sym = _symmetric(edges)
+    sym = sym_edges(spark, sf_dir)
     dc = (
         sym.join(la, "src")
         .groupBy(F.col("lab_a").alias("label"))
@@ -1136,29 +1285,14 @@ def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     was the join's middle), so on a power-law graph at 100x this
     kernel gets the same sum(in·out) collapse the global count does.
     The oracle stays pinned to id-order edges — same set."""
-    edges = copurchase_edges(spark, sf_dir)
-    orient, _, _ = triangle_orientation(spark, sf_dir)
-    oriented = _oriented_edges(edges, orient)
-    sym = _symmetric(edges)
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
-    )
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.src"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .select(
-            F.array(
-                F.col("e1.src"), F.col("e1.dst"), F.col("e2.dst")
-            ).alias("corners")
-        )
-    )
+    deg = degree_table(spark, sf_dir)
     tcount = (
-        tri.select(F.explode("corners").alias("node"))
+        triangle_corners(spark, sf_dir)
+        .select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
@@ -1186,6 +1320,12 @@ def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 # picked by one packed ordering key: cnt * LPA_PACK - label (HUGEINT /
 # DECIMAL(38)), max ⇒ highest count, then lowest label.
 LPA_ROUNDS = 3
+# PRECONDITION (ADVICE r12): the packed tie-break is exact only while
+# every label < LPA_PACK. Labels are p_partkey values (~200k * SF;
+# ~2e11 even at SF=1e6), so 1e12 has >=5x headroom at any plausible
+# scale — but a label source that can exceed 1e12 must re-derive the
+# pack from max(label)+1 on BOTH engine sides (mirrors the documented
+# ARGMAX_SHIFT headroom bound in aggregates.py).
 LPA_PACK = 1_000_000_000_000
 
 
@@ -1202,7 +1342,7 @@ def _lpa_oracle() -> str:
         ),
         l{r} AS MATERIALIZED (
             SELECT node,
-                   arg_max(nl, CAST(c AS HUGEINT) * {LPA_PACK} - nl) AS lbl
+                   arg_max(nl, CAST(c AS BIGINT) * {LPA_PACK} - nl) AS lbl
             FROM v{r} GROUP BY node
         )"""
         )
@@ -1237,7 +1377,7 @@ def _lpa_oracle() -> str:
 @query(
     "q_graph_label_propagation",
     oracle=_lpa_oracle(),
-    description="Synchronous majority label propagation (3 bounded rounds, min-label ties, no self-vote): community-size distribution; vote winner via one packed 128-bit (count, -label) arg_max per node per round",
+    description="Synchronous majority label propagation (3 bounded rounds, min-label ties, no self-vote): community-size distribution; vote winner via one packed BIGINT (count, -label) arg_max per node per round",
     tags=("graph", "iterative"),
 )
 def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,8 +1388,10 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     this key produces the partition that one scores). Synchronous
     variant with the three determinism choices pinned: bounded
     LPA_ROUNDS rounds, no self-vote, ties to the smallest label. The
-    per-node vote winner is max_by over cnt * 1e12 - label in 128-bit
-    (DECIMAL(38)/HUGEINT), one deterministic winner per node per round
+    per-node vote winner is max_by over cnt * 1e12 - label packed in
+    BIGINT (exact under the documented LPA_PACK precondition; r13
+    dropped the DECIMAL(38) pack — BigDecimal aggregation was ~30% of
+    this kernel's CPU), one deterministic winner per node per round
     on both engines.
 
     Scale shape: per round, ONE co-partitioned join (labels to edges
@@ -1259,11 +1401,10 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence-dependent lineage growth; the shared memoized edge
     table (bench GRAPH_FAMILY) is read twice per round (both
     directions) and never rebuilt."""
-    edges = copurchase_edges(spark, sf_dir)
-    both = edges.select(
+    both = sym_edges(spark, sf_dir).select(
         F.col("src").alias("s"), F.col("dst").alias("d")
-    ).unionAll(edges.select(F.col("dst").alias("s"), F.col("src").alias("d")))
-    labels = both.select(F.col("s").alias("node")).distinct().select(
+    )
+    labels = degree_table(spark, sf_dir).select(
         "node", F.col("node").alias("lbl")
     )
     for _ in range(LPA_ROUNDS):
@@ -1275,9 +1416,14 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("s").alias("node"), F.col("lbl").alias("nl"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # BIGINT pack (r13 CPU diet): cnt*1e12 - label stays far inside
+        # int64 while label < LPA_PACK and cnt < 9.2e6 (see the
+        # LPA_PACK precondition above) — long arithmetic in the max_by
+        # instead of DECIMAL(38) Java BigDecimal, same exact winner on
+        # both engines.
         labels = votes.groupBy("node").agg(
             F.expr(
-                f"max_by(nl, cast(c as decimal(38,0)) * {LPA_PACK} - nl)"
+                f"max_by(nl, cast(c as bigint) * {LPA_PACK} - nl)"
             ).alias("lbl")
         )
     comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("comm_size"))
@@ -1371,15 +1517,15 @@ def q_graph_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, K multiplying the frontier rows, never the edge table;
     localCheckpoint truncates per-round lineage. K and the round bound
     cap the work at K x BFS, the standard landmark trade."""
-    sym = _symmetric(copurchase_edges(spark, sf_dir))
+    sym = sym_edges(spark, sf_dir)
     far = LANDMARK_ROUNDS + 1
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = degree_table(spark, sf_dir)
     lms = (
-        deg.orderBy(F.col("d").desc(), F.col("src"))
+        deg.orderBy(F.col("degree").desc(), F.col("node"))
         .limit(LANDMARK_K)
-        .select(F.col("src").alias("lm"))
+        .select(F.col("node").alias("lm"))
     )
-    nodes = sym.select(F.col("src").alias("node")).distinct()
+    nodes = deg.select("node")
     dist = F.broadcast(lms).crossJoin(nodes).select(
         "lm",
         "node",

@@ -997,7 +997,8 @@ def q_anon_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise. A production release would swap the seeded uniform for a
     CSPRNG draw; everything else (the inverse-CDF transform
     -b*sign(u)*ln(1-2|u|), the epsilon bookkeeping) is the deployment
-    code path. The md5 31-bit slice is exact in both engines; the one
+    code path. The md5 32-bit slice (8 hex chars, normalized by 2^32)
+    is exact in both engines; the one
     ln rounds at 6 dp like q_llm_entropy.
 
     Scale shape: one map-side-combined (type, day) count, then pure

@@ -1147,3 +1147,53 @@ def q_scan_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_from_tail"
         ),
     )
+
+
+@query(
+    "q_scan_python_ds",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)                AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT)                         AS sum_value_micros,
+               CAST(min(event_id) AS BIGINT)           AS min_event_id,
+               CAST(max(event_id) AS BIGINT)           AS max_event_id
+        FROM events
+        GROUP BY event_type
+    """,
+    description="Spark 4 Python DataSource connector (spark.dataSource.register): events read through a pure-Python Arrow-batch parquet reader with row-group/slice partition planning, aggregated per event type",
+    tags=("scan", "source", "python-ds"),
+)
+def q_scan_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource API (Spark 4, SURVEY §2.1 — VERDICT r12
+    item 4): the events table mounted through a PURE-PYTHON connector
+    (sources/python_ds.EventsPyDataSource) instead of the built-in
+    parquet source, then one map-side-combined aggregation per event
+    type. Proves the full third-party-connector path end to end:
+    driver-side partition planning (one InputPartition per parquet row
+    group; decode-slice round-robin when the file is one monolithic
+    group), executor-side pyarrow decode yielding Arrow RECORD BATCHES
+    (never per-row Python tuples), and the Arrow channel into the JVM.
+
+    Value sums are per-row floor(value*1e6+0.5) BIGINT micros — exact
+    integer accumulation on both engines (q_agg_group contract).
+
+    Scale shape: each InputPartition decodes only its row group — the
+    same split unit the native reader uses, so a 100 TB table fans out
+    to row-group-sized tasks; the aggregation is one shuffle on the
+    5-value event_type key. The Python decode path costs Arrow batch
+    transfer, which is the price of a connector the JVM lacks — the
+    point of the API."""
+    from ..sources.python_ds import events_pyds
+
+    df = events_pyds(spark, sf_dir)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.expr("cast(floor(value * 1000000 + 0.5) as bigint)")
+        ).alias("sum_value_micros"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )

@@ -2575,7 +2575,7 @@ BOT_TOP_K = 20
         SELECT user_id, n_events, min_gap_us, max_gap_us,
                max_gap_us - min_gap_us AS spread_us,
                CAST(n_events * 3600000000 // span_us AS BIGINT)
-                   AS events_per_hour_milli
+                   AS events_per_hour
         FROM s
         WHERE n_events >= {BOT_MIN_EVENTS} AND span_us > 0
         ORDER BY spread_us, user_id
@@ -2624,7 +2624,7 @@ def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_gap_us",
             (F.col("max_gap_us") - F.col("min_gap_us")).alias("spread_us"),
             F.expr("n_events * 3600000000 div span_us").alias(
-                "events_per_hour_milli"
+                "events_per_hour"
             ),
         )
         .orderBy("spread_us", "user_id")

@@ -124,40 +124,29 @@ def test_dedup_memos_evict_superseded_same_path_entries(spark):
 
 
 def test_registry_window_is_the_stale_cohort():
-    """The r12 rotation (VERDICT r11 item 1): the driver checks a
-    50-key prefix of load_all(), so the prefix must be (a) the 20-key
-    remainder of the r5-stale cohort (the keys whose only driver
-    verdict is still round 5), (b) the keys whose code changed this
-    round (ADVICE-r11 guards/widenings + shared orientation probe),
-    then (c) the round-12 additions. Spot-pin the boundary so a
-    reorder cannot silently push a stale key out of the window."""
+    """The r13 rotation (VERDICT r12 item 1): the driver checks a
+    50-key prefix of load_all(), so the prefix must be (a) the three
+    keys registered after the r12 driver window (never driver-checked)
+    then (b) 47 of the 50 keys whose latest driver verdict is round 7.
+    Spot-pin the boundary so a reorder cannot silently push a stale
+    key out of the window."""
     from sparkstreamingtohdfsofsensorsdata_spark.registry import (
         VERIFICATION_PRIORITY,
     )
 
     front = list(registry.load_all())[:50]
-    stale_remainder = [
-        "q_llm_split_leakage", "q_llm_text_stats", "q_llm_tfidf",
-        "q_llm_tokenize_vocab", "q_set_except", "q_set_union",
-        "q_set_union_distinct", "q_sink_partitioned",
-        "q_subquery_correlated", "q_subquery_scalar", "q_tpch_q10",
-        "q_tpch_q3", "q_tpch_q5", "q_udf_grouped_agg",
-        "q_udf_grouped_map", "q_udf_iter_pandas", "q_udf_map_in_arrow",
-        "q_udf_pandas_scalar", "q_udf_row_scalar", "q_udf_udtf",
-    ]
-    assert front[: len(stale_remainder)] == stale_remainder
-    changed = [
-        "q_agg_herfindahl", "q_anon_tcloseness", "q_graph_modularity",
-        "q_agg_basket_pairs", "q_graph_triangles",
-        "q_graph_local_clustering",
-    ]
-    assert front[20:26] == changed
-    # round-12 additions fill the rest of the window, in priority order
-    r12_tail = [k for k in VERIFICATION_PRIORITY[26:]][:24]
-    assert front[26 : 26 + len(r12_tail)] == r12_tail
-    # keys the r11 driver greened must NOT occupy window slots
-    for greened in ("q_ts_drawdown", "q_llm_sim_topk", "q_agg_count_min"):
-        assert greened not in front[: 26 + len(r12_tail)]
+    never_checked = ["q_agg_winsorized", "q_join_point_in_time", "q_agg_theil"]
+    assert front[:3] == never_checked
+    # the 47 r7-stale slots (alphabetical; spot-pin the ends)
+    assert front[3] == "q_agg_corr"
+    assert front[49] == "q_ts_retention"
+    assert front[3:50] == sorted(front[3:50])
+    assert len(set(front)) == 50
+    # r13 code-changed / new keys queue at 51+, never inside the window
+    assert front[:50] == list(VERIFICATION_PRIORITY)[:50]
+    # keys the r12 driver greened must NOT occupy window slots
+    for greened in ("q_agg_argmax", "q_llm_sim_topk_pq", "q_tpch_q1"):
+        assert greened not in front[:50]
 
 
 

@@ -1,0 +1,99 @@
+"""Python DataSource connector (sources/python_ds, SURVEY §2.1 r13).
+
+Covers the three claims the registry key's docstring makes: partition
+planning (slice fan-out on monolithic files, row-group splits when the
+file has many), Arrow-batch content equality against the native
+reader, and the deterministic streaming feed incl. the replay
+(readBetweenOffsets) contract."""
+
+import os
+import time
+
+import pyarrow.parquet as pq
+import pytest
+
+from sparkstreamingtohdfsofsensorsdata_spark.sources.python_ds import (
+    PYDS_FANOUT,
+    STREAM_ROWS_PER_BATCH,
+    STREAM_SENSORS,
+    SensorStreamReader,
+    _sensor_rows,
+    events_pyds,
+    register_pyds,
+    sensor_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pyds_slice_partitions_and_content(spark):
+    """Monolithic-row-group fixture -> PYDS_FANOUT slice partitions,
+    and the union of slices is exactly the native reader's content."""
+    df = events_pyds(spark, SF)
+    assert df.rdd.getNumPartitions() == PYDS_FANOUT
+    native = spark.read.parquet(os.path.join(SF, "events.parquet")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    assert df.count() == native.count()
+    assert df.exceptAll(native).count() == 0
+    assert native.exceptAll(df).count() == 0
+
+
+def test_pyds_row_group_partitions(spark, tmp_path):
+    """Multi-row-group file -> one InputPartition per row group (the
+    parquet-native split a 100 TB table would use)."""
+    src = pq.read_table(os.path.join(SF, "events.parquet"))
+    path = str(tmp_path / "rg.parquet")
+    pq.write_table(src, path, row_group_size=250)
+    n_groups = pq.ParquetFile(path).num_row_groups
+    assert n_groups > 1
+    register_pyds(spark)
+    df = spark.read.format("events_pyds").option("path", path).load()
+    assert df.rdd.getNumPartitions() == n_groups
+    assert df.count() == src.num_rows
+
+
+def test_pyds_stream_replay_is_deterministic():
+    """readBetweenOffsets must reproduce the original rows exactly —
+    the exactly-once replay contract. Pure-Python check."""
+    r = SensorStreamReader()
+    start = r.initialOffset()
+    first, nxt = r.read(start)
+    first = list(first)
+    assert nxt == {"row": STREAM_ROWS_PER_BATCH}
+    assert list(r.readBetweenOffsets(start, nxt)) == first
+    # arithmetic determinism: spot-pin the generator
+    assert _sensor_rows(0, 2) == [(0, 0, 20_000), (1, 1, 27_919)]
+    assert all(0 <= s < STREAM_SENSORS for _, s, _ in first)
+    assert all(20_000 <= t < 30_000 for _, _, t in first)
+
+
+def test_pyds_stream_canary(spark):
+    """The streaming read path end to end: micro-batches land in a
+    memory sink with the deterministic values the generator promises."""
+    q = (
+        sensor_stream(spark)
+        .writeStream.format("memory")
+        .queryName("pyds_canary")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM pyds_canary").first().c
+            if n >= STREAM_ROWS_PER_BATCH:
+                break
+            time.sleep(0.5)
+        else:
+            pytest.fail("stream canary produced no full batch in 60s")
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM pyds_canary WHERE reading_id < 3 ORDER BY reading_id"
+    ).collect()
+    assert [(r.reading_id, r.sensor_id, r.temp_milli_c) for r in rows] == [
+        (0, 0, 20_000),
+        (1, 1, 27_919),
+        (2, 2, 25_838),
+    ]
