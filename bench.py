@@ -169,9 +169,11 @@ ANN_EXACT_CONSUMERS = (
     "q_llm_sim_topk_pq",
 )
 
-# And for the co-purchase edge table all eight graph kernels read
-# (operators/graph.copurchase_edges, memoized per session/sf): the
-# build (lineitem self-join + distinct) is charged to the degree key.
+# And for the edge LAYER all twelve graph kernels read (operators/
+# graph: copurchase_edges + sym_edges + degree_table, memoized per
+# session/sf — r13 added the symmetric adjacency and degree memos):
+# the builds (lineitem self-join + distinct, the symmetric union, the
+# degree groupBy) are charged to the degree key.
 GRAPH_PAYER = "q_graph_degree"
 GRAPH_FAMILY = (
     "q_graph_degree",

@@ -301,3 +301,82 @@ def q_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "p_retailprice")
     )
     return p.mapInArrow(_arrow_transform, ARROW_SCHEMA)
+
+
+GROUPED_ARROW_SCHEMA = T.StructType(
+    [
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("n_parts", T.LongType()),
+        T.StructField("sum_price_cents", T.LongType()),
+        T.StructField("min_partkey", T.LongType()),
+        T.StructField("max_partkey", T.LongType()),
+    ]
+)
+
+
+@query(
+    "q_udf_grouped_arrow",
+    oracle="""
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT)  AS n_parts,
+               CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)           AS sum_price_cents,
+               CAST(min(p_partkey) AS BIGINT) AS min_partkey,
+               CAST(max(p_partkey) AS BIGINT) AS max_partkey
+        FROM part
+        GROUP BY p_brand
+    """,
+    description="applyInArrow grouped-map: per-group pyarrow.Table aggregation (Arrow all the way, no pandas) vs SQL GROUP BY",
+    tags=("udf", "arrow", "grouped-map"),
+)
+def q_udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` grouped-map (r13) — the last rung of the Arrow
+    ladder this surface had not pinned: per-group logic receiving a
+    ``pyarrow.Table`` and returning one, no pandas materialization
+    anywhere (q_udf_grouped_map is the pandas twin). The group body
+    computes with pyarrow.compute kernels only; prices fold as
+    floor(x*100+0.5) BIGINT cents so the sum is integer-exact against
+    the SQL oracle (q_agg_group contract).
+
+    Scale shape: one shuffle on the 25-value brand key; each group
+    streams through the executor's Python worker as Arrow batches.
+    Same caveat as every grouped-map: a 100 TB run must bound per-group
+    size (brands here are uniform); the aggregation itself belongs in
+    JVM built-ins unless the body genuinely needs Python."""
+
+    def brand_stats(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(table.column("p_retailprice"), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        keys = table.column("p_partkey")
+        return pa.table(
+            {
+                "p_brand": [table.column("p_brand")[0].as_py()],
+                "n_parts": [table.num_rows],
+                "sum_price_cents": [pc.sum(cents).as_py()],
+                "min_partkey": [pc.min(keys).as_py()],
+                "max_partkey": [pc.max(keys).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("p_brand", pa.string()),
+                    ("n_parts", pa.int64()),
+                    ("sum_price_cents", pa.int64()),
+                    ("min_partkey", pa.int64()),
+                    ("max_partkey", pa.int64()),
+                ]
+            ),
+        )
+
+    part = load(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice"
+    )
+    return part.groupBy("p_brand").applyInArrow(
+        brand_stats, GROUPED_ARROW_SCHEMA
+    )

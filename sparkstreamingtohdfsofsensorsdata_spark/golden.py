@@ -1087,3 +1087,60 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive CTE would re-shuffle the whole edge set per iteration
     with no checkpoint truncation."""
     return _sql(spark, sf_dir, _RECURSIVE)
+
+
+_PIVOT_SPARK = """
+    SELECT * FROM (
+        SELECT year(o_orderdate) AS yr, o_orderstatus AS st,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ) PIVOT (
+        count(*) AS n, sum(cents) AS cents
+        FOR st IN ('F' AS f, 'O' AS o, 'P' AS p)
+    )
+    ORDER BY yr
+"""
+
+_PIVOT_ORACLE = """
+    SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 END)     AS f_n,
+           sum(CASE WHEN o_orderstatus = 'F'
+               THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               END)                                          AS f_cents,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 END)     AS o_n,
+           sum(CASE WHEN o_orderstatus = 'O'
+               THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               END)                                          AS o_cents,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 END)     AS p_n,
+           sum(CASE WHEN o_orderstatus = 'P'
+               THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               END)                                          AS p_cents
+    FROM orders
+    GROUP BY 1
+    ORDER BY yr
+"""
+
+
+@query(
+    "q_sql_pivot",
+    oracle=_PIVOT_ORACLE,
+    description="SQL PIVOT clause (multi-aggregate, aliased pivot values): order count + revenue cents per year x status matrix; absent combinations stay NULL on both engines",
+    tags=("golden", "sql", "pivot"),
+)
+def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-surface PIVOT clause (r13) — the spreadsheet-shaped
+    rollup analysts write constantly; q_agg_pivot covers the DataFrame
+    ``groupBy().pivot()`` API, this key pins the PARSER path with
+    multiple aggregates and aliased pivot values (column naming
+    contract: ``{value_alias}_{agg_alias}``). The oracle is the
+    de-sugared CASE-WHEN form every engine ultimately compiles to —
+    sum(CASE WHEN) deliberately, because a year x status combination
+    with no orders is NULL under PIVOT (not 0), and sum-over-empty
+    mirrors that where count would not. Revenue folds as
+    floor(x*100+0.5) BIGINT cents (q_agg_group contract).
+
+    Scale shape: one map-side-combined aggregation on the (year,
+    status) key, then the pivot is a width-3 projection — no second
+    shuffle; Catalyst plans PIVOT as groupBy + PivotFirst, the same
+    plan the CASE-WHEN form gets."""
+    return _sql(spark, sf_dir, _PIVOT_SPARK)

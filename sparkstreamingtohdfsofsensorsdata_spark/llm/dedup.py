@@ -889,7 +889,9 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def propagate_min_labels(
-    pairs: DataFrame, max_iters: int = CC_MAX_ITERS
+    pairs: DataFrame,
+    max_iters: int = CC_MAX_ITERS,
+    sym: DataFrame | None = None,
 ) -> DataFrame:
     """Min-label propagation over an undirected pair set ``(id_a,
     id_b)`` with ``id_a != id_b``: returns ``(node, label)`` for every
@@ -916,12 +918,19 @@ def propagate_min_labels(
     # of 2x the edge set — measured 1.1-1.7 s of the 7 s sf0.1 run.
     # Duplicate edges from a sloppier caller would only repeat min()
     # messages (cost, never correctness): min is idempotent.
+    # A caller already holding a MATERIALIZED symmetric (src, dst)
+    # adjacency of the same pair set (operators/graph.sym_edges) passes
+    # it via ``sym`` and skips this derivation + eager checkpoint —
+    # one fewer materialization of the 2x edge table per propagation
+    # (r13 graph CPU diet).
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .localCheckpoint()
+        if sym is None
+        else sym
     )
     # Init = round 1 fused: with identity labels, the first neighbor-min
     # is just min(neighbor ids), computable as ONE groupBy on the edge

@@ -157,7 +157,9 @@ def cc_labels_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = copurchase_edges(spark, sf_dir).select(
             F.col("src").alias("id_a"), F.col("dst").alias("id_b")
         )
-        cache[key] = propagate_min_labels(pairs)
+        cache[key] = propagate_min_labels(
+            pairs, sym=sym_edges(spark, sf_dir)
+        )
     return cache[key]
 
 

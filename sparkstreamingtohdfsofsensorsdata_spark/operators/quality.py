@@ -1118,3 +1118,81 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+PSEUD_TAG = "pseud-v1:"  # key/version of the pseudonymization secret
+PSEUD_LEN = 16  # 64-bit hex surrogate
+
+
+@query(
+    "q_anon_pseudonym",
+    oracle=f"""
+        WITH c AS (
+            SELECT c_mktsegment,
+                   substring(md5('{PSEUD_TAG}' || CAST(c_custkey AS VARCHAR)),
+                             1, {PSEUD_LEN}) AS pseud
+            FROM customer
+        ),
+        o AS (
+            SELECT substring(md5('{PSEUD_TAG}' || CAST(o_custkey AS VARCHAR)),
+                             1, {PSEUD_LEN}) AS pseud,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT c.c_mktsegment,
+               CAST(count(DISTINCT c.pseud) AS BIGINT) AS n_pseudonyms,
+               CAST(count(o.pseud) AS BIGINT)          AS n_orders,
+               CAST(coalesce(sum(o.cents), 0) AS BIGINT) AS revenue_cents
+        FROM c LEFT JOIN o ON o.pseud = c.pseud
+        GROUP BY c.c_mktsegment
+    """,
+    description="Keyed deterministic pseudonymization with referential integrity: customer ids replaced by keyed-md5 surrogates in BOTH tables, join re-linked on the pseudonym alone, revenue per segment proves linkage survives",
+    tags=("quality", "privacy", "join"),
+)
+def q_anon_pseudonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization done the way a data-sharing agreement requires
+    (r13): the raw identifier is REPLACED by a keyed surrogate
+    (md5 over a versioned secret tag || id, truncated to 64 bits), the
+    SAME function applied to every table that carries the id — so
+    analysts can still join customers to orders, but only through the
+    surrogate. Complements q_llm_pii_redact (free-text scrubbing) and
+    the q_anon_* suite (aggregate-release guarantees): this is the
+    record-level-release primitive. The per-segment aggregate proves
+    the two properties that make pseudonymization useful:
+    n_pseudonyms == segment customer count (injectivity at this scale;
+    a collision would shrink it) and revenue linked via surrogates
+    equals revenue linked via raw keys (referential integrity — the
+    oracle computes the same join on its own surrogates).
+
+    A production release swaps md5(tag||id) for HMAC with a managed
+    secret; everything else — per-table surrogate projection, the
+    join topology, the injectivity audit — is the deployment shape.
+
+    Scale shape: surrogate derivation is a per-row projection (no
+    shuffle); the join shuffles on the surrogate exactly as it would
+    on the raw key (same cardinality, same skew); the audit rides the
+    aggregation already being paid."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.substring(
+            F.md5(F.concat(F.lit(PSEUD_TAG), F.col("c_custkey").cast("string"))),
+            1,
+            PSEUD_LEN,
+        ).alias("pseud"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.substring(
+            F.md5(F.concat(F.lit(PSEUD_TAG), F.col("o_custkey").cast("string"))),
+            1,
+            PSEUD_LEN,
+        ).alias("pseud"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "cents"
+        ),
+    )
+    joined = c.join(o, "pseud", "left")
+    return joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("pseud").alias("n_pseudonyms"),
+        F.count(o["cents"]).alias("n_orders"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("revenue_cents"),
+    )

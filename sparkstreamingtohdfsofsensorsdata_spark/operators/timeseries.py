@@ -2757,3 +2757,66 @@ def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_censored",
         F.expr("n_events * 1000000 div n_risk").alias("hazard_ppm"),
     )
+
+
+@query(
+    "q_ts_rollup_cascade",
+    oracle="""
+        WITH minute_agg AS (
+            SELECT event_type,
+                   date_trunc('minute', ts) AS minute_ts,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                        AS BIGINT)          AS micros
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT event_type,
+               date_trunc('hour', minute_ts)      AS hour_ts,
+               CAST(sum(n) AS BIGINT)             AS n_events,
+               CAST(sum(micros) AS BIGINT)        AS sum_value_micros,
+               CAST(count(*) AS BIGINT)           AS n_active_minutes
+        FROM minute_agg
+        GROUP BY 1, 2
+    """,
+    description="Hierarchical rollup cascade: hour-grain aggregates derived FROM the minute-grain pre-aggregate (associative reaggregation — coarser grains never re-scan raw), plus active-minute cardinality only the cascade can see",
+    tags=("timeseries", "aggregate", "rollup"),
+)
+def q_ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregation cascade (r13) — THE load-bearing pattern of
+    every metrics store (m3/druid/timescale continuous aggregates): the
+    minute grain is computed from raw ONCE, and every coarser grain
+    (here: hour) re-aggregates the MINUTE table, never the raw events.
+    Correct because count/sum are associative; the oracle builds the
+    same two-level cascade so both engines prove the identity
+    hour-from-minute == hour-from-raw. n_active_minutes (count of
+    minute rows per hour) is the density statistic only the cascade
+    exposes — raw-scan hour rollups must pay a distinct for it, the
+    cascade gets it as count(*).
+
+    Values fold as per-row floor(value*1e6+0.5) micros at the MINUTE
+    tier and plain BIGINT sums above it — exact at every grain
+    (q_agg_group contract).
+
+    Scale shape: one shuffle on (type, minute) — bounded at
+    types x minutes rows regardless of event volume — then the hour
+    tier reshuffles only that pre-aggregate (thousands of rows at any
+    SF); at 100 TB the minute table is the materialized continuous
+    aggregate every downstream grain mounts, exactly this plan."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("minute_ts"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias("vmic"),
+    )
+    minute_agg = ev.groupBy("event_type", "minute_ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vmic").alias("micros"),
+    )
+    return minute_agg.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("minute_ts")).alias("hour_ts"),
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("micros").alias("sum_value_micros"),
+        F.count(F.lit(1)).alias("n_active_minutes"),
+    )

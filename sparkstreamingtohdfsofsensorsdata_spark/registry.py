@@ -184,6 +184,10 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_graph_degree",
     # new in r13
     "q_scan_python_ds",  # Spark 4 Python DataSource connector
+    "q_udf_grouped_arrow",  # applyInArrow grouped-map
+    "q_sql_pivot",  # SQL PIVOT clause surface
+    "q_ts_rollup_cascade",  # minute->hour pre-agg cascade
+    "q_anon_pseudonym",  # keyed pseudonymization w/ referential integrity
 )
 
 

@@ -174,3 +174,34 @@ def test_graph_family_docstring_in_sync():
     words = {7: "seven", 8: "eight", 9: "nine", 10: "ten",
              11: "eleven", 12: "twelve"}
     assert count_word == words[len(bench.GRAPH_FAMILY)]
+
+
+def test_graph_shared_layer_memos(spark):
+    """r13 CPU diet: the four shared graph intermediates (symmetric
+    adjacency, degree table, closed-triangle corners, CC labels) are
+    each built ONCE per (session, sf) — the second call returns the
+    same object — and the clear functions re-arm their whole layer
+    (edges clear drops sym+degree too: serving them warm over a cold
+    edge table would split bench attribution)."""
+    from sparkstreamingtohdfsofsensorsdata_spark.operators import graph
+
+    sf = "/root/testdata/sf0.001"
+    graph.clear_edges_memo(spark)
+    graph.clear_orientation_memo(spark)
+    graph.clear_cc_memo(spark)
+    assert not graph.edges_warm(spark, sf)
+    sym = graph.sym_edges(spark, sf)
+    deg = graph.degree_table(spark, sf)
+    assert graph.edges_warm(spark, sf)
+    assert graph.sym_edges(spark, sf) is sym
+    assert graph.degree_table(spark, sf) is deg
+    labels = graph.cc_labels_graph(spark, sf)
+    assert graph.cc_warm(spark, sf)
+    assert graph.cc_labels_graph(spark, sf) is labels
+    # clearing the edge layer drops all three edge-layer memos
+    graph.clear_edges_memo(spark)
+    assert not graph.edges_warm(spark, sf)
+    # the CC memo has its own payer and its own clear
+    assert graph.cc_warm(spark, sf)
+    graph.clear_cc_memo(spark)
+    assert not graph.cc_warm(spark, sf)

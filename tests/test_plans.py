@@ -1203,3 +1203,67 @@ def test_argmax_aggregates_map_side(spark):
     value) pair per partition per group through the shuffle — i.e. a
     partial_max_by must appear below the exchange."""
     assert inspect.has_partial_aggregation(q(spark, "q_agg_argmax"))
+
+
+def test_rollup_cascade_two_grain_exchanges(spark):
+    """q_ts_rollup_cascade (r13): the cascade is exactly TWO shuffles —
+    one on (type, minute), one on (type, hour) over the pre-aggregate —
+    and both tiers combine map-side. A third exchange would mean the
+    hour tier re-scanned raw instead of the minute table."""
+    df = q(spark, "q_ts_rollup_cascade")
+    s = inspect.plan_str(df)
+    assert s.count("Exchange") == 2
+    assert inspect.has_partial_aggregation(df)
+
+
+def test_sql_pivot_is_one_aggregation_no_join(spark):
+    """q_sql_pivot (r13): PIVOT must compile to a pivot aggregation
+    (__pivot_* accessors in the projection), never a per-value
+    self-join of the fact table."""
+    df = q(spark, "q_sql_pivot")
+    s = inspect.plan_str(df)
+    assert "__pivot_" in s
+    assert "Join" not in s
+    assert inspect.has_partial_aggregation(df)
+
+
+def test_grouped_arrow_single_exchange(spark):
+    """q_udf_grouped_arrow (r13): the Arrow grouped-map is one hash
+    exchange on the brand key feeding FlatMapGroupsInArrow — no second
+    shuffle, no pandas conversion node."""
+    df = q(spark, "q_udf_grouped_arrow")
+    s = inspect.plan_str(df)
+    assert "FlatMapGroupsInArrow" in s
+    assert s.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" not in s
+
+
+def test_python_ds_partition_planning(spark):
+    """q_scan_python_ds (r13): the Python DataSource fans the
+    monolithic fixture out to PYDS_FANOUT decode slices (a multi-group
+    file gets one partition per row group — tests/test_python_ds.py),
+    and the aggregation on top combines map-side."""
+    from sparkstreamingtohdfsofsensorsdata_spark.sources.python_ds import (
+        PYDS_FANOUT,
+        events_pyds,
+    )
+
+    assert events_pyds(spark, SF).rdd.getNumPartitions() == PYDS_FANOUT
+    assert inspect.has_partial_aggregation(q(spark, "q_scan_python_ds"))
+
+
+def test_pseudonym_projection_pruning_and_partial_agg(spark):
+    """q_anon_pseudonym (r13): the surrogate projection must not widen
+    the scans — customer reads exactly (custkey, mktsegment), orders
+    exactly (custkey, totalprice) — and the audit agg combines
+    map-side before its shuffle."""
+    df = q(spark, "q_anon_pseudonym")
+    cols = inspect.read_schema_columns(df)
+    flat = sorted(c for cs in cols for c in cs)
+    assert flat == [
+        "c_custkey",
+        "c_mktsegment",
+        "o_custkey",
+        "o_totalprice",
+    ]
+    assert inspect.has_partial_aggregation(df)
