@@ -685,3 +685,65 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - count(distinct collate(tok, 'UTF8_LCASE'))"
         ).alias("n_case_merged"),
     )
+
+
+@query(
+    "q_fn_make_datetime",
+    oracle="""
+        WITH parts AS (
+            SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT)  AS y,
+                   CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS m,
+                   CAST(day(CAST(o_orderdate AS DATE)) AS INT)   AS d,
+                   CAST(o_orderdate AS DATE)                     AS od
+            FROM orders
+        )
+        SELECT y AS yr,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN make_date(y, m, d) = od
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
+               CAST(min(make_timestamp(y, m, d, 12, 34, 56.789))
+                    AS TIMESTAMP)                          AS first_ts,
+               CAST(max(make_timestamp(y, m, d, 12, 34, 56.789))
+                    AS TIMESTAMP)                          AS last_ts
+        FROM parts
+        GROUP BY y
+    """,
+    description="Datetime constructor parity (r13): make_date / make_timestamp rebuilt from integer field columns — the ETL path for sources that ship y/m/d as separate ints; full round-trip audit per year",
+    tags=("function", "date"),
+)
+def q_fn_make_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datetime CONSTRUCTORS (r13) — the inverse of q_fn_date's
+    extractors: sources regularly deliver year/month/day (and h/m/s)
+    as separate integer columns, and the load path must rebuild real
+    DATE/TIMESTAMP values without string formatting round-trips.
+    make_date(y,m,d) must reproduce the exact source date for every
+    row (n_roundtrip == n_orders — the audit an ingest pipeline
+    asserts), and make_timestamp with a fractional-seconds literal
+    pins sub-second construction parity (.789 is exactly the same
+    microsecond value in both engines).
+
+    Only VALID field combinations are constructed (fields extracted
+    from real dates): Spark's non-ANSI make_date turns invalid input
+    into NULL while DuckDB raises — a semantics fork this key stays
+    out of by construction (documented here so nobody "extends" it
+    with raw untrusted ints; use try-variants for those).
+
+    Scale shape: pure per-row JVM scalar work + one combinable
+    groupBy on year — no shuffle beyond the 7-key agg."""
+    parts = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.col("o_orderdate").alias("od"),
+    )
+    ts = F.expr("make_timestamp(y, m, d, 12, 34, 56.789)")
+    return parts.groupBy(F.col("y").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.expr("make_date(y, m, d)") == F.col("od"), 1).otherwise(
+                0
+            )
+        ).alias("n_roundtrip"),
+        F.min(ts).alias("first_ts"),
+        F.max(ts).alias("last_ts"),
+    )

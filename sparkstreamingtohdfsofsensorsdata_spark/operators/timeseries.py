@@ -2820,3 +2820,159 @@ def q_ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("micros").alias("sum_value_micros"),
         F.count(F.lit(1)).alias("n_active_minutes"),
     )
+
+
+@query(
+    "q_ts_week_over_week",
+    oracle="""
+        WITH weekly AS (
+            SELECT o_orderpriority,
+                   CAST(date_trunc('week', CAST(o_orderdate AS DATE))
+                        AS DATE)            AS week_start,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT)          AS revenue_cents
+            FROM orders
+            GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, week_start, n_orders, revenue_cents,
+               CAST((revenue_cents - lag(revenue_cents) OVER w) * 1000000
+                    // lag(revenue_cents) OVER w AS BIGINT) AS wow_ppm
+        FROM weekly
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY week_start)
+    """,
+    description="Calendar-aligned week-over-week growth per priority: Monday-start weekly revenue cents + lag-based WoW delta in exact integer ppm (NULL first week)",
+    tags=("timeseries", "window", "aggregate"),
+)
+def q_ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth (r13) — the dashboard metric every revenue
+    review opens with, pinned calendar-aligned: date_trunc('week') is
+    Monday-start in BOTH engines (probed, same dates), so weeks cannot
+    drift by locale. Revenue folds to BIGINT cents per week; the WoW
+    delta is (cur - prev) * 1e6 div prev in pure integers — and the
+    div-by-negative case is safe because integral division TRUNCATES
+    TOWARD ZERO in both engines (probed: -7 div 2 = -3 = -7 // 2).
+    First week per priority is NULL (no prior), which lag gives for
+    free.
+
+    Scale shape: one combinable groupBy on (priority, week) — bounded
+    at priorities x weeks rows — then a lag window PARTITIONED by
+    priority over that small aggregate; never a whole-table window."""
+    weekly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.date_trunc("week", F.col("o_orderdate"))
+            .cast("date")
+            .alias("week_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("revenue_cents"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("week_start")
+    return (
+        weekly.withColumn("_prev", F.lag("revenue_cents").over(w))
+        .select(
+            "o_orderpriority",
+            "week_start",
+            "n_orders",
+            "revenue_cents",
+            # integer div end to end (never a double /): truncation
+            # toward zero matches DuckDB // exactly at any magnitude
+            F.expr("(revenue_cents - _prev) * 1000000 div _prev").alias(
+                "wow_ppm"
+            ),
+        )
+    )
+
+
+POWER_USER_PCT = 1  # the "top 1%" cohort
+
+
+@query(
+    "q_events_power_users",
+    oracle=f"""
+        WITH counts AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT n,
+                   row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+                   (SELECT count(*) FROM counts) AS n_users
+            FROM counts
+        ),
+        k AS (SELECT n_users, n_users * {POWER_USER_PCT} // 100 + 1 AS k
+              FROM ranked LIMIT 1)
+        SELECT CAST((SELECT n_users FROM k) AS BIGINT)      AS n_users,
+               CAST((SELECT k FROM k) AS BIGINT)            AS cohort_size,
+               CAST(sum(CASE WHEN rk <= (SELECT k FROM k)
+                             THEN n END) AS BIGINT)         AS cohort_events,
+               CAST(sum(n) AS BIGINT)                       AS total_events,
+               CAST(min(CASE WHEN rk <= (SELECT k FROM k)
+                             THEN n END) AS BIGINT)         AS threshold_events,
+               CAST(sum(CASE WHEN rk <= (SELECT k FROM k) THEN n END)
+                    * 1000000 // sum(n) AS BIGINT)          AS share_ppm
+        FROM ranked
+    """,
+    description=f"Power-user concentration: the top-{POWER_USER_PCT}% cohort by event count (deterministic (count desc, id) rank via the two-level chunked ranking — no single-partition sort), cohort share of total traffic in exact ppm",
+    tags=("timeseries", "events", "window", "aggregate"),
+)
+def q_events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-concentration audit (r13): how much of all activity the
+    top-1% most active users generate — the first abuse/engagement
+    question after q_events_bot_screen's cadence screen (regularity
+    finds bots; raw concentration finds both whales and scripted
+    floods). Cohort = the first ceil(1% of users) in the TOTAL
+    (count DESC, user_id) order, so ties cannot blur the cutoff on
+    either engine; reported as one summary row with the exact-ppm
+    traffic share and the cohort's minimum event count (the
+    "you need this many events to be a whale" threshold).
+
+    Scale shape: per-user counts are one combinable groupBy; the
+    global rank rides operators/ranking.chunked_row_number with the
+    low-cardinality-metric recipe ((-n, user-id range) chunks) — never
+    a single-partition sort (the q_agg_pareto discipline); the 1-row
+    user total broadcasts; the final fold is a 1-row aggregate."""
+    from .ranking import chunked_row_number
+
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("neg_n", -F.col("n"))
+    )
+    ranked = chunked_row_number(
+        counts,
+        ["neg_n", "user_id"],
+        [
+            F.col("neg_n"),
+            (F.floor(F.col("user_id") / 4096)).cast("long"),
+        ],
+        rank_name="rk",
+    )
+    totals = counts.agg(F.count(F.lit(1)).alias("n_users"))
+    r = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "k", F.expr(f"n_users * {POWER_USER_PCT} div 100 + 1")
+    )
+    in_cohort = F.col("rk") <= F.col("k")
+    return r.agg(
+        F.max("n_users").alias("n_users"),
+        F.max("k").alias("cohort_size"),
+        F.sum(F.when(in_cohort, F.col("n"))).alias("cohort_events"),
+        F.sum("n").alias("total_events"),
+        F.min(F.when(in_cohort, F.col("n"))).alias("threshold_events"),
+    ).select(
+        "n_users",
+        "cohort_size",
+        "cohort_events",
+        "total_events",
+        "threshold_events",
+        F.expr("cohort_events * 1000000 div total_events").alias(
+            "share_ppm"
+        ),
+    )

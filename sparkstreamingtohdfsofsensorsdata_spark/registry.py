@@ -188,6 +188,10 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_sql_pivot",  # SQL PIVOT clause surface
     "q_ts_rollup_cascade",  # minute->hour pre-agg cascade
     "q_anon_pseudonym",  # keyed pseudonymization w/ referential integrity
+    "q_stream_python_ds",  # custom Python streaming source e2e
+    "q_ts_week_over_week",  # calendar-aligned WoW growth, integer ppm
+    "q_events_power_users",  # top-1% concentration via chunked rank
+    "q_fn_make_datetime",  # make_date/make_timestamp constructors
 )
 
 

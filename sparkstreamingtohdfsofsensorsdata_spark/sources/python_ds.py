@@ -103,7 +103,16 @@ class EventsArrowReader(DataSourceReader):
 
 
 class SensorStreamReader(SimpleDataSourceStreamReader):
-    """Deterministic synthetic sensor feed: offset = row counter."""
+    """Deterministic synthetic sensor feed: offset = row counter.
+
+    ``max_rows`` (option) hard-bounds the feed: once the offset
+    reaches it the reader stops advancing, so a Trigger.AvailableNow
+    run is deterministic BY CONSTRUCTION (exactly max_rows rows,
+    whatever prefetch policy the runner uses), not by accident of the
+    one-batch prefetch observed today."""
+
+    def __init__(self, max_rows: int | None = None) -> None:
+        self._max_rows = max_rows
 
     def initialOffset(self) -> dict:
         return {"row": 0}
@@ -111,6 +120,10 @@ class SensorStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = int(start["row"])
         hi = lo + STREAM_ROWS_PER_BATCH
+        if self._max_rows is not None:
+            hi = min(hi, self._max_rows)
+        if hi <= lo:
+            return iter(()), {"row": lo}
         return iter(_sensor_rows(lo, hi)), {"row": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -142,7 +155,8 @@ class EventsPyDataSource(DataSource):
         return EventsArrowReader(self.options)
 
     def simpleStreamReader(self, schema) -> SensorStreamReader:
-        return SensorStreamReader()
+        mr = self.options.get("max_rows")
+        return SensorStreamReader(max_rows=int(mr) if mr else None)
 
 
 def register_pyds(spark: SparkSession) -> None:
@@ -164,8 +178,11 @@ def events_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sensor_stream(spark: SparkSession) -> DataFrame:
+def sensor_stream(
+    spark: SparkSession, max_rows: int | None = None
+) -> DataFrame:
     register_pyds(spark)
-    return (
-        spark.readStream.format(PYDS_NAME).option("stream", "sensors").load()
-    )
+    reader = spark.readStream.format(PYDS_NAME).option("stream", "sensors")
+    if max_rows is not None:
+        reader = reader.option("max_rows", str(max_rows))
+    return reader.load()

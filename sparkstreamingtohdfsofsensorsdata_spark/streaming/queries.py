@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..operators.timeseries import SESSION_GAP_ORACLE
 from ..registry import query
 from ..session import scratch_dir
+from ..sources import python_ds
 from ..sources.factory import events_stream
 from ..tables import load
 from . import ops
@@ -679,3 +680,52 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("last_event"),
         )
     )
+
+
+@query(
+    "q_stream_python_ds",
+    oracle=f"""
+        SELECT CAST(i % {python_ds.STREAM_SENSORS} AS BIGINT) AS sensor_id,
+               CAST(count(*) AS BIGINT)                       AS n_readings,
+               CAST(sum(20000 + (i * 7919) % 10000) AS BIGINT)
+                                                              AS sum_temp_milli,
+               CAST(sum(20000 + (i * 7919) % 10000)
+                    // count(*) AS BIGINT)                    AS mean_temp_milli,
+               CAST(max(i) AS BIGINT)                         AS last_reading
+        FROM range(0, {python_ds.STREAM_ROWS_PER_BATCH}) t(i)
+        GROUP BY 1
+    """,
+    description="Custom Python streaming source end to end (r13): the registered sensor DataSource read via readStream + availableNow, per-sensor aggregate in a memory sink; oracle regenerates the deterministic feed arithmetically",
+    tags=("streaming", "source", "python-ds"),
+)
+def q_stream_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full third-party STREAMING connector path (r13, §2.1/§2.9):
+    sources/python_ds.SensorStreamReader — a pure-Python
+    SimpleDataSourceStreamReader whose offset is a row counter —
+    mounted with readStream, bounded two ways (the availableNow
+    barrier AND the reader's max_rows cap, so the processed range is
+    deterministic by construction under ANY prefetch policy), and
+    folded to a per-sensor aggregate in complete mode. The oracle
+    REGENERATES the same rows arithmetically from range() — possible
+    only because the feed derives every field from the offset, which
+    is exactly the replay discipline (readBetweenOffsets) a real
+    source needs for exactly-once.
+
+    sf_dir is unused (the source is synthetic) — the signature is the
+    registry contract.
+
+    Scale shape: the micro-batch is one narrow scan + map-side
+    combined agg on a 25-value key; a production deployment swaps the
+    generator for a partition-parallel reader (Kafka-like) and keeps
+    the identical downstream plan."""
+    del sf_dir
+    from ..sources.python_ds import STREAM_ROWS_PER_BATCH, sensor_stream
+
+    readings = sensor_stream(spark, max_rows=STREAM_ROWS_PER_BATCH)
+    agg = readings.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum("temp_milli_c").alias("sum_temp_milli"),
+        F.expr("sum(temp_milli_c) div count(1)").alias("mean_temp_milli"),
+        F.max("reading_id").alias("last_reading"),
+    )
+    return run_to_memory(agg)

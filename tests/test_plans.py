@@ -1267,3 +1267,32 @@ def test_pseudonym_projection_pruning_and_partial_agg(spark):
         "o_totalprice",
     ]
     assert inspect.has_partial_aggregation(df)
+
+
+def test_power_users_rank_is_chunk_bounded(spark):
+    """q_events_power_users (r13): the global (count desc, id) rank
+    must ride the two-level chunked ranking — the per-row window is
+    partitioned by chunk keys, and the chunk offsets come back via a
+    broadcast — never one all-rows sort partition."""
+    import re
+
+    df = q(spark, "q_events_power_users")
+    text = inspect.plan_str(df)
+    assert inspect.has_broadcast_join(df)
+    wspecs = re.findall(r"windowspecdefinition\([^)]*\)", text)
+    row_specs = [s for s in wspecs if "user_id" in s and "neg_n" in s]
+    assert row_specs, "expected row-level windows ordered by (neg_n, user_id)"
+    for s in row_specs:
+        assert "chunk" in s, f"row-level rank lost its chunk partition: {s}"
+
+
+def test_week_over_week_window_rides_small_aggregate(spark):
+    """q_ts_week_over_week (r13): the lag window is partitioned by
+    priority and runs over the weekly PRE-AGGREGATE (post-shuffle
+    aggregate rows, bounded at priorities x weeks) — the plan must
+    aggregate before the window, and the window spec must carry the
+    priority partition."""
+    df = q(spark, "q_ts_week_over_week")
+    text = inspect.plan_str(df)
+    assert inspect.has_partial_aggregation(df)
+    assert "windowspecdefinition(o_orderpriority" in text
