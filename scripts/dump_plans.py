@@ -59,6 +59,12 @@ HEADLINE = (
     ("q_events_concurrency", "two-level boundary sweep: (day, chunk)-bounded windows, chunk offsets from the tiny chunk table"),
     ("q_agg_chi2", "contingency cells aggregated FIRST; windows + 128-bit ppm fold run on the 35-row cell grid"),
     ("q_graph_landmark_closeness", "multi-source BFS relax: co-partitioned edge join + (lm, dst) min-groupBy per bounded round"),
+    # round-13 headline shapes
+    ("q_graph_local_clustering", "r13 diet: explode of the memoized closed-triangle corners + degree join — the wedge join no longer appears in this plan"),
+    ("q_scan_python_ds", "Python DataSource scan: BatchScan over the pure-Python Arrow reader, partial agg above it"),
+    ("q_ts_rollup_cascade", "two-grain cascade: exactly two exchanges, hour tier aggregates the minute pre-aggregate"),
+    ("q_udf_grouped_arrow", "FlatMapGroupsInArrow: one hash exchange on the brand key, no pandas node"),
+    ("q_events_power_users", "chunk-bounded global rank + broadcast offsets; 1-row cohort fold"),
 )
 
 

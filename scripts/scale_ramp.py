@@ -60,6 +60,12 @@ RAMP_KEYS = [
     "q_ts_sax",
     "q_graph_label_propagation",
     "q_graph_landmark_closeness",
+    # round-13 additions: the Python-DataSource scan (Arrow channel
+    # cost vs volume), the two-grain cascade, and the chunked-rank
+    # concentration fold.
+    "q_scan_python_ds",
+    "q_ts_rollup_cascade",
+    "q_events_power_users",
 ]
 
 
@@ -97,6 +103,8 @@ def main() -> None:
                 )
 
                 graph.clear_edges_memo(spark)
+                graph.clear_orientation_memo(spark)
+                graph.clear_cc_memo(spark)
             times.append(round(best, 3))
         ratio = round(times[2] / times[0], 2) if times[0] > 0 else None
         rows.append({"key": key, "sf0.001": times[0], "sf0.01": times[1],
