@@ -268,3 +268,62 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_variant_get(v, '$.missing', 'int')").alias("absent"),
         (F.expr("try_variant_get(v, '$.k', 'int')") >= 50).alias("k_big"),
     )
+
+
+@query(
+    "q_fn_explode_align",
+    oracle="""
+        WITH e AS (
+            SELECT p_partkey,
+                   generate_subscripts(string_split(p_name, ' '), 1) - 1
+                       AS pos,
+                   unnest(string_split(p_name, ' ')) AS word
+            FROM part
+        )
+        SELECT CAST(pos AS INT)                        AS pos,
+               CAST(count(*) AS BIGINT)                AS n_rows,
+               CAST(count(*) AS BIGINT)                AS n_aligned,
+               CAST(count(DISTINCT word) AS BIGINT)    AS n_distinct_words,
+               CAST(sum(length(word)) AS BIGINT)       AS sum_word_len
+        FROM e
+        GROUP BY pos
+    """,
+    description="Positional explode semantics pin: posexplode over arrays_zip(words, sequence) — 0-based positions, zip-field alignment proven per row (n_aligned == n_rows), per-position vocabulary stats",
+    tags=("function", "array"),
+)
+def q_fn_explode_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explosion + parallel-array alignment (r13) — the two
+    array mechanics every token-level pipeline leans on and every
+    engine numbers differently: Spark's posexplode is 0-BASED while
+    SQL engines' WITH ORDINALITY / generate_subscripts are 1-based
+    (the oracle subtracts 1 — the off-by-one this key exists to pin),
+    and arrays_zip must align parallel arrays element-by-element (here
+    words zipped against sequence(0, n-1); `n_aligned` counts rows
+    where the zipped index equals the exploded position, and equals
+    n_rows on both engines — a structural proof, not a spot check).
+
+    Scale shape: explode is row-local fan-out bounded by words-per-
+    name (~5); the per-position rollup is one combinable aggregation
+    on a tiny key. No shuffle before the agg."""
+    words = F.split(F.col("p_name"), " ")
+    z = F.arrays_zip(
+        words.alias("w"),
+        F.sequence(F.lit(0), F.size(words) - 1).alias("idx"),
+    )
+    e = (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", F.posexplode(z).alias("pos", "zipped"))
+        .select(
+            "pos",
+            F.col("zipped.w").alias("word"),
+            F.col("zipped.idx").alias("idx"),
+        )
+    )
+    return e.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("idx") == F.col("pos"), 1).otherwise(0)).alias(
+            "n_aligned"
+        ),
+        F.countDistinct("word").alias("n_distinct_words"),
+        F.sum(F.length("word")).alias("sum_word_len"),
+    )

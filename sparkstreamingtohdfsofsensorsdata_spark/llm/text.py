@@ -2108,3 +2108,182 @@ def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_docs - n_uniq) * 1000000 div n_docs").alias("dup_ppm"),
         F.expr("n_tokens * 1000 div n_docs").alias("tokens_per_doc_milli"),
     )
+
+
+TOPP_PCT = 60  # nucleus cut: smallest high-quality prefix covering 60%
+
+
+@query(
+    "q_llm_sample_topp",
+    oracle=f"""
+        WITH d AS (
+            SELECT source, doc_id, n_chars,
+                   sum(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id
+                   ) - n_chars AS cum_prev,
+                   sum(n_chars) OVER (PARTITION BY source) AS total_chars
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(total_chars) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN 100 * cum_prev < {TOPP_PCT} * total_chars
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+               CAST(sum(CASE WHEN 100 * cum_prev < {TOPP_PCT} * total_chars
+                             THEN n_chars ELSE 0 END) AS BIGINT)
+                                                      AS selected_chars,
+               CAST(sum(CASE WHEN 100 * cum_prev < {TOPP_PCT} * total_chars
+                             THEN n_chars ELSE 0 END) * 1000000
+                    // max(total_chars) AS BIGINT)    AS selected_ppm,
+               CAST(min(CASE WHEN 100 * cum_prev < {TOPP_PCT} * total_chars
+                             THEN n_chars END) AS BIGINT) AS cut_n_chars
+        FROM d
+        GROUP BY source
+    """,
+    description=f"Nucleus (top-p) corpus selection per source: the smallest quality-ranked prefix covering {TOPP_PCT}% of chars, via the chunked two-level rank+prefix-sum (no single-partition sort); integer cut predicate (100*cum_prev < p*total)",
+    tags=("llm", "sampling", "window"),
+)
+def q_llm_sample_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p ("nucleus") data selection (r13) — the corpus-curation
+    move of keeping the best documents up to a mass budget instead of
+    a fixed count: per source, rank docs by quality (here the n_chars
+    proxy, ties by doc_id) and keep the SMALLEST prefix whose char
+    mass reaches p% of the source. Complements q_llm_mix_sample /
+    q_llm_mix_temperature (which weight BETWEEN sources — this key
+    selects WITHIN one) and q_llm_curriculum (tiering, not cutting).
+    Membership is an integer cross-product predicate
+    (100*cum_before < p*total — no division, no floats), so the
+    boundary document is identical on both engines.
+
+    Scale shape: the per-source rank + running char sum ride
+    operators/ranking.chunked_row_number's prefix-sum path ((quality,
+    id-range) chunks, offsets broadcast back) — never a whole-source
+    sort partition; the cut + rollup is one combinable aggregation."""
+    from ..operators.ranking import chunked_row_number
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars", (-F.col("n_chars")).alias("neg_chars")
+    )
+    ranked = chunked_row_number(
+        d,
+        ["neg_chars", "doc_id"],
+        [(F.floor(F.col("neg_chars") / 256)).cast("long")],
+        part_cols=["source"],
+        rank_name="rk",
+        prefix_sums={"n_chars": "cum_chars"},
+    )
+    totals = d.groupBy("source").agg(F.sum("n_chars").alias("total_chars"))
+    r = ranked.join(F.broadcast(totals), "source").withColumn(
+        "cum_prev", F.col("cum_chars") - F.col("n_chars")
+    )
+    sel = (100 * F.col("cum_prev")) < (TOPP_PCT * F.col("total_chars"))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("total_chars").alias("total_chars"),
+        F.sum(F.when(sel, 1).otherwise(0)).alias("n_selected"),
+        F.sum(F.when(sel, F.col("n_chars")).otherwise(0)).alias(
+            "selected_chars"
+        ),
+        F.expr(
+            f"sum(CASE WHEN 100 * cum_prev < {TOPP_PCT} * total_chars"
+            " THEN n_chars ELSE 0 END) * 1000000 div max(total_chars)"
+        ).alias("selected_ppm"),
+        F.min(F.when(sel, F.col("n_chars"))).alias("cut_n_chars"),
+    )
+
+
+BUDGET_TOKENS = 1_000_000  # tokens to apportion across sources
+
+
+@query(
+    "q_llm_token_budget",
+    oracle=f"""
+        WITH w AS (
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wt,
+                       CAST(count(*) AS BIGINT)    AS n_src
+                FROM w),
+        quota AS (
+            SELECT source, weight,
+                   {BUDGET_TOKENS} * weight // (SELECT wt FROM tot) AS base,
+                   ({BUDGET_TOKENS} * weight) % (SELECT wt FROM tot) AS rem
+            FROM w
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY rem DESC, source) AS rr,
+                   {BUDGET_TOKENS} - sum(base) OVER () AS leftover
+            FROM quota
+        )
+        SELECT source, weight, CAST(base AS BIGINT) AS base_alloc,
+               CAST(CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                   AS extra,
+               CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_tokens
+        FROM ranked
+    """,
+    description=f"Largest-remainder (Hamilton) apportionment of a {BUDGET_TOKENS}-token training budget across sources by char mass: exact integer quotas, remainder ranks break ties by source; allocations sum to the budget exactly",
+    tags=("llm", "sampling", "aggregate"),
+)
+def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix budgeting (r13): turn per-source weights into an
+    INTEGER token allocation that sums EXACTLY to the budget — the
+    apportionment problem every data-mix config hits the moment
+    weights become sampling counts (naive rounding over- or
+    under-shoots by up to n_sources/2 tokens). Hamilton's
+    largest-remainder method in pure integers: base = B*w div W,
+    and the B - sum(base) leftover tokens go to the largest
+    remainders (B*w mod W, ties by source name) — deterministic,
+    exact, and the standard choice when quota monotonicity matters
+    less than hitting the budget (documented trade vs divisor
+    methods). Complements q_llm_mix_sample / _mix_temperature (which
+    produce the WEIGHTS; this key turns weights into counts).
+
+    Scale shape: weights are one combinable groupBy; everything after
+    runs on the n_sources-row table (window over ~dozens of rows —
+    driver-free and trivially bounded); the 1-row total broadcasts."""
+    w = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("weight"))
+    )
+    tot = w.agg(
+        F.sum("weight").alias("wt"), F.count(F.lit(1)).alias("n_src")
+    )
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "weight",
+        F.expr(f"{BUDGET_TOKENS} * weight div wt").alias("base"),
+        F.expr(f"({BUDGET_TOKENS} * weight) % wt").alias("rem"),
+    )
+    win = Window.orderBy(F.col("rem").desc(), "source")
+    ranked = quota.select(
+        "*",
+        F.row_number().over(win).alias("rr"),
+        (
+            F.lit(BUDGET_TOKENS)
+            - F.sum("base").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "weight",
+        F.col("base").alias("base_alloc"),
+        F.when(F.col("rr") <= F.col("leftover"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("extra"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )

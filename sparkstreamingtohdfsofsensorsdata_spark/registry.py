@@ -192,6 +192,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_ts_week_over_week",  # calendar-aligned WoW growth, integer ppm
     "q_events_power_users",  # top-1% concentration via chunked rank
     "q_fn_make_datetime",  # make_date/make_timestamp constructors
+    "q_llm_sample_topp",  # nucleus top-p corpus selection
+    "q_llm_token_budget",  # largest-remainder budget apportionment
+    "q_fn_explode_align",  # posexplode/arrays_zip semantics pin
 )
 
 

@@ -87,6 +87,11 @@ KEYS = [
     "q_llm_split_leakage",
     "q_llm_dedup_clusters",
     "q_llm_dedup_keep",
+    # r13: nucleus selection + budget apportionment read (source,
+    # n_chars) — NULL-text rows carry n_chars 0, the degenerate mass
+    # these keys must cut/apportion correctly
+    "q_llm_sample_topp",
+    "q_llm_token_budget",
 ]
 
 
