@@ -747,3 +747,54 @@ def q_fn_make_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(ts).alias("first_ts"),
         F.max(ts).alias("last_ts"),
     )
+
+
+@query(
+    "q_fn_xpath",
+    oracle="""
+        SELECT n_nationkey AS nation_key,
+               CAST(n_regionkey AS BIGINT)       AS region_from_xpath,
+               CAST(length(n_name) AS BIGINT)    AS name_len_from_xpath,
+               n_name                            AS name_from_xpath
+        FROM nation
+    """,
+    description="xpath_* scalar family over per-row XML documents (xpath_long, xpath_string, xpath count form) — values re-derived through XML must equal the source columns exactly",
+    tags=("function", "xml"),
+)
+def q_fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xpath_* scalar functions (r13) — the per-row XML extractors
+    used when XML arrives EMBEDDED in a column (message envelopes,
+    config blobs) rather than as files (q_scan_xml's territory). Each
+    row builds a small XML document from its own columns, then
+    xpath_long / xpath_string / xpath() pull the values back out —
+    identity through the XML layer, so the oracle is simply the source
+    columns. Node text, attribute access (@k), and the
+    sequence-of-nodes form (xpath(...)[1]) are all pinned. DuckDB has
+    no xpath, so the oracle derives from the original columns — the
+    same agg-equality pattern as every format round-trip key.
+
+    Scale shape: pure per-row JVM scalar work (the XML never exceeds
+    the row); no shuffle at all — the plan is scan -> project."""
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    xml = F.concat(
+        F.lit('<nation region="'),
+        F.col("n_regionkey").cast("string"),
+        F.lit('"><name>'),
+        F.col("n_name"),
+        F.lit("</name></nation>"),
+    )
+    d = n.withColumn("doc", xml)
+    return d.select(
+        F.col("n_nationkey").alias("nation_key"),
+        F.expr("xpath_long(doc, '/nation/@region')").alias(
+            "region_from_xpath"
+        ),
+        F.expr("xpath_long(doc, 'string-length(/nation/name)')").alias(
+            "name_len_from_xpath"
+        ),
+        F.expr("xpath(doc, '/nation/name/text()')[0]").alias(
+            "name_from_xpath"
+        ),
+    )

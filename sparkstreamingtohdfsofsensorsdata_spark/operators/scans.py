@@ -1197,3 +1197,75 @@ def q_scan_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+XML_ROW_TAG = "order"
+
+
+@query(
+    "q_scan_xml",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)          AS revenue_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+               CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    description="Built-in XML format round-trip (Spark 4): orders written as <order> rows (one column as an XML ATTRIBUTE) and read back with a DECLARED schema — never inferSchema at scale; agg equality vs the source table",
+    tags=("scan", "format", "xml"),
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XML format surface (r13) — spark-xml graduated into Spark 4
+    core, making XML the last built-in file format this repo had not
+    keyed (parquet/ORC/CSV/JSON/text/binary all have keys). The
+    round-trip pins the three things XML ingestion gets wrong at
+    scale: the rowTag contract (one <order> element per row), the
+    element-vs-ATTRIBUTE distinction (o_orderstatus rides as an
+    attribute, read back via the '_' attributePrefix), and the
+    declared-schema read (inferSchema over 100 TB of XML is a full
+    extra pass; production reads declare, exactly like the CSV key).
+    Values fold to BIGINT cents before the aggregate (q_agg_group
+    contract).
+
+    Scale shape: the write is one narrow projection; XML read
+    parallelizes per file split like any text source; the final agg is
+    one map-side-combined groupBy on the 3-value status key."""
+    from ..session import scratch_dir
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("_status"),  # '_' -> XML attribute
+        "o_totalprice",
+    )
+    out = scratch_dir("xml_roundtrip_") + "/orders_xml"
+    (
+        orders.repartition(4)
+        .write.format("xml")
+        .option("rowTag", XML_ROW_TAG)
+        .mode("overwrite")
+        .save(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("_status", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", XML_ROW_TAG)
+        .schema(schema)
+        .load(out)
+    )
+    return back.groupBy(F.col("_status").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("revenue_cents"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )

@@ -195,6 +195,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_llm_sample_topp",  # nucleus top-p corpus selection
     "q_llm_token_budget",  # largest-remainder budget apportionment
     "q_fn_explode_align",  # posexplode/arrays_zip semantics pin
+    "q_scan_xml",  # built-in XML format round-trip
+    "q_fn_xpath",  # xpath_* embedded-XML scalar family
 )
 
 
