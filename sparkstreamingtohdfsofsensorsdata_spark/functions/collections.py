@@ -327,3 +327,54 @@ def q_fn_explode_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("word").alias("n_distinct_words"),
         F.sum(F.length("word")).alias("sum_word_len"),
     )
+
+
+@query(
+    "q_fn_from_xml",
+    oracle="""
+        SELECT s_suppkey AS supp_key,
+               CAST(s_nationkey AS BIGINT)   AS nation_from_xml,
+               round(s_acctbal, 2)           AS bal_from_xml,
+               s_name                        AS name_from_xml
+        FROM supplier
+    """,
+    description="from_xml struct parsing (Spark 4): per-row embedded XML decoded against a declared schema — identity through the XML layer vs source columns (typed long/double/string round-trip)",
+    tags=("function", "xml"),
+)
+def q_fn_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_xml`` (r13) — the schema-full companion to q_fn_xpath's
+    path extractors: where xpath pulls one value per call, from_xml
+    decodes the WHOLE embedded document into a typed struct in one
+    pass (the from_json of the XML world, new in Spark 4). Each row
+    builds an XML envelope from its own supplier columns and decodes
+    it against a DECLARED schema; the typed fields (bigint, double,
+    string) must round-trip exactly, so the oracle is simply the
+    source columns. acctbal is rounded at 2 dp on BOTH sides — the
+    fixture values are 2-dp decimals rendered through text, and the
+    pin is the decode, not double formatting.
+
+    Scale shape: per-row JVM scalar work, scan -> project, no
+    shuffle; at 100 TB this is the message-envelope decode running
+    inside whole-stage codegen, never a UDF."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    xml = F.concat(
+        F.lit("<supplier><nation>"),
+        F.col("s_nationkey").cast("string"),
+        F.lit("</nation><bal>"),
+        F.col("s_acctbal").cast("string"),
+        F.lit("</bal><name>"),
+        F.col("s_name"),
+        F.lit("</name></supplier>"),
+    )
+    d = s.withColumn("doc", xml).withColumn(
+        "parsed",
+        F.expr("from_xml(doc, 'nation BIGINT, bal DOUBLE, name STRING')"),
+    )
+    return d.select(
+        F.col("s_suppkey").alias("supp_key"),
+        F.col("parsed.nation").alias("nation_from_xml"),
+        F.round(F.col("parsed.bal"), 2).alias("bal_from_xml"),
+        F.col("parsed.name").alias("name_from_xml"),
+    )

@@ -798,3 +798,57 @@ def q_fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_from_xpath"
         ),
     )
+
+
+@query(
+    "q_fn_str_to_map",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT)         AS n_customers,
+               CAST(sum(c_nationkey) AS BIGINT) AS nation_sum_from_map,
+               CAST(sum(length(c_mktsegment)) AS BIGINT)
+                                                AS seg_len_sum_from_map
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    description="str_to_map k=v;k=v tag-string parsing: per-row typed extraction from a serialized map column — identity through the encode/parse layer vs source columns",
+    tags=("function", "string", "map"),
+)
+def q_fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``str_to_map`` (r13) — the parser for the `k=v;k=v` tag strings
+    that telemetry, log lines, and legacy exports ship instead of real
+    maps (q_fn_map covers map construction; this is the INGEST side).
+    Each row serializes two of its own columns into a tag string,
+    parses it back with str_to_map, and the aggregate over the
+    extracted values must equal the aggregate over the originals —
+    identity through the encode/parse layer, including the cast back
+    from the map's string values to BIGINT.
+
+    Scale shape: per-row JVM string work inside codegen, then one
+    map-side-combined groupBy on the 5-value segment key. The
+    anti-pattern this key documents by contrast: parsing tag strings
+    with a Python UDF (100x the cost) or exploding every map to rows
+    before filtering (shuffles the whole payload)."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    d = c.withColumn(
+        "tags",
+        F.concat(
+            F.lit("nation="),
+            F.col("c_nationkey").cast("string"),
+            F.lit(";segment="),
+            F.col("c_mktsegment"),
+        ),
+    ).withColumn("m", F.expr("str_to_map(tags, ';', '=')"))
+    return d.groupBy(
+        F.col("m")["segment"].alias("c_mktsegment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("m")["nation"].cast("bigint")).alias(
+            "nation_sum_from_map"
+        ),
+        F.sum(F.length(F.col("m")["segment"])).alias(
+            "seg_len_sum_from_map"
+        ),
+    )

@@ -1144,3 +1144,41 @@ def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; Catalyst plans PIVOT as groupBy + PivotFirst, the same
     plan the CASE-WHEN form gets."""
     return _sql(spark, sf_dir, _PIVOT_SPARK)
+
+
+_AGG_FILTER = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_totalprice > 100000)
+                AS BIGINT)          AS n_big,
+           CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'F'), 0)
+                AS BIGINT)          AS finished_cents,
+           CAST(coalesce(min(o_orderkey)
+                    FILTER (WHERE o_orderstatus = 'P'), -1)
+                AS BIGINT)          AS first_pending_key
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "q_sql_agg_filter",
+    oracle=_AGG_FILTER,
+    description="SQL FILTER clause on aggregates (count/sum/min with per-aggregate predicates), same SQL text both engines; empty-filter groups pinned via coalesce",
+    tags=("golden", "sql", "aggregate"),
+)
+def q_sql_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard FILTER clause (r13) — per-aggregate predicates
+    without the CASE-WHEN contortion, the form analysts write for
+    conditional metrics ("orders, big orders, finished revenue — one
+    GROUP BY"). The SAME SQL text runs on both engines (Spark has
+    supported FILTER since 3.0; DuckDB natively), so the key pins the
+    parser surface itself, plus the edge the clause hides: an
+    aggregate whose filter matches NO rows in a group is NULL (not 0)
+    — coalesced explicitly on both sides so the contract is visible.
+
+    Scale shape: identical plan to the CASE-WHEN form — one map-side-
+    combined aggregation on the 5-value priority key; the filters
+    evaluate inside the partial aggregate, adding zero shuffles."""
+    return _sql(spark, sf_dir, _AGG_FILTER)

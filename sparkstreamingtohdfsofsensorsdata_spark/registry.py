@@ -197,6 +197,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_fn_explode_align",  # posexplode/arrays_zip semantics pin
     "q_scan_xml",  # built-in XML format round-trip
     "q_fn_xpath",  # xpath_* embedded-XML scalar family
+    "q_sql_agg_filter",  # SQL FILTER clause on aggregates
+    "q_fn_from_xml",  # from_xml declared-schema struct decode
+    "q_fn_str_to_map",  # k=v;k=v tag-string ingest
 )
 
 
