@@ -96,110 +96,107 @@ def query(
 
 # External harnesses may verify only a prefix of the registry (observed:
 # the grading driver checks 50 keys/round in load_all() order), so ORDER
-# ENCODES NEED. Round-13 rotation (VERDICT r12 item 1): the head is
-# (a) the three keys registered after the r12 driver window closed —
-# their ONLY verdict so far is the builder's own exact sweep — then
-# (b) 47 of the 50 keys whose latest driver verdict is round 7 (the
-# q_fn_* families, most TPC-H goldens, scans/sinks, samplers; all tied,
-# taken alphabetically). (a)+(b) fills the 50-key window exactly. The
-# remainder — the 3 deferred r7 keys, keys whose CODE changed this
-# round (graph-family memo restructuring), and round-13 additions in
-# batch order — queues at positions 51+ for the r14 window; every one
-# of them is covered by this round's zero-tolerance exact sweep at
+# ENCODES NEED. Round-14 rotation (VERDICT r13 item 1): the head is
+# (a) the 17 keys registered during round 13 — never driver-checked,
+# their only verdict so far is the builder's own exact sweep — then
+# (b) the 3 deferred r7-stale keys, then (c) the 12 q_graph_* keys whose
+# CODE changed in the r13 memo restructuring (latest driver verdicts
+# r9-r12, all pre-change), then (d) the first 18 of the 48-key r8-stale
+# cohort (alphabetical). (a)+(b)+(c)+(d) fills the 50-key window
+# exactly. The remaining 30 r8-stale keys and any round-14 additions
+# queue at positions 51+ for the r15 window; every queued key is
+# covered by this round's zero-tolerance exact sweep at
 # sf0.001/0.01/0.1.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # (a) registered after the r12 driver window — never driver-checked
-    "q_agg_winsorized",
-    "q_join_point_in_time",
-    "q_agg_theil",
-    # (b) the r7-stale cohort, 47 of 50 (alphabetical; the last three
-    # roll to r14)
-    "q_agg_corr",
-    "q_agg_histogram",
-    "q_agg_stats",
-    "q_fn_array",
-    "q_fn_bitwise",
-    "q_fn_cond",
-    "q_fn_date",
-    "q_fn_json",
-    "q_fn_map",
-    "q_fn_math",
-    "q_fn_regexp",
-    "q_fn_string",
-    "q_fn_struct",
-    "q_join_bucketed",
-    "q_join_dpp",
-    "q_join_skew_salted",
-    "q_llm_dedup_keep",
-    "q_llm_mix_sample",
-    "q_llm_multimodal",
-    "q_llm_multimodal_audio",
-    "q_llm_multimodal_frames",
-    "q_llm_pii_redact",
-    "q_merge_scd2",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_scan_csv_file",
-    "q_scan_csv_json",
-    "q_scan_json_corrupt",
-    "q_scan_orc",
-    "q_scan_text_lines",
-    "q_set_intersect",
-    "q_sink_compact",
-    "q_sink_sorted",
-    "q_sink_zorder",
-    "q_stream_foreach_upsert",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q16",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_ts_funnel",
-    "q_ts_gapfill",
-    "q_ts_ohlc",
-    "q_ts_retention",
-    # --- 50-key window boundary ---
-    # deferred r7 remainder (first in the r14 window)
+    # (a) new in r13 — never driver-checked
+    "q_anon_pseudonym",
+    "q_events_power_users",
+    "q_fn_explode_align",
+    "q_fn_from_xml",
+    "q_fn_make_datetime",
+    "q_fn_str_to_map",
+    "q_fn_xpath",
+    "q_llm_sample_topp",
+    "q_llm_token_budget",
+    "q_scan_python_ds",
+    "q_scan_xml",
+    "q_sql_agg_filter",
+    "q_sql_pivot",
+    "q_stream_python_ds",
+    "q_ts_rollup_cascade",
+    "q_ts_week_over_week",
+    "q_udf_grouped_arrow",
+    # (b) deferred r7 remainder
     "q_ts_session_window",
     "q_ts_sessionize",
     "q_win_value_family",
-    # round-13 code-changed + additions, appended as they land
-    "q_events_bot_screen",  # ADVICE r12: events_per_hour rename (both sides)
-    # graph-family CPU diet (VERDICT r12 item 3): shared sym/degree/
-    # corner/CC memos + BIGINT LPA pack — every kernel's plan changed
+    # (c) graph family — code changed by the r13 shared-memo
+    # restructuring; latest driver verdicts all predate the change
     "q_graph_triangles",
-    "q_graph_local_clustering",
-    "q_graph_label_propagation",
-    "q_graph_wcc",
-    "q_graph_modularity",
-    "q_graph_kcore",
-    "q_graph_pagerank",
     "q_graph_common_neighbors",
+    "q_graph_label_propagation",
+    "q_graph_pagerank",
+    "q_graph_wcc",
     "q_graph_bfs",
+    "q_graph_degree",
+    "q_graph_kcore",
+    "q_graph_local_clustering",
+    "q_graph_modularity",
     "q_graph_landmark_closeness",
     "q_graph_assortativity",
-    "q_graph_degree",
-    # new in r13
-    "q_scan_python_ds",  # Spark 4 Python DataSource connector
-    "q_udf_grouped_arrow",  # applyInArrow grouped-map
-    "q_sql_pivot",  # SQL PIVOT clause surface
-    "q_ts_rollup_cascade",  # minute->hour pre-agg cascade
-    "q_anon_pseudonym",  # keyed pseudonymization w/ referential integrity
-    "q_stream_python_ds",  # custom Python streaming source e2e
-    "q_ts_week_over_week",  # calendar-aligned WoW growth, integer ppm
-    "q_events_power_users",  # top-1% concentration via chunked rank
-    "q_fn_make_datetime",  # make_date/make_timestamp constructors
-    "q_llm_sample_topp",  # nucleus top-p corpus selection
-    "q_llm_token_budget",  # largest-remainder budget apportionment
-    "q_fn_explode_align",  # posexplode/arrays_zip semantics pin
-    "q_scan_xml",  # built-in XML format round-trip
-    "q_fn_xpath",  # xpath_* embedded-XML scalar family
-    "q_sql_agg_filter",  # SQL FILTER clause on aggregates
-    "q_fn_from_xml",  # from_xml declared-schema struct decode
-    "q_fn_str_to_map",  # k=v;k=v tag-string ingest
+    # (d) r8-stale cohort, first 18 alphabetical (remaining 30 roll
+    # to r15)
+    "q_agg_bitmap_distinct",
+    "q_agg_heavy_hitters",
+    "q_agg_histogram_quantile",
+    "q_agg_mode",
+    "q_agg_weighted_median",
+    "q_join_asof_nearest",
+    "q_join_interval_overlap",
+    "q_join_null_safe",
+    "q_llm_boilerplate",
+    "q_llm_dedup_incremental",
+    "q_llm_embed_neardup",
+    "q_llm_embed_quantize",
+    "q_llm_length_bucket",
+    "q_llm_ngram_containment",
+    "q_llm_ngram_jaccard",
+    "q_llm_passage_dedup",
+    "q_llm_semdedup",
+    "q_llm_sim_topk_quant",
+    # --- 50-key window boundary ---
+    # r8-stale remainder, alphabetical (queue for r15)
+    "q_llm_split_assign",
+    "q_llm_unigram_logprob",
+    "q_llm_url_normalize",
+    "q_sample_group_topk",
+    "q_scan_schema_evolution",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_stateful_alerts",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_stream_left_join",
+    "q_stream_tumbling",
+    "q_stream_update_mode",
+    "q_subquery_not_in",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q2",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q4",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_ts_gap_islands",
+    "q_ts_interpolate",
+    "q_ts_outlier_mad",
+    "q_unpivot",
+    "q_win_running_distinct",
+    # round-14 additions, appended as they land
 )
 
 
