@@ -84,17 +84,25 @@ class _CpuMeter:
         the NEXT key's window (the suspected mechanism behind r12's
         q_graph_local_clustering 1.92x-CPU-floor overage: a shared-memo
         build's tail attributed to whichever consumer ran next).
-        Re-poll (<=2 extra GETs, 0.12 s apart, outside every timed
-        region) until the counter stops moving."""
+        Re-poll (0.12 s apart, outside every timed region) until TWO
+        consecutive polls agree, with a 1.0 s hard cap (ADVICE r13: the
+        fixed 2-retry loop still leaked listener-bus lag > ~0.24 s into
+        the next key's window on a loaded host; requiring two stable
+        polls under a time cap bounds the bleed without unbounded
+        waiting)."""
         if not self.enabled:
             return None
         try:
             total = self._poll()
-            for _ in range(2):
+            stable = 0
+            deadline = time.perf_counter() + 1.0
+            while stable < 1 and time.perf_counter() < deadline:
                 time.sleep(0.12)
                 nxt = self._poll()
                 if nxt - total < 1e-3:
-                    break
+                    stable += 1
+                else:
+                    stable = 0
                 total = nxt
             return total
         except Exception as exc:  # pragma: no cover - meter must not sink bench
@@ -790,10 +798,23 @@ def main() -> None:
             and t > 1.8 * floor[n]
             and t - floor[n] > 0.5
         }
+        # VERDICT r13 item 3: q_stream_* keys pick up micro-batch /
+        # state-store BACKGROUND-thread CPU attributed to whichever
+        # streaming key owns the sampling window — run-to-run noise,
+        # not plan cost. For those keys require the WALL to also be
+        # off its floor (>1.3x) before a CPU overage counts: a
+        # streaming key whose wall sits at floor did not regress, no
+        # matter what the shared background threads charged it.
         suspects |= {
             n
             for n, c in cpus.items()
-            if n in floor_cpu and floor_cpu[n] > 0 and c > 1.8 * floor_cpu[n]
+            if n in floor_cpu
+            and floor_cpu[n] > 0
+            and c > 1.8 * floor_cpu[n]
+            and (
+                not n.startswith("q_stream_")
+                or timings.get(n, 0.0) > 1.3 * floor.get(n, float("inf"))
+            )
         }
         # Each payer carries its intermediate's cost regardless of
         # registry order (see the attribution block above), so a payer

@@ -1422,10 +1422,21 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # int64 while label < LPA_PACK and cnt < 9.2e6 (see the
         # LPA_PACK precondition above) — long arithmetic in the max_by
         # instead of DECIMAL(38) Java BigDecimal, same exact winner on
-        # both engines.
+        # both engines. ADVICE r13: the precondition is ENFORCED, not
+        # just documented — assert_true costs one comparison per vote
+        # row, returns NULL (hence + 0) while it holds, and raises
+        # loudly the moment a label source or count violates it,
+        # mirroring DuckDB's loud BIGINT-overflow behavior instead of
+        # Spark's silent non-ANSI wraparound.
+        guard = (
+            f"coalesce(cast(assert_true(nl >= 0 and nl < {LPA_PACK} "
+            f"and c < 9223372, 'LPA_PACK precondition violated: "
+            f"label/count exceed the packed-BIGINT headroom') "
+            f"as bigint), 0)"
+        )
         labels = votes.groupBy("node").agg(
             F.expr(
-                f"max_by(nl, cast(c as bigint) * {LPA_PACK} - nl)"
+                f"max_by(nl, cast(c as bigint) * {LPA_PACK} - nl + {guard})"
             ).alias("lbl")
         )
     comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("comm_size"))

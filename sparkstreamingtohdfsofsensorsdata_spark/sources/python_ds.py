@@ -45,6 +45,9 @@ PYDS_NAME = "events_pyds"
 PYDS_SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
 # fixture files hold one monolithic row group; decode-split fan-out
 PYDS_FANOUT = 8
+# fan-out redundantly decodes the whole single-group file per slice;
+# above this size one partition decoding once beats 8 decoding 8x
+PYDS_SLICE_MAX_BYTES = 64 * 1024 * 1024
 _BATCH_ROWS = 8192
 
 STREAM_ROWS_PER_BATCH = 500
@@ -75,11 +78,23 @@ class EventsArrowReader(DataSourceReader):
         self._path = path
 
     def partitions(self):  # planning runs on the driver
+        import os
+
         import pyarrow.parquet as pq
 
         n_groups = pq.ParquetFile(self._path).num_row_groups
         if n_groups > 1:
             return [_RowGroupPartition(g) for g in range(n_groups)]
+        # Single monolithic row group: the slice path decodes the whole
+        # file in EVERY slice and keeps 1/n of the batches — acceptable
+        # only while the file is small (the sf<=0.1 fixtures). ADVICE
+        # r13: gate the fan-out on file size so the redundant-decode
+        # cost can never scale with input size — above the threshold a
+        # single partition decodes the file exactly once (a real source
+        # would instead write multiple row groups, which takes the
+        # per-group path above).
+        if os.path.getsize(self._path) > PYDS_SLICE_MAX_BYTES:
+            return [_SlicePartition(0, 1)]
         return [_SlicePartition(i, PYDS_FANOUT) for i in range(PYDS_FANOUT)]
 
     def read(self, partition):  # runs in the executor Python worker

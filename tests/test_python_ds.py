@@ -70,25 +70,24 @@ def test_pyds_stream_replay_is_deterministic():
 
 def test_pyds_stream_canary(spark):
     """The streaming read path end to end: micro-batches land in a
-    memory sink with the deterministic values the generator promises."""
+    memory sink with the deterministic values the generator promises.
+
+    Bounded by construction (ADVICE r13): max_rows caps the source and
+    Trigger.AvailableNow drains it to completion and stops — no
+    busy-looping 0-interval trigger, no 60s poll window."""
     q = (
-        sensor_stream(spark)
+        sensor_stream(spark, max_rows=STREAM_ROWS_PER_BATCH)
         .writeStream.format("memory")
         .queryName("pyds_canary")
-        .trigger(processingTime="0 seconds")
+        .trigger(availableNow=True)
         .start()
     )
     try:
-        deadline = time.time() + 60
-        while time.time() < deadline:
-            n = spark.sql("SELECT count(*) c FROM pyds_canary").first().c
-            if n >= STREAM_ROWS_PER_BATCH:
-                break
-            time.sleep(0.5)
-        else:
-            pytest.fail("stream canary produced no full batch in 60s")
+        assert q.awaitTermination(120), "stream canary did not drain in 120s"
     finally:
         q.stop()
+    n = spark.sql("SELECT count(*) c FROM pyds_canary").first().c
+    assert n == STREAM_ROWS_PER_BATCH
     rows = spark.sql(
         "SELECT * FROM pyds_canary WHERE reading_id < 3 ORDER BY reading_id"
     ).collect()
