@@ -1182,3 +1182,166 @@ def q_sql_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined aggregation on the 5-value priority key; the filters
     evaluate inside the partial aggregate, adding zero shuffles."""
     return _sql(spark, sf_dir, _AGG_FILTER)
+
+
+_TABLESAMPLE = """
+    SELECT
+        (SELECT count(*) FROM orders TABLESAMPLE (100 PERCENT))
+            = (SELECT count(*) FROM orders)              AS full_is_total,
+        CAST((SELECT count(*) FROM orders TABLESAMPLE (0 PERCENT))
+            AS BIGINT)                                   AS n_empty,
+        CAST((SELECT count(*) FROM orders TABLESAMPLE (500 ROWS))
+            AS BIGINT)                                   AS rows_clamped,
+        (SELECT count(*) FROM orders
+            TABLESAMPLE (50 PERCENT) REPEATABLE (42))
+            BETWEEN CAST(0.40 * (SELECT count(*) FROM orders) AS BIGINT)
+                AND CAST(0.60 * (SELECT count(*) FROM orders) AS BIGINT)
+                                                         AS half_in_bounds
+"""
+
+
+@query(
+    "q_sql_tablesample",
+    oracle="""
+        SELECT TRUE                                       AS full_is_total,
+               CAST(0 AS BIGINT)                          AS n_empty,
+               CAST(least(500, (SELECT count(*) FROM orders)) AS BIGINT)
+                                                          AS rows_clamped,
+               TRUE                                       AS half_in_bounds
+    """,
+    description="SQL TABLESAMPLE semantics pin: 100/0 PERCENT exact edges, n ROWS clamps to min(n, total), BERNOULLI 50 PERCENT REPEATABLE lands in concentration bounds",
+    tags=("golden", "sql", "sampling"),
+)
+def q_sql_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE — the SQL sampling surface (Spark's SampleExec /
+    sample pushed into the scan). RNG streams are engine-specific, so
+    the pin is on the DETERMINISTIC contract, not the draw: 100 PERCENT
+    is every row, 0 PERCENT is none, (n ROWS) clamps exactly to
+    min(n, total), and a 50 PERCENT Bernoulli sample under REPEATABLE
+    (seeded, reproducible run to run) must land within ±10pp of half —
+    at the smallest fixture that is >6 sigma, so the boolean is stable.
+    The oracle states the contract as literals/exact expressions.
+
+    Scale shape: TABLESAMPLE PERCENT is a per-row Bernoulli filter
+    evaluated inside the scan stage — no shuffle, no skew, trivially
+    parallel; (n ROWS) is a LIMIT (one final single-partition take of
+    n rows, fine for n this small)."""
+    return _sql(spark, sf_dir, _TABLESAMPLE)
+
+
+_DISTRIBUTE_BY = """
+    SELECT d.o_orderpriority, d.n_orders, d.total_cents, c.n_cluster
+    FROM (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT)   AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM (
+            SELECT o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+            DISTRIBUTE BY o_orderpriority SORT BY o_orderkey
+        )
+        GROUP BY o_orderpriority
+    ) d
+    JOIN (
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_cluster
+        FROM (SELECT o_orderpriority FROM orders CLUSTER BY o_orderpriority)
+        GROUP BY o_orderpriority
+    ) c ON d.o_orderpriority = c.o_orderpriority
+"""
+
+
+@query(
+    "q_sql_distribute_by",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT)           AS total_cents,
+               CAST(count(*) AS BIGINT) AS n_cluster
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    description="DISTRIBUTE BY / SORT BY / CLUSTER BY semantics pin: repartition+sort clauses change layout, never content — aggregates over the redistributed subqueries equal the plain ones",
+    tags=("golden", "sql", "layout"),
+)
+def q_sql_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY / SORT BY / CLUSTER BY — Spark's Hive-inherited
+    layout clauses (CLUSTER BY = DISTRIBUTE BY + SORT BY on the same
+    keys). They compile to a hash repartitioning (plus intra-partition
+    sort) and MUST be content-neutral: this key aggregates over both
+    redistributed subqueries and checks the result equals the plain
+    aggregate the oracle computes with no layout clauses at all.
+
+    Scale shape: this is the idiom for pre-shuffling ahead of a write
+    (one file per partition key) or a skew-aware layout; the clause
+    inserts exactly one Exchange — the aggregate then reuses that
+    partitioning instead of adding its own, which is why the pattern
+    costs nothing when the keys line up."""
+    return _sql(spark, sf_dir, _DISTRIBUTE_BY)
+
+
+_SQL_UDF_QUERY = """
+    SELECT qty_band(l_quantity)       AS band,
+           CAST(count(*) AS BIGINT)   AS n_items,
+           CAST(sum(disc_cents(l_extendedprice, l_discount)) AS BIGINT)
+                                      AS revenue_cents,
+           CAST(sum(half_disc_cents(l_extendedprice, l_discount)) AS BIGINT)
+                                      AS half_cents
+    FROM lineitem
+    GROUP BY qty_band(l_quantity)
+"""
+
+
+@query(
+    "q_sql_scalar_udf",
+    oracle="""
+        WITH t AS (
+            SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                        WHEN l_quantity < 35 THEN 'mid'
+                        ELSE 'high' END AS band,
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT) AS cents
+            FROM lineitem
+        )
+        SELECT band,
+               CAST(count(*) AS BIGINT)       AS n_items,
+               CAST(sum(cents) AS BIGINT)     AS revenue_cents,
+               CAST(sum(cents // 2) AS BIGINT) AS half_cents
+        FROM t
+        GROUP BY band
+    """,
+    description="SQL scalar UDFs (CREATE FUNCTION ... RETURN, Spark 4.0): expression UDF, CASE UDF, and a UDF calling another UDF, inlined by Catalyst into a plain aggregate",
+    tags=("golden", "sql", "udf"),
+)
+def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs — ``CREATE FUNCTION ... RETURNS ... RETURN
+    <expr>`` landed in Spark 4.0 (SQL UDFs): named, typed, pure-SQL
+    functions that Catalyst INLINES into the calling plan, so they
+    cost nothing at runtime (unlike Python UDFs — this is the
+    recommended way to share scalar logic). Three semantics pinned:
+    an arithmetic expression UDF (disc_cents -> exact integer cents),
+    a CASE UDF used in both the projection and the GROUP BY
+    (qty_band), and UDF COMPOSITION (half_disc_cents calls disc_cents;
+    DIV floor-division equals DuckDB's // on these non-negative
+    cents). The oracle states the same logic inline.
+
+    Scale shape: after inlining, the executed plan is one map-side-
+    combined hash aggregate over the scan — WholeStageCodegen spans
+    the UDF bodies; no function-call boundary survives optimization."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(p * (1 - d) * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN q < 10 THEN 'low' "
+        "WHEN q < 35 THEN 'mid' ELSE 'high' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION half_disc_cents"
+        "(p DOUBLE, d DOUBLE) RETURNS BIGINT "
+        "RETURN disc_cents(p, d) DIV 2"
+    )
+    return spark.sql(_SQL_UDF_QUERY)

@@ -979,3 +979,54 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d2") < SPATIAL_RADIUS * SPATIAL_RADIUS)
     )
     return pairs.orderBy("d2", "id_a", "id_b").limit(SPATIAL_TOP_K)
+
+
+@query(
+    "q_join_lateral_df",
+    oracle="""
+        SELECT n.n_name, t.c_name, t.top_acctbal_cents
+        FROM nation n, LATERAL (
+            SELECT c_name,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS top_acctbal_cents
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 1
+        ) t
+    """,
+    description="DataFrame.lateralJoin (Spark 4.0 EP1): per-nation top-1 customer via an ORDER BY + LIMIT lateral subquery referencing the outer row, vs DuckDB's SQL LATERAL",
+    tags=("join", "lateral"),
+)
+def q_join_lateral_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame-API twin of q_sql_lateral_join (golden.py):
+    ``DataFrame.lateralJoin`` landed in Spark 4.0 as the programmatic
+    form of SQL LATERAL — the inner frame references the outer row via
+    ``Column.outer()`` and runs "per outer row" semantically. Pinned
+    here as per-nation top-1 customer by (acctbal DESC, custkey): an
+    ORDER BY + LIMIT lateral, the shape that is awkward as a window
+    when only the top row is wanted. Nations with no customers drop
+    (inner lateral) on both engines; balances are reported in exact
+    integer cents.
+
+    Scale shape: Catalyst DECORRELATES the lateral — the executed plan
+    is a rank-window (or aggregate) over one hash join of customer
+    against the 25-row broadcast nation, never a per-row re-execution;
+    that optimizer rewrite is exactly what this key pins vs the naive
+    loop a lateral implies."""
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    top1 = (
+        customer.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(1)
+        .select(
+            "c_name",
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("bigint")
+            .alias("top_acctbal_cents"),
+        )
+    )
+    return nation.lateralJoin(top1, how="inner").select(
+        "n_name", "c_name", "top_acctbal_cents"
+    )

@@ -197,6 +197,10 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_unpivot",
     "q_win_running_distinct",
     # round-14 additions, appended as they land
+    "q_join_lateral_df",  # DataFrame.lateralJoin (Spark 4.0 EP1)
+    "q_sql_tablesample",  # TABLESAMPLE deterministic-contract pin
+    "q_sql_distribute_by",  # DISTRIBUTE/CLUSTER BY content neutrality
+    "q_sql_scalar_udf",  # SQL scalar UDFs incl. composition
 )
 
 
