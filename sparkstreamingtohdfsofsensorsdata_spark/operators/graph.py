@@ -832,6 +832,29 @@ def _bfs_oracle() -> str:
     """
 
 
+def _bfs_relax(adj: DataFrame, dist: DataFrame) -> DataFrame:
+    """One BFS relax round on the adjacency-array layout (r14): join
+    the reached frontier (node-sized) against the array table
+    (node-sized), explode the neighbor lists INSIDE the stage, and
+    min-fold back to node size — the E-row edge stream exists only
+    between the Generate and the partial aggregate of one stage,
+    never across a shuffle. Split out so the plan gate
+    (tests/test_plans.py) can assert the Generate on the real round
+    plan, which the per-round localCheckpoint otherwise hides."""
+    return (
+        adj.join(
+            dist.filter(F.col("dist").isNotNull()),
+            adj["src"] == F.col("node"),
+        )
+        .select(
+            F.explode("ns").alias("dst"),
+            (F.col("dist") + 1).alias("via"),
+        )
+        .groupBy("dst")
+        .agg(F.min("via").alias("reach"))
+    )
+
+
 @query(
     "q_graph_bfs",
     oracle=_bfs_oracle(),
@@ -860,18 +883,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("node") % BFS_SEED_MOD == 0, F.lit(0)).alias("dist"),
     )
     for _ in range(BFS_ROUNDS):
-        reach = (
-            adj.join(
-                dist.filter(F.col("dist").isNotNull()),
-                adj["src"] == F.col("node"),
-            )
-            .select(
-                F.explode("ns").alias("dst"),
-                (F.col("dist") + 1).alias("via"),
-            )
-            .groupBy("dst")
-            .agg(F.min("via").alias("reach"))
-        )
+        reach = _bfs_relax(adj, dist)
         dist = (
             dist.join(reach, dist["node"] == reach["dst"], "left")
             .select(
