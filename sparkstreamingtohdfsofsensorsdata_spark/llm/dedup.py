@@ -892,6 +892,7 @@ def propagate_min_labels(
     pairs: DataFrame,
     max_iters: int = CC_MAX_ITERS,
     sym: DataFrame | None = None,
+    adj: DataFrame | None = None,
 ) -> DataFrame:
     """Min-label propagation over an undirected pair set ``(id_a,
     id_b)`` with ``id_a != id_b``: returns ``(node, label)`` for every
@@ -922,7 +923,13 @@ def propagate_min_labels(
     # adjacency of the same pair set (operators/graph.sym_edges) passes
     # it via ``sym`` and skips this derivation + eager checkpoint —
     # one fewer materialization of the 2x edge table per propagation
-    # (r13 graph CPU diet).
+    # (r13 graph CPU diet). A caller ALSO holding the grouped
+    # adjacency-ARRAY layout (operators/graph.adj_arrays, r14) passes
+    # it via ``adj``: the neighbor-min round then joins the node-sized
+    # label table against the node-sized array table and explodes the
+    # neighbor lists INSIDE the stage, so the E-row edge table never
+    # crosses a per-round shuffle — the same rewrite that took
+    # pagerank's 5 rounds from 34.5 to 1.1 executor-CPU-s at sf0.1.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -934,12 +941,20 @@ def propagate_min_labels(
     )
     # Init = round 1 fused: with identity labels, the first neighbor-min
     # is just min(neighbor ids), computable as ONE groupBy on the edge
-    # table — no label join, no checkpoint round. Every node appears as
-    # src (both orientations), so this also enumerates the node set.
-    labels = edges.groupBy("src").agg(F.min("dst").alias("mn")).select(
-        F.col("src").alias("node"),
-        F.least(F.col("src"), F.col("mn")).alias("label"),
-    )
+    # table — no label join, no checkpoint round (or, on the array
+    # layout, ZERO shuffles: array_min per node row). Every node
+    # appears as src (both orientations), so this also enumerates the
+    # node set.
+    if adj is not None:
+        labels = adj.select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.array_min("ns")).alias("label"),
+        )
+    else:
+        labels = edges.groupBy("src").agg(F.min("dst").alias("mn")).select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("mn")).alias("label"),
+        )
     for _ in range(max_iters):
         jumped = (
             labels.alias("x")
@@ -957,12 +972,20 @@ def propagate_min_labels(
                 ).alias("label"),
             )
         )
-        nbr = (
-            edges.join(jumped, edges["src"] == jumped["node"])
-            .select("dst", "label")
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        if adj is not None:
+            nbr = (
+                adj.join(jumped, adj["src"] == jumped["node"])
+                .select(F.explode("ns").alias("dst"), "label")
+                .groupBy("dst")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+        else:
+            nbr = (
+                edges.join(jumped, edges["src"] == jumped["node"])
+                .select("dst", "label")
+                .groupBy("dst")
+                .agg(F.min("label").alias("nbr_label"))
+            )
         # Change detection rides the same row (`chg`) and compares
         # against the PRE-jump label, so each round is exactly two
         # jobs: the checkpoint materialization and a cheap count over

@@ -187,7 +187,9 @@ def cc_labels_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src").alias("id_a"), F.col("dst").alias("id_b")
         )
         cache[key] = propagate_min_labels(
-            pairs, sym=sym_edges(spark, sf_dir)
+            pairs,
+            sym=sym_edges(spark, sf_dir),
+            adj=adj_arrays(spark, sf_dir),
         )
     return cache[key]
 
