@@ -729,10 +729,12 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-keyed SMJ, still node-sized vs E/mod-sized). The wedge
     groupBy stays the dominant cost — sum(deg^2)/mod rows into a
     map-side-combined count, CPU-equal to the old edge self-join
-    locally but with one E-row scan fewer. Adjacency for the
-    anti-filter rides the query nodes' own arrays (array_contains
-    against a broadcast of |Q| arrays) instead of an anti-join
-    shuffle of the E-row edge table."""
+    locally but with one E-row scan fewer. The adjacency anti-filter
+    is a broadcast LEFT ANTI against the QUERY-restricted edge slice
+    (E/mod rows — hash-set probe per candidate pair; the
+    array_contains form measured 4x the CPU, a linear scan of a
+    ~deg-wide array per pair, and the full-edge anti-join would
+    shuffle E rows)."""
     adj = adj_arrays(spark, sf_dir)
     deg = degree_table(spark, sf_dir).select(
         F.col("node").alias("src"), "degree"
@@ -753,15 +755,14 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("cn"))
     )
-    # non-adjacency check against the QUERY nodes' arrays only (|Q|
-    # rows — broadcast), not the E-row edge table
-    qadj = adj.join(
-        qa.select("id_a").distinct(),
-        adj["src"] == F.col("id_a"),
-    ).select("id_a", F.col("ns").alias("ns_a"))
-    nonadj = wedge.join(F.broadcast(qadj), "id_a").filter(
-        ~F.array_contains(F.col("ns_a"), F.col("id_b"))
+    # non-adjacency via broadcast LEFT ANTI against the query-sliced
+    # edge table (E/mod rows), never the full E-row table
+    qedges = (
+        sym_edges(spark, sf_dir)
+        .filter(F.col("src") % LINKPRED_QUERY_MOD == 0)
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     )
+    nonadj = wedge.join(F.broadcast(qedges), ["id_a", "id_b"], "left_anti")
     da = deg.select(F.col("src").alias("id_a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("src").alias("id_b"), F.col("degree").alias("deg_b"))
     scored = (
