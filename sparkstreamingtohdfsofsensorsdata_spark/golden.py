@@ -1345,3 +1345,80 @@ def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN disc_cents(p, d) DIV 2"
     )
     return spark.sql(_SQL_UDF_QUERY)
+
+
+_OFFSET = """
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 7 OFFSET 13
+"""
+
+
+@query(
+    "q_sql_offset",
+    oracle=_OFFSET,
+    description="SQL LIMIT ... OFFSET pagination pin: deterministic ORDER BY page slice, same SQL text on both engines",
+    tags=("golden", "sql", "pagination"),
+)
+def q_sql_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT ... OFFSET — the pagination clause (Spark 3.4+). Under a
+    deterministic total order (unique o_orderkey) the page slice is
+    exact and the SAME SQL text runs on both engines. Semantics
+    pinned: OFFSET skips exactly 13 rows of the global order, LIMIT
+    caps the page at 7, and the combination composes with ORDER BY
+    (not with each other's parse order).
+
+    Scale shape: Spark plans this as TakeOrdered(limit + offset) —
+    per-partition top-(20) heaps merged on the driver, never a global
+    sort; the anti-pattern (deep OFFSET pagination = O(offset) work
+    per page) is exactly why keyset pagination exists, and a 13-row
+    offset is the shallow case the clause is for."""
+    return _sql(spark, sf_dir, _OFFSET)
+
+
+_LISTAGG = """
+    SELECT c_nationkey,
+           listagg(c_mktsegment, '|')
+               WITHIN GROUP (ORDER BY c_mktsegment)      AS segs_all,
+           listagg(DISTINCT c_mktsegment, ',')
+               WITHIN GROUP (ORDER BY c_mktsegment)      AS segs_distinct,
+           CAST(count(*) AS BIGINT)                      AS n_customers
+    FROM customer
+    WHERE c_custkey % 100 = 0
+    GROUP BY c_nationkey
+"""
+
+
+@query(
+    "q_sql_listagg",
+    oracle="""
+        SELECT c_nationkey,
+               string_agg(c_mktsegment, '|' ORDER BY c_mktsegment)
+                                                         AS segs_all,
+               string_agg(DISTINCT c_mktsegment, ','
+                          ORDER BY c_mktsegment)         AS segs_distinct,
+               CAST(count(*) AS BIGINT)                  AS n_customers
+        FROM customer
+        WHERE c_custkey % 100 = 0
+        GROUP BY c_nationkey
+    """,
+    description="SQL listagg WITHIN GROUP (Spark 4.0): ordered string aggregation + DISTINCT variant, vs DuckDB string_agg with in-aggregate ORDER BY",
+    tags=("golden", "sql", "aggregate"),
+)
+def q_sql_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``listagg(... ) WITHIN GROUP (ORDER BY ...)`` — the SQL:2016
+    ordered string aggregation, new in Spark 4.0 (previously the
+    collect_list + array_sort + concat_ws idiom q_agg_string_agg
+    documents). Both the ALL form (duplicates kept, deterministic
+    in-group order) and the DISTINCT form are pinned; the filter keeps
+    groups small so the concatenated values stay comparison-friendly.
+    DuckDB spells the same thing string_agg(expr, delim ORDER BY ...).
+
+    Scale shape: a listagg group materializes its group's values in
+    one aggregation buffer — ordered-string aggregation is for
+    BOUNDED groups (here <= a few segments per nation); unbounded
+    concatenation is the documented anti-pattern and belongs in
+    collect_list-free designs."""
+    return _sql(spark, sf_dir, _LISTAGG)

@@ -201,6 +201,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_sql_tablesample",  # TABLESAMPLE deterministic-contract pin
     "q_sql_distribute_by",  # DISTRIBUTE/CLUSTER BY content neutrality
     "q_sql_scalar_udf",  # SQL scalar UDFs incl. composition
+    "q_sql_offset",  # LIMIT ... OFFSET pagination pin
+    "q_sql_listagg",  # listagg WITHIN GROUP ordered string agg
 )
 
 
