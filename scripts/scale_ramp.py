@@ -66,6 +66,12 @@ RAMP_KEYS = [
     "q_scan_python_ds",
     "q_ts_rollup_cascade",
     "q_events_power_users",
+    # round-14: the adjacency-array kernels (pagerank + BFS ride the
+    # node-sized array join; memo cleared per tier so each tier pays
+    # the array build) and the decorrelated DataFrame lateral join.
+    "q_graph_pagerank",
+    "q_graph_bfs",
+    "q_join_lateral_df",
 ]
 
 
