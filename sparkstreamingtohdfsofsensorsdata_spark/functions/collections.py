@@ -378,3 +378,64 @@ def q_fn_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("parsed.bal"), 2).alias("bal_from_xml"),
         F.col("parsed.name").alias("name_from_xml"),
     )
+
+
+@query(
+    "q_fn_variant_explode",
+    oracle="""
+        SELECT CAST(0 AS INTEGER)        AS pos,
+               CAST(count(*) AS BIGINT)  AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS val_sum,
+               CAST(count(*) AS BIGINT)  AS n_null_keys
+        FROM orders
+        UNION ALL
+        SELECT 1, CAST(count(*) AS BIGINT),
+               CAST(sum(o_custkey) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 2, CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM orders
+    """,
+    description="variant_explode TVF (Spark 4.0): LATERAL explosion of a variant ARRAY — 0-based pos, NULL key for array elements (pinned per row), typed element cast; oracle restates per-position sums relationally",
+    tags=("function", "variant", "lateral"),
+)
+def q_fn_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``variant_explode`` — the table-valued companion of
+    q_fn_variant's scalar path gets: LATERAL-explodes a VARIANT array
+    into (pos, key, value) rows. Semantics pinned: pos is 0-BASED in
+    array order, key is NULL for array elements (counted per exploded
+    row, so a non-NULL would break the count, not just a spot check),
+    and the exploded VARIANT value casts to a typed BIGINT. Each order
+    encodes [orderkey, custkey, total_cents] as a JSON array; per-pos
+    sums must equal the relational per-column sums the oracle states
+    directly — identity through the encode -> parse -> explode -> cast
+    layer.
+
+    Scale shape: variant_explode is a Generate (same executor shape as
+    explode) inside the scan stage — rows fan out 3x before one
+    map-side-combined aggregate on a 3-value key; no shuffle carries
+    the variant binary."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH t AS (
+            SELECT to_json(array(o_orderkey, o_custkey,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)))
+                   AS js
+            FROM orders
+        )
+        SELECT v.pos,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(v.value AS BIGINT)) AS BIGINT) AS val_sum,
+               CAST(sum(CASE WHEN v.key IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_null_keys
+        FROM t, LATERAL variant_explode(parse_json(js)) v
+        GROUP BY v.pos
+        """
+    )

@@ -203,6 +203,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_sql_scalar_udf",  # SQL scalar UDFs incl. composition
     "q_sql_offset",  # LIMIT ... OFFSET pagination pin
     "q_sql_listagg",  # listagg WITHIN GROUP ordered string agg
+    "q_fn_variant_explode",  # variant_explode TVF array semantics
 )
 
 
