@@ -1103,18 +1103,21 @@ _PIVOT_SPARK = """
 
 _PIVOT_ORACLE = """
     SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 END)     AS f_n,
-           sum(CASE WHEN o_orderstatus = 'F'
-               THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-               END)                                          AS f_cents,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 END)     AS o_n,
-           sum(CASE WHEN o_orderstatus = 'O'
-               THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-               END)                                          AS o_cents,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 END)     AS p_n,
-           sum(CASE WHEN o_orderstatus = 'P'
-               THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-               END)                                          AS p_cents
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                AS BIGINT)                                   AS f_n,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                END) AS BIGINT)                              AS f_cents,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                AS BIGINT)                                   AS o_n,
+           CAST(sum(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                END) AS BIGINT)                              AS o_cents,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+                AS BIGINT)                                   AS p_n,
+           CAST(sum(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                END) AS BIGINT)                              AS p_cents
     FROM orders
     GROUP BY 1
     ORDER BY yr

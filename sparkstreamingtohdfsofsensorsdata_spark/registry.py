@@ -96,76 +96,30 @@ def query(
 
 # External harnesses may verify only a prefix of the registry (observed:
 # the grading driver checks 50 keys/round in load_all() order), so ORDER
-# ENCODES NEED. Round-14 rotation (VERDICT r13 item 1): the head is
-# (a) the 17 keys registered during round 13 — never driver-checked,
-# their only verdict so far is the builder's own exact sweep — then
-# (b) the 3 deferred r7-stale keys, then (c) the 12 q_graph_* keys whose
-# CODE changed in the r13 memo restructuring (latest driver verdicts
-# r9-r12, all pre-change), then (d) the first 18 of the 48-key r8-stale
-# cohort (alphabetical). (a)+(b)+(c)+(d) fills the 50-key window
-# exactly. The remaining 30 r8-stale keys and any round-14 additions
-# queue at positions 51+ for the r15 window; every queued key is
-# covered by this round's zero-tolerance exact sweep at
-# sf0.001/0.01/0.1.
+# ENCODES NEED. Round-15 rotation (VERDICT r14 item 2): the head is
+# (a) the 7 keys registered during round 14 — never driver-checked,
+# their only verdict so far is the builder's own exact sweeps — then
+# (b) q_sql_pivot, whose r14 driver hash failure was an ORACLE typing
+# bug (uncast sums → DuckDB HUGEINT; fixed r15, golden.py _PIVOT_ORACLE)
+# and needs a green driver re-verdict, then (c) the 30 remaining
+# r8-stale keys, then (d) the first 12 of the 42-key r9-stale cohort
+# (alphabetical). (a)+(b)+(c)+(d) fills the 50-key window exactly. The
+# remaining 30 r9-stale keys queue at positions 51+ for r16; every
+# queued key is covered by this round's zero-tolerance exact sweeps at
+# sf0.001/0.01/0.1 (which, as of r15, fetch the oracle THROUGH ARROW so
+# driver-grade type divergence is visible locally).
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # (a) new in r13 — never driver-checked
-    "q_anon_pseudonym",
-    "q_events_power_users",
-    "q_fn_explode_align",
-    "q_fn_from_xml",
-    "q_fn_make_datetime",
-    "q_fn_str_to_map",
-    "q_fn_xpath",
-    "q_llm_sample_topp",
-    "q_llm_token_budget",
-    "q_scan_python_ds",
-    "q_scan_xml",
-    "q_sql_agg_filter",
+    # (a) new in r14 — never driver-checked
+    "q_fn_variant_explode",  # variant_explode TVF array semantics
+    "q_join_lateral_df",  # DataFrame.lateralJoin (Spark 4.0 EP1)
+    "q_sql_distribute_by",  # DISTRIBUTE/CLUSTER BY content neutrality
+    "q_sql_listagg",  # listagg WITHIN GROUP ordered string agg
+    "q_sql_offset",  # LIMIT ... OFFSET pagination pin
+    "q_sql_scalar_udf",  # SQL scalar UDFs incl. composition
+    "q_sql_tablesample",  # TABLESAMPLE deterministic-contract pin
+    # (b) r14 driver FAIL — oracle typing fixed r15, re-verify
     "q_sql_pivot",
-    "q_stream_python_ds",
-    "q_ts_rollup_cascade",
-    "q_ts_week_over_week",
-    "q_udf_grouped_arrow",
-    # (b) deferred r7 remainder
-    "q_ts_session_window",
-    "q_ts_sessionize",
-    "q_win_value_family",
-    # (c) graph family — code changed by the r13 shared-memo
-    # restructuring; latest driver verdicts all predate the change
-    "q_graph_triangles",
-    "q_graph_common_neighbors",
-    "q_graph_label_propagation",
-    "q_graph_pagerank",
-    "q_graph_wcc",
-    "q_graph_bfs",
-    "q_graph_degree",
-    "q_graph_kcore",
-    "q_graph_local_clustering",
-    "q_graph_modularity",
-    "q_graph_landmark_closeness",
-    "q_graph_assortativity",
-    # (d) r8-stale cohort, first 18 alphabetical (remaining 30 roll
-    # to r15)
-    "q_agg_bitmap_distinct",
-    "q_agg_heavy_hitters",
-    "q_agg_histogram_quantile",
-    "q_agg_mode",
-    "q_agg_weighted_median",
-    "q_join_asof_nearest",
-    "q_join_interval_overlap",
-    "q_join_null_safe",
-    "q_llm_boilerplate",
-    "q_llm_dedup_incremental",
-    "q_llm_embed_neardup",
-    "q_llm_embed_quantize",
-    "q_llm_length_bucket",
-    "q_llm_ngram_containment",
-    "q_llm_ngram_jaccard",
-    "q_llm_passage_dedup",
-    "q_llm_semdedup",
-    "q_llm_sim_topk_quant",
-    # --- 50-key window boundary ---
-    # r8-stale remainder, alphabetical (queue for r15)
+    # (c) r8-stale cohort remainder, alphabetical
     "q_llm_split_assign",
     "q_llm_unigram_logprob",
     "q_llm_url_normalize",
@@ -196,14 +150,53 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_ts_outlier_mad",
     "q_unpivot",
     "q_win_running_distinct",
-    # round-14 additions, appended as they land
-    "q_join_lateral_df",  # DataFrame.lateralJoin (Spark 4.0 EP1)
-    "q_sql_tablesample",  # TABLESAMPLE deterministic-contract pin
-    "q_sql_distribute_by",  # DISTRIBUTE/CLUSTER BY content neutrality
-    "q_sql_scalar_udf",  # SQL scalar UDFs incl. composition
-    "q_sql_offset",  # LIMIT ... OFFSET pagination pin
-    "q_sql_listagg",  # listagg WITHIN GROUP ordered string agg
-    "q_fn_variant_explode",  # variant_explode TVF array semantics
+    # (d) r9-stale cohort, first 12 alphabetical (remaining 30 roll
+    # to r16)
+    "q_agg_bool",
+    "q_agg_linear_regr",
+    "q_agg_moments",
+    "q_agg_skew_salted",
+    "q_agg_string_agg",
+    "q_anon_kanonymity",
+    "q_dq_profile",
+    "q_embed_centroid_stats",
+    "q_embed_label_separation",
+    "q_events_ab_test",
+    "q_fn_hash",
+    "q_fn_try_arith",
+    # --- 50-key window boundary ---
+    # r9-stale remainder, alphabetical (queue for r16)
+    "q_fn_url_parse",
+    "q_fn_variant",
+    "q_join_asof_tolerance",
+    "q_join_bloom_runtime",
+    "q_llm_bigram_lm",
+    "q_llm_domain_cap",
+    "q_llm_dup_ngram_coverage",
+    "q_llm_entropy",
+    "q_llm_feature_hash",
+    "q_llm_lsh_audit",
+    "q_llm_ngram_novelty",
+    "q_llm_pmi_bigrams",
+    "q_llm_safety_wordlist",
+    "q_llm_snapshot_diff",
+    "q_llm_source_overlap",
+    "q_llm_vocab_growth",
+    "q_llm_winnowing",
+    "q_llm_zipf_slope",
+    "q_merge_upsert",
+    "q_scan_binary",
+    "q_scan_csv_malformed",
+    "q_sink_csv_roundtrip",
+    "q_stream_chained_windows",
+    "q_stream_sink",
+    "q_ts_autocorr",
+    "q_ts_ewma",
+    "q_ts_median_filter",
+    "q_ts_peak_detect",
+    "q_ts_rolling_corr",
+    "q_ts_seasonal_hod",
+    # round-15 additions, appended as they land
 )
 
 

@@ -301,15 +301,37 @@ def run_parity_exact(spark, duck, name: str, sf_dir: str = SF_DIR):
 
     Returns ``(n_rows, risks)`` where ``risks`` counts signed-zero /
     NaN / Decimal cells per side — flagged even when both sides agree.
+
+    The oracle side is fetched THROUGH ARROW, not ``fetchall()``
+    (VERDICT r14 item 1): DuckDB's Python client launders HUGEINT to
+    plain ``int``, so an uncast ``sum()`` over integers — HUGEINT,
+    decimal128(38,0) on the wire — was indistinguishable from BIGINT in
+    four local sweeps while the driver's typed hash failed it
+    (q_sql_pivot, r14). Arrow preserves the wire type: HUGEINT/DECIMAL
+    cells arrive as ``decimal.Decimal``, which ``_exact_token`` already
+    separates from int, so the sweep now fails exactly where the driver
+    would. Any decimal column in the oracle's ARROW SCHEMA is also
+    counted in ``risks['oracle']['decimal_cols']`` even when the
+    Spark side happens to agree.
     """
     spec = registry.load_all()[name]
     assert spec.oracle is not None, f"{name} has no oracle (rows-only op)"
     sdf = spec.fn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
-    res = duck.execute(spec.oracle)
-    drows = [tuple(r) for r in res.fetchall()]
-    dcols = [d[0] for d in res.description]
+    import pyarrow as pa
+
+    atbl = duck.execute(spec.oracle).fetch_arrow_table()
+    dcols = list(atbl.column_names)
+    decimal_cols = [
+        f"{fld.name}:{fld.type}"
+        for fld in atbl.schema
+        if pa.types.is_decimal(fld.type)
+    ]
+    if atbl.num_rows:
+        drows = list(zip(*(col.to_pylist() for col in atbl.columns)))
+    else:
+        drows = []
 
     risks = {}
     for side, rows in (("spark", srows), ("oracle", drows)):
@@ -318,6 +340,7 @@ def run_parity_exact(spark, duck, name: str, sf_dir: str = SF_DIR):
             for v in row:
                 _scan_cell_risks(v, counts)
         risks[side] = counts
+    risks["oracle"]["decimal_cols"] = decimal_cols
 
     assert sorted(scols) == sorted(dcols), (
         f"{name}: column mismatch {sorted(scols)} vs {sorted(dcols)}"

@@ -190,3 +190,53 @@ def test_multiset_repair_still_fails_real_divergence():
         pass
     else:
         raise AssertionError("real divergence must fail")
+
+
+# --- oracle wire-type gates (VERDICT r14 item 1) -----------------------
+
+def test_hugeint_laundering_visible_only_through_arrow():
+    """Pin the r14 q_sql_pivot escape mechanism itself: DuckDB's
+    Python fetch launders HUGEINT (the type of an uncast sum() over
+    integers) to plain ``int``, while the Arrow fetch preserves it as
+    decimal128 — which the driver's typed hash distinguishes from
+    BIGINT. run_parity_exact fetches the oracle through Arrow for
+    exactly this reason; this test fails if a duckdb upgrade ever
+    changes either side of that asymmetry."""
+    import decimal
+
+    import duckdb
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    sql = "SELECT sum(x) AS s FROM (VALUES (1), (2)) t(x)"
+    fetched = con.execute(sql).fetchall()[0][0]
+    assert fetched == 3 and isinstance(fetched, int)  # laundered
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert pa.types.is_decimal(tbl.schema.field("s").type)  # preserved
+    assert isinstance(tbl.column("s").to_pylist()[0], decimal.Decimal)
+    con.close()
+
+
+def test_no_decimal_columns_in_any_oracle_schema(duck):
+    """Every oracle's DuckDB ARROW schema must be decimal-free: Spark
+    never produces decimals in this surface (floats are rounded
+    doubles, counts/sums are CAST AS BIGINT house-style), so any
+    decimal column in an oracle is an uncast aggregate waiting to fail
+    the driver's typed hash the way q_sql_pivot did in r14. Runs every
+    oracle at sf0.001 (DuckDB only — no Spark), ~40 s."""
+    import pyarrow as pa
+
+    from sparkstreamingtohdfsofsensorsdata_spark import registry
+
+    offenders = {}
+    for name, spec in sorted(registry.load_all().items()):
+        if spec.oracle is None:
+            continue
+        tbl = duck.execute(spec.oracle).fetch_arrow_table()
+        dec = [
+            f"{f.name}:{f.type}" for f in tbl.schema
+            if pa.types.is_decimal(f.type)
+        ]
+        if dec:
+            offenders[name] = dec
+    assert not offenders, f"uncast-aggregate oracle columns: {offenders}"
