@@ -817,7 +817,13 @@ def main() -> None:
             and c > 1.8 * floor_cpu[n]
             and (
                 not n.startswith("q_stream_")
-                or timings.get(n, 0.0) > 1.3 * floor.get(n, float("inf"))
+                # a MISSING wall floor must read as "not at floor"
+                # (ADVICE r14): float('inf') here silently widened the
+                # exemption to any streaming key with a CPU floor but
+                # no wall floor — those can never be legitimately
+                # exempt, because the exemption's premise is a wall
+                # PROVEN at floor.
+                or timings.get(n, 0.0) > 1.3 * floor.get(n, 0.0)
             )
         }
         # Each payer carries its intermediate's cost regardless of

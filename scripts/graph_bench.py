@@ -68,5 +68,15 @@ for name, spec in specs.items():
 
 print(json.dumps(out))
 tot_w = sum(v["wall_s"] for v in out.values())
-tot_c = sum(v["cpu_s"] for v in out.values())
-print(f"TOTAL wall {tot_w:.1f}  cpu {tot_c:.1f}")
+# -1 marks "meter unavailable for this phase" — summing sentinels
+# undershot the total silently (ADVICE r14); report coverage instead.
+metered = [v["cpu_s"] for v in out.values() if v["cpu_s"] >= 0]
+tot_c = sum(metered)
+cpu_note = (
+    f"cpu {tot_c:.1f}"
+    if len(metered) == len(out)
+    else f"cpu {tot_c:.1f} ({len(out) - len(metered)} phases unmetered)"
+    if metered
+    else "cpu unavailable"
+)
+print(f"TOTAL wall {tot_w:.1f}  {cpu_note}")

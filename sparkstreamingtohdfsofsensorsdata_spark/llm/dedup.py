@@ -930,15 +930,22 @@ def propagate_min_labels(
     # neighbor lists INSIDE the stage, so the E-row edge table never
     # crosses a per-round shuffle — the same rewrite that took
     # pagerank's 5 rounds from 34.5 to 1.1 executor-CPU-s at sf0.1.
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # Derived only on the paths that read it: with ``adj`` supplied both
+    # the init and every round run on the array layout, so an adj-only
+    # caller must not pay an eager 2x-edge materialization it never
+    # uses (ADVICE r14).
+    if adj is None:
+        edges = (
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .unionByName(
+                pairs.select(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                )
+            )
+            .localCheckpoint()
+            if sym is None
+            else sym
         )
-        .localCheckpoint()
-        if sym is None
-        else sym
-    )
     # Init = round 1 fused: with identity labels, the first neighbor-min
     # is just min(neighbor ids), computable as ONE groupBy on the edge
     # table — no label join, no checkpoint round (or, on the array

@@ -141,6 +141,73 @@ def degree_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cache[key]
 
 
+def graph_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Session-memoized graph summary — ``{"nodes", "sym_edges",
+    "max_degree"}`` — one aggregate over the memoized degree table
+    (node-sized, already checkpointed), ONE collected row per
+    (session, sf_dir). Control-plane by design: these three numbers
+    gate physical-plan choices that must not be hardwired —
+
+    - broadcast hints (r15, ADVICE r14): q_graph_common_neighbors used
+      to force ``F.broadcast`` on the adjacency-array and query-edge
+      tables unconditionally, which at 100x would OOM the driver
+      instead of falling back to the documented node-keyed SMJ. The
+      hints are now applied only while the estimated build-side bytes
+      sit under ``_BROADCAST_BYTES_CAP``.
+    - the adjacency-array hub guard (r15, VERDICT r14 watch item):
+      ``adj_arrays`` refuses to pack a hub whose degree exceeds
+      ``ADJ_HUB_DEGREE_CEILING`` into a single collect_list row.
+    """
+    from ..llm.dedup import _evict_same_path, _memo, memo_key
+
+    cache = _memo(spark, "_graph_stats_memo")
+    key = memo_key(sf_dir)
+    if key not in cache:
+        _evict_same_path(cache, key)
+        row = (
+            degree_table(spark, sf_dir)
+            .agg(
+                F.count(F.lit(1)).alias("v"),
+                F.sum("degree").alias("e2"),
+                F.max("degree").alias("dmax"),
+            )
+            .collect()[0]
+        )
+        cache[key] = {
+            "nodes": int(row["v"]),
+            "sym_edges": int(row["e2"]),
+            "max_degree": int(row["dmax"]),
+        }
+    return cache[key]
+
+
+# Broadcast a build side only while its estimated size stays under this
+# cap — autoBroadcastJoinThreshold-scale (the hint exists because the
+# memoized tables are localCheckpointed LogicalRDDs whose size stats the
+# static planner cannot see; AQE would eventually convert, but only
+# after planning the exchange). Above the cap the join is left to the
+# planner: node-keyed SMJ, exactly the documented 100x fallback.
+_BROADCAST_BYTES_CAP = 64 << 20
+
+# A single adjacency-array row holds one node's whole neighbor list
+# (8 bytes/neighbor + row overhead). 2M neighbors = ~16 MB in ONE row —
+# still fine for an executor, but an order of magnitude past it is not:
+# a power-law hub at 100x would concentrate a whole web-scale
+# neighborhood in one task's memory. adj_arrays fails LOUDLY at the
+# ceiling with the fallback named (segment hubs into (src, chunk)
+# sub-arrays + join degree_table instead of size(ns)) rather than
+# letting collect_list OOM an executor mid-stage. Fixture max degree:
+# ~1.2k at sf0.1 (SCALE.md r15) — three orders of headroom.
+ADJ_HUB_DEGREE_CEILING = 2_000_000
+
+
+def _maybe_broadcast(df: DataFrame, est_bytes: int) -> DataFrame:
+    """``F.broadcast(df)`` while ``est_bytes`` fits the cap, else the
+    frame unhinted so the planner picks the shuffle join (ADVICE r14:
+    an unconditional hint overrides the planner at EVERY scale)."""
+    return F.broadcast(df) if est_bytes <= _BROADCAST_BYTES_CAP else df
+
+
 def adj_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized adjacency ARRAYS (src, ns: array<long>) of the
     symmetric co-purchase graph (r14, VERDICT r13 item 4 — graph CPU
@@ -161,6 +228,20 @@ def adj_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = memo_key(sf_dir)
     if key not in cache:
         _evict_same_path(cache, key)
+        # Hub guard (r15, VERDICT r14 watch item): one node's whole
+        # neighbor list lands in ONE collect_list row, so a power-law
+        # hub past the ceiling must fail loudly BEFORE the build, with
+        # the fallback named, not OOM an executor mid-stage. The stats
+        # read is one collected row off the memoized degree table.
+        dmax = graph_stats(spark, sf_dir)["max_degree"]
+        if dmax > ADJ_HUB_DEGREE_CEILING:
+            raise RuntimeError(
+                f"adj_arrays: max degree {dmax} exceeds the "
+                f"{ADJ_HUB_DEGREE_CEILING}-neighbor single-row ceiling; "
+                "segment hubs into (src, chunk) sub-arrays and switch "
+                "size(ns) consumers (pagerank) to a degree_table join, "
+                "or route this graph through the edge-table kernels"
+            )
         cache[key] = (
             sym_edges(spark, sf_dir)
             .groupBy("src")
@@ -739,6 +820,16 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = degree_table(spark, sf_dir).select(
         F.col("node").alias("src"), "degree"
     )
+    # Size-gated broadcast hints (r15, ADVICE r14): the hints exist
+    # because the memoized tables are checkpointed LogicalRDDs the
+    # static planner has no size stats for, but forcing them at EVERY
+    # scale would OOM instead of taking the documented SMJ fallback.
+    # Estimates: adj carries all 2E neighbor longs + V rows of
+    # overhead; the query edge slice is ~2E/mod pairs; deg is V rows.
+    stats = graph_stats(spark, sf_dir)
+    adj_bytes = stats["sym_edges"] * 8 + stats["nodes"] * 24
+    qedge_bytes = stats["sym_edges"] // LINKPRED_QUERY_MOD * 16 + 1024
+    deg_bytes = stats["nodes"] * 16
     # (middle node b, query node a) pairs: a is adjacent to b and in
     # the query slice — E/mod rows off the memoized symmetric table
     npart = spark.sparkContext.defaultParallelism
@@ -748,8 +839,9 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("b"), F.col("dst").alias("id_a"))
         .repartition(npart)
     )
+    adj_b = _maybe_broadcast(adj, adj_bytes)
     wedge = (
-        qa.join(F.broadcast(adj), qa["b"] == adj["src"])
+        qa.join(adj_b, qa["b"] == adj["src"])
         .select("id_a", F.explode("ns").alias("id_b"))
         .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
@@ -762,12 +854,14 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") % LINKPRED_QUERY_MOD == 0)
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     )
-    nonadj = wedge.join(F.broadcast(qedges), ["id_a", "id_b"], "left_anti")
+    nonadj = wedge.join(
+        _maybe_broadcast(qedges, qedge_bytes), ["id_a", "id_b"], "left_anti"
+    )
     da = deg.select(F.col("src").alias("id_a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("src").alias("id_b"), F.col("degree").alias("deg_b"))
     scored = (
-        nonadj.join(F.broadcast(da), "id_a")
-        .join(F.broadcast(db), "id_b")
+        nonadj.join(_maybe_broadcast(da, deg_bytes), "id_a")
+        .join(_maybe_broadcast(db, deg_bytes), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -1413,6 +1507,19 @@ LPA_ROUNDS = 3
 # ARGMAX_SHIFT headroom bound in aggregates.py).
 LPA_PACK = 1_000_000_000_000
 
+# The ENFORCED precondition (ADVICE r13), compiled into the max_by
+# ordering key: NULL (hence the + 0 at the use site) while it holds,
+# raises the moment a label source or vote count violates the packed-
+# BIGINT headroom. Module-level so the kernel and its behavioral test
+# share ONE string (ADVICE r14: the test held a verbatim copy, which
+# would keep passing if the kernel's bound drifted).
+LPA_PACK_GUARD = (
+    f"coalesce(cast(assert_true(nl >= 0 and nl < {LPA_PACK} "
+    f"and c < 9223372, 'LPA_PACK precondition violated: "
+    f"label/count exceed the packed-BIGINT headroom') "
+    f"as bigint), 0)"
+)
+
 
 def _lpa_oracle() -> str:
     steps = []
@@ -1517,16 +1624,13 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # row, returns NULL (hence + 0) while it holds, and raises
         # loudly the moment a label source or count violates it,
         # mirroring DuckDB's loud BIGINT-overflow behavior instead of
-        # Spark's silent non-ANSI wraparound.
-        guard = (
-            f"coalesce(cast(assert_true(nl >= 0 and nl < {LPA_PACK} "
-            f"and c < 9223372, 'LPA_PACK precondition violated: "
-            f"label/count exceed the packed-BIGINT headroom') "
-            f"as bigint), 0)"
-        )
+        # Spark's silent non-ANSI wraparound. The guard string itself
+        # is module-level (LPA_PACK_GUARD) so the behavioral test
+        # exercises the SAME expression the kernel compiles in.
         labels = votes.groupBy("node").agg(
             F.expr(
-                f"max_by(nl, cast(c as bigint) * {LPA_PACK} - nl + {guard})"
+                f"max_by(nl, cast(c as bigint) * {LPA_PACK} - nl "
+                f"+ {LPA_PACK_GUARD})"
             ).alias("lbl")
         )
     comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("comm_size"))

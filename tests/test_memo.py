@@ -124,41 +124,46 @@ def test_dedup_memos_evict_superseded_same_path_entries(spark):
 
 
 def test_registry_window_is_the_stale_cohort():
-    """The r14 rotation (VERDICT r13 item 1): the driver checks a
-    50-key prefix of load_all(), so the prefix must be (a) the 17 keys
-    registered in round 13 (never driver-checked), (b) the 3 deferred
-    r7-stale keys, (c) the 12 q_graph_* keys whose code changed in the
-    r13 memo restructuring (and again in the r14 array-layout diet),
-    (d) the first 18 of the r8-stale cohort. Spot-pin the boundaries
-    so a reorder cannot silently push a stale key out of the window."""
+    """The r15 rotation (VERDICT r14 item 2): the driver checks a
+    50-key prefix of load_all(), so the prefix must be (a) the keys
+    with NO driver verdict in any committed CORRECTNESS_r*.json (the 7
+    r14 additions), (b) q_sql_pivot — its r14 hash FAIL was an oracle
+    typing bug fixed r15 and needs a green re-verdict, (c) the whole
+    r8-stale cohort, (d) the oldest r9-stale keys filling the window.
+    Computed from the committed driver artifacts, not hand-pinned
+    indices, so the assertion IS the rotation policy."""
+    import glob
+    import json
+    import re
+
     from sparkstreamingtohdfsofsensorsdata_spark.registry import (
         VERIFICATION_PRIORITY,
     )
 
+    latest: dict[str, int] = {}
+    root = os.path.join(os.path.dirname(__file__), "..")
+    artifacts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert artifacts, "driver CORRECTNESS artifacts missing"
+    for f in artifacts:
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        d = json.load(open(f))
+        for k in d.get("queries", d):
+            if k.startswith("q_"):
+                latest[k] = max(latest.get(k, 0), r)
+    allk = set(registry.load_all())
+    never = sorted(allk - set(latest))
+    r8 = sorted(k for k, v in latest.items() if v == 8 and k in allk)
+    r9 = sorted(k for k, v in latest.items() if v == 9 and k in allk)
+    expected_head = never + ["q_sql_pivot"] + r8 + r9
     front = list(registry.load_all())[:50]
-    # (a) never driver-checked r13 additions fill the head
-    assert front[0] == "q_anon_pseudonym"
-    assert front[16] == "q_udf_grouped_arrow"
-    assert front[:17] == sorted(front[:17])
-    # (b) deferred r7 remainder
-    assert front[17:20] == [
-        "q_ts_session_window",
-        "q_ts_sessionize",
-        "q_win_value_family",
-    ]
-    # (c) the full code-changed graph family occupies 20..31
-    assert sorted(front[20:32]) == sorted(
-        k for k in registry.load_all() if k.startswith("q_graph_")
-    )
-    # (d) r8-stale fill (alphabetical; spot-pin the ends)
-    assert front[32] == "q_agg_bitmap_distinct"
-    assert front[49] == "q_llm_sim_topk_quant"
-    assert front[32:50] == sorted(front[32:50])
+    assert front == expected_head[:50]
+    assert front == list(VERIFICATION_PRIORITY)[:50]
+    # the r16 queue (positions 51+) is exactly the r9 remainder
+    assert list(VERIFICATION_PRIORITY)[50:] == expected_head[50:]
     assert len(set(front)) == 50
-    assert front[:50] == list(VERIFICATION_PRIORITY)[:50]
-    # keys the r13 driver greened must NOT occupy window slots
-    for greened in ("q_agg_winsorized", "q_join_point_in_time", "q_tpch_q6"):
-        assert greened not in front[:50]
+    # keys the r14 driver greened must NOT occupy window slots
+    for greened in ("q_anon_pseudonym", "q_graph_triangles", "q_agg_mode"):
+        assert greened not in front
 
 
 

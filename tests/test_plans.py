@@ -1349,19 +1349,17 @@ def test_lpa_rounds_explode_and_packed_vote(spark):
 def test_lpa_pack_guard_raises_loudly(spark):
     """ADVICE r13: the exact guard expression LPA compiles in must
     RAISE on a violated precondition (label >= LPA_PACK or count
-    within 2^63/LPA_PACK of overflow), not wrap silently."""
+    within 2^63/LPA_PACK of overflow), not wrap silently. The guard
+    string is IMPORTED from the kernel module (ADVICE r14: a verbatim
+    copy here kept passing while the kernel's bound could drift), so
+    this test exercises the exact expression the kernel compiles in."""
     import pytest
 
     from sparkstreamingtohdfsofsensorsdata_spark.operators.graph import (
         LPA_PACK,
+        LPA_PACK_GUARD as guard,
     )
 
-    guard = (
-        f"coalesce(cast(assert_true(nl >= 0 and nl < {LPA_PACK} "
-        f"and c < 9223372, 'LPA_PACK precondition violated: "
-        f"label/count exceed the packed-BIGINT headroom') "
-        f"as bigint), 0)"
-    )
     ok = spark.createDataFrame(
         [(5, 3)], "nl long, c long"
     ).selectExpr(f"cast(c as bigint) * {LPA_PACK} - nl + {guard} as k")
@@ -1371,7 +1369,13 @@ def test_lpa_pack_guard_raises_loudly(spark):
     ).selectExpr(f"cast(c as bigint) * {LPA_PACK} - nl + {guard} as k")
     with pytest.raises(Exception, match="LPA_PACK|assert"):
         bad.collect()
-    # and the kernel source actually compiles that guard in
+    # the count bound is the other half of the precondition
+    overflow = spark.createDataFrame(
+        [(5, 9223372)], "nl long, c long"
+    ).selectExpr(f"cast(c as bigint) * {LPA_PACK} - nl + {guard} as k")
+    with pytest.raises(Exception, match="LPA_PACK|assert"):
+        overflow.collect()
+    # and the kernel source actually compiles that shared constant in
     import inspect as pyinspect
 
     from sparkstreamingtohdfsofsensorsdata_spark.operators import graph
@@ -1380,7 +1384,7 @@ def test_lpa_pack_guard_raises_loudly(spark):
     # the module source's LPA region instead
     src = pyinspect.getsource(graph)
     lpa_body = src.split("def q_graph_label_propagation")[1].split("\n@query")[0]
-    assert "assert_true" in lpa_body and "max_by" in lpa_body
+    assert "LPA_PACK_GUARD" in lpa_body and "max_by" in lpa_body
 
 
 def test_triangle_corners_are_array_intersection(spark):
