@@ -410,6 +410,26 @@ def q_llm_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized full-corpus signature table (doc_id, simhash)
+    — the r15 shared-pass memo (VERDICT r14 item 3): the banded-pairs
+    build and q_llm_dedup_incremental each re-derived the ~6-CPU-s
+    split + md5 + 32-bit fold over the whole corpus; now both read ONE
+    lazily-checkpointed table. At 100 TB this IS the persisted
+    signature index a dedup pipeline writes once and probes daily.
+    Cleared together with the pair memo (clear_pair_memo) so a
+    cold-payer bench rerun rebuilds the full chain its upfront payment
+    was charged for."""
+    cache = _memo(spark, "_simhash_sig_memo")
+    key = memo_key(sf_dir)
+    if key not in cache:
+        _evict_same_path(cache, key)
+        cache[key] = _simhash_df(
+            load(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=False)
+    return cache[key]
+
+
 def _simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All (id_a < id_b, hamming) pairs within SIMHASH_HAMMING_MAX via
     the band-bucket join — shared by the banded query and the cluster
@@ -473,6 +493,10 @@ def labels_warm(spark: SparkSession, sf_dir: str) -> bool:
 
 def clear_pair_memo(spark: SparkSession) -> None:
     getattr(spark, "_simhash_pairs_memo", {}).clear()
+    # the signature memo is part of the pairs payer's charged chain —
+    # leaving it warm would make a cold-payer rerun look cheaper than
+    # the upfront payment it is audited against
+    getattr(spark, "_simhash_sig_memo", {}).clear()
 
 
 def clear_label_memo(spark: SparkSession) -> None:
@@ -484,15 +508,36 @@ def _simhash_banded_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     can gate its shape (the localCheckpoint wrapper above truncates the
     inspectable plan to a block scan).
 
-    The 8-byte simhash rides the band explode (4 rows/doc), so the
-    hamming test runs INSIDE the bucket join — far-pairs die before
-    the dedup shuffle ever sees them, and no signature rejoin is
-    needed. The distinct (one pair survives in up to SIMHASH_BANDS
-    buckets) then runs over true near-dups only, which banding
-    guarantees is a tiny fraction of the candidate stream."""
-    s = _simhash_df(load(spark, sf_dir, "documents")).localCheckpoint(eager=False)
-    bands = s.select(
-        "doc_id",
+    r15 CPU diet (VERDICT r14 item 3): the band-bucket join runs over
+    DISTINCT simhash VALUES, not documents. A dedup corpus is full of
+    exact-duplicate signatures (sf0.1: 5,000 docs -> 4,041 distinct
+    hashes, and the heaviest values carry dozens of docs), and with
+    only 256 buckets per 8-bit band every duplicated value multiplied
+    its bucket's candidate quadratics — collapsing to values first cut
+    the bucket join from 14.7 to 2.4 executor-CPU-s at sf0.1 while
+    producing the IDENTICAL pair set. Shape:
+
+    - value band join: the 8-byte simhash rides the band explode
+      (4 rows per distinct value), the hamming test runs INSIDE the
+      bucket join, the distinct (a value pair can share up to
+      SIMHASH_BANDS buckets) runs over near-dup VALUE pairs only.
+    - expansion: the (simhash -> ids) group table (distinct-value-
+      sized, broadcastable) joins back twice and explodes to doc
+      pairs; exact-dup groups emit their within-group pairs (hamming
+      0) directly from the group row — those pairs never see the
+      bucket join at all.
+
+    At 100 TB the same caveat as every all-pairs-OUTPUT operator: a
+    single simhash value shared by k docs inherently emits C(k, 2)
+    pairs; production pipelines cap k per value (keep-one-per-exact-
+    group upstream via q_llm_exact_dedup) before running near-dup."""
+    s = simhash_signatures(spark, sf_dir)
+    groups = (
+        s.groupBy("simhash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .localCheckpoint(eager=False)
+    )
+    bands = groups.select(
         "simhash",
         F.explode(
             F.array(
@@ -505,21 +550,45 @@ def _simhash_banded_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
+    vpairs = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .distinct()
     )
-    return pairs
+    # No broadcast hints (the common_neighbors lesson, ADVICE r14): the
+    # group table is distinct-value-sized — trivially broadcast at
+    # fixture scale, where AQE converts these joins at runtime, but a
+    # forced hint would OOM instead of falling back to SMJ at 100x.
+    ga = groups.select(F.col("simhash").alias("sa"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("simhash").alias("sb"), F.col("ids").alias("ids_b"))
+    cross = (
+        vpairs.join(ga, "sa")
+        .join(gb, "sb")
+        .select("hamming", F.explode("ids_a").alias("xa"), "ids_b")
+        .select("hamming", "xa", F.explode("ids_b").alias("xb"))
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            "hamming",
+        )
+    )
+    within = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    return cross.unionByName(within).select("id_a", "id_b", "hamming")
 
 
 NEARDUP_BLOCKS = 8
@@ -1154,7 +1223,7 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_llm_simhash_banded; the final left join back onto the batch keeps
     0-match docs in the output so the NEGATIVE side of the contract
     (genuinely novel documents) is value-checked too."""
-    s = _simhash_df(load(spark, sf_dir, "documents")).localCheckpoint(eager=False)
+    s = simhash_signatures(spark, sf_dir)
     bands = s.select(
         "doc_id",
         "simhash",

@@ -398,11 +398,15 @@ def test_boilerplate_broadcast_hot_set_no_expand(spark):
     assert "Expand" not in text, "distinct-aggregate expansion in DF count"
 
 
-def test_simhash_pair_gen_single_join_no_rejoin(spark):
-    # Pair generation must be ONE band-bucket join with the hamming
-    # test applied inside it: the 8-byte signature rides the band
-    # explode, so there must be no broadcast signature rejoin and no
-    # second join of any kind before the pair distinct.
+def test_simhash_pair_gen_value_join_plus_expansion(spark):
+    # r15 grouped shape: ONE band-bucket join over DISTINCT simhash
+    # values with the hamming test applied inside it (the 8-byte
+    # signature rides the band explode), plus exactly TWO group-table
+    # expansion joins that fan the near-dup VALUE pairs back out to
+    # doc pairs. No other join may appear, and the bucket join must
+    # compare values (simhash < simhash), never doc ids — a doc-keyed
+    # bucket join would re-admit the exact-duplicate quadratics the
+    # grouping exists to collapse.
     from sparkstreamingtohdfsofsensorsdata_spark.llm import dedup
 
     text = inspect.plan_str(dedup._simhash_banded_pairs_plan(spark, SF))
@@ -416,9 +420,11 @@ def test_simhash_pair_gen_single_join_no_rejoin(spark):
             "CartesianProduct",
         )
     )
-    assert n_joins == 1, f"expected exactly one bucket join, saw {n_joins}"
-    join_line = next(l for l in text.splitlines() if "Join" in l)
-    assert "bit_count" in join_line, "hamming filter not inside the join"
+    assert n_joins == 3, f"expected bucket join + 2 expansions, saw {n_joins}"
+    join_lines = [l for l in text.splitlines() if "Join" in l]
+    bucket = [l for l in join_lines if "bit_count" in l]
+    assert len(bucket) == 1, "hamming filter not inside exactly one join"
+    assert "doc_id" not in bucket[0], "bucket join must compare values, not docs"
 
 
 def test_asof_join_is_one_exchange_no_join(spark):
