@@ -1425,3 +1425,101 @@ def q_sql_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     concatenation is the documented anti-pattern and belongs in
     collect_list-free designs."""
     return _sql(spark, sf_dir, _LISTAGG)
+
+
+_PIPE = """
+    FROM orders
+    |> JOIN customer ON o_custkey = c_custkey
+    |> WHERE o_orderstatus = 'F'
+    |> EXTEND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(cents) AS BIGINT) AS total_cents
+       GROUP BY c_mktsegment
+    |> ORDER BY c_mktsegment
+"""
+
+
+@query(
+    "q_sql_pipe",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT)           AS total_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    description="SQL pipe syntax (Spark 4.0 |> operators): FROM |> JOIN |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY |> ORDER BY, equal to the nested-SELECT form",
+    tags=("golden", "sql", "pipe"),
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (r15) — the Spark 4.0 ``|>`` operator chain
+    (GoogleSQL's pipe-syntax paper, adopted upstream): each stage
+    reads top-to-bottom instead of inside-out, and every stage is one
+    of the same relational operators the nested form compiles to.
+    Pinned stages: FROM source, JOIN (equi), WHERE after the join,
+    EXTEND (projection add, the pipe spelling of a computed column),
+    AGGREGATE ... GROUP BY (group columns ride into the output), and
+    ORDER BY. The oracle is the exact nested-SELECT desugaring, so the
+    key proves the pipe chain is pure syntax — same rows, same types.
+
+    Scale shape: identical to the nested form by construction —
+    Catalyst sees ONE logical plan (join -> filter -> project ->
+    aggregate), so predicate pushdown, join selection, and the
+    map-side-combined aggregate are unchanged; there is no pipe
+    "materialization" between stages."""
+    return _sql(spark, sf_dir, _PIPE)
+
+
+@query(
+    "q_sql_session_vars",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT)           AS total_cents
+        FROM orders
+        WHERE o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders)
+          AND o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+    description="SQL session variables (Spark 4.0): DECLARE / SET VARIABLE from a scalar subquery + EXECUTE IMMEDIATE with USING parameters, vs the inlined oracle",
+    tags=("golden", "sql", "variables"),
+)
+def q_sql_session_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables + EXECUTE IMMEDIATE (r15) — the Spark 4.0
+    scripting surface: ``DECLARE [OR REPLACE] VARIABLE`` (typed, with
+    defaults), ``SET VARIABLE ... = (scalar subquery)`` (the variable
+    captures a VALUE at set time, not a view), and ``EXECUTE
+    IMMEDIATE '<sql>' USING var, var`` (server-side parameterized
+    execution — the injection-safe way to template a query). The
+    pinned contract: a cutoff captured from max(o_orderkey) DIV 2 and
+    a status literal flow through USING placeholders and produce
+    exactly the oracle's inlined result. OR REPLACE keeps the key
+    idempotent across repeated calls in one session.
+
+    Scale shape: by the time the plan exists the variables are
+    LITERALS — the filter pushes into the parquet scan like any
+    constant predicate (no correlated re-evaluation), which is the
+    point of capture-at-set semantics."""
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE cutoff_key BIGINT")
+    spark.sql(
+        "SET VARIABLE cutoff_key = (SELECT max(o_orderkey) DIV 2 FROM orders)"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE status_pick STRING DEFAULT 'F'")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT)           AS total_cents
+           FROM orders
+           WHERE o_orderkey <= ? AND o_orderstatus = ?
+           GROUP BY o_orderpriority'
+          USING cutoff_key, status_pick
+        """
+    )

@@ -2574,3 +2574,120 @@ def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_t"
         ),
     )
+
+
+@query(
+    "q_transpose",
+    oracle="""
+        SELECT 'n_orders' AS key,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+        FROM orders
+        UNION ALL
+        SELECT 'total_cents' AS key,
+               CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS F,
+               CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS O,
+               CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS P
+        FROM orders
+    """,
+    description="DataFrame.transpose (Spark 4.0): status-per-row aggregate flipped to metric-per-row with one column per status; oracle is the FILTER-pivoted form",
+    tags=("agg", "transpose"),
+)
+def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (r15, Spark 4.0) — the matrix flip:
+    rows become columns, with the FIRST column supplying the new
+    column names and each remaining input column becoming one output
+    row labeled by ``key``. The pinned contract: values keep the
+    least-common type of the transposed cells (all-BIGINT in, BIGINT
+    out — transpose does NOT silently widen to double here), column
+    names are the index column's VALUES ('F'/'O'/'P'), and the
+    operation is the exact inverse shape of the FILTER-pivoted oracle.
+    The input is ordered on the index column so the new column order
+    is deterministic (the driver compare is column-name-sorted, but
+    plans should not depend on that).
+
+    Scale shape: transpose COLLECTS the index column to the driver to
+    learn the output schema (column names are data), then plans one
+    local expand — it is a small-result reshape for matrices that fit
+    a report, never a distributed pivot; q_agg_pivot/q_sql_pivot are
+    the scalable spellings when the column set is known."""
+    wide = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("st"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).alias("total_cents"),
+        )
+        .orderBy("st")
+    )
+    return wide.transpose()
+
+
+@query(
+    "q_agg_observe",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT)                     AS n_rows,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   AS BIGINT)                               AS value_cents,
+               CAST(min(user_id) AS BIGINT)                 AS min_user,
+               CAST(max(user_id) AS BIGINT)                 AS max_user
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    description="df.observe / Observation (Spark 3.3+): count/sum/min/max metrics captured during a noop-sink pass equal the direct aggregation",
+    tags=("agg", "observe", "instrumentation"),
+)
+def q_agg_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe`` + ``Observation`` (r15) — Spark's
+    zero-cost pipeline instrumentation: named aggregate metrics are
+    accumulated ON the task stream while a query runs its REAL action,
+    with no second scan of the input (the idiom production pipelines
+    use for row-count/quality gates on every batch write). The pinned
+    contract: metrics observed during a noop-sink pass over the
+    filtered events scan equal the direct aggregation the oracle
+    computes — i.e. observe sees every row exactly once, after
+    pushed-down filters, regardless of task parallelism.
+
+    The in-function action (noop write) IS the operator under test —
+    Observation.get blocks until the action completes and returns the
+    accumulated metrics as one driver-side row (control-plane by
+    design, like the BPE merge loop). Distinct aggregates are
+    unsupported in observe by contract; count/sum/min/max compose from
+    per-task partials exactly like map-side combine."""
+    from pyspark.sql import Observation
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+    )
+    obs = Observation("pass_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("value_cents"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["value_cents"]),
+                int(m["min_user"]),
+                int(m["max_user"]),
+            )
+        ],
+        "n_rows bigint, value_cents bigint, min_user bigint, max_user bigint",
+    )

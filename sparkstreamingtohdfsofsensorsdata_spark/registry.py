@@ -197,6 +197,10 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_ts_rolling_corr",
     "q_ts_seasonal_hod",
     # round-15 additions, appended as they land
+    "q_sql_pipe",  # SQL pipe syntax |> operator chain
+    "q_sql_session_vars",  # DECLARE/SET VARIABLE + EXECUTE IMMEDIATE
+    "q_transpose",  # DataFrame.transpose matrix flip
+    "q_agg_observe",  # df.observe/Observation pass metrics
 )
 
 

@@ -151,15 +151,22 @@ def test_registry_window_is_the_stale_cohort():
             if k.startswith("q_"):
                 latest[k] = max(latest.get(k, 0), r)
     allk = set(registry.load_all())
-    never = sorted(allk - set(latest))
+    # keys REGISTERED during round 15 queue at the tail (the r14
+    # precedent: additions land behind the prescribed window and head
+    # the NEXT rotation) — they are never-checked too, but the r15
+    # window is the VERDICT r14 item-2 prescription verbatim.
+    r15_new = ["q_sql_pipe", "q_sql_session_vars", "q_transpose",
+               "q_agg_observe"]
+    never = sorted(allk - set(latest) - set(r15_new))
     r8 = sorted(k for k, v in latest.items() if v == 8 and k in allk)
     r9 = sorted(k for k, v in latest.items() if v == 9 and k in allk)
     expected_head = never + ["q_sql_pivot"] + r8 + r9
     front = list(registry.load_all())[:50]
     assert front == expected_head[:50]
     assert front == list(VERIFICATION_PRIORITY)[:50]
-    # the r16 queue (positions 51+) is exactly the r9 remainder
-    assert list(VERIFICATION_PRIORITY)[50:] == expected_head[50:]
+    # the r16 queue (positions 51+): the r9 remainder, then r15's
+    # own additions
+    assert list(VERIFICATION_PRIORITY)[50:] == expected_head[50:] + r15_new
     assert len(set(front)) == 50
     # keys the r14 driver greened must NOT occupy window slots
     for greened in ("q_anon_pseudonym", "q_graph_triangles", "q_agg_mode"):

@@ -1473,3 +1473,50 @@ def test_tablesample_is_scan_side(spark):
     text = inspect.plan_str(q(spark, "q_sql_tablesample"))
     assert "Sample" in text
     assert "Python" not in text
+
+
+def test_sql_pipe_is_one_logical_plan(spark):
+    """q_sql_pipe: the |> chain must compile to the SAME plan family
+    as the nested form — one join, one map-side-combined aggregate,
+    zero Python, no materialization boundary between stages."""
+    df = q(spark, "q_sql_pipe")
+    text = inspect.plan_str(df)
+    n_joins = sum(
+        text.count(j)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, f"pipe chain must plan exactly one join, saw {n_joins}"
+    assert inspect.has_partial_aggregation(df)
+    assert "Python" not in text
+
+
+def test_session_vars_fold_to_literal_pushdown(spark):
+    """q_sql_session_vars: by plan time the variables are LITERALS —
+    the cutoff must appear as a pushed/compiled constant predicate,
+    with no subquery re-evaluation in the executed plan."""
+    import re
+
+    df = q(spark, "q_sql_session_vars")
+    text = inspect.plan_str(df)
+    assert "Subquery" not in text, "variable capture leaked a subquery"
+    assert re.search(r"o_orderkey#\d+L? <= \d+", text), (
+        "cutoff did not fold to a literal predicate"
+    )
+    assert "Python" not in text
+
+
+def test_observe_rides_the_scan_pass(spark):
+    """q_agg_observe: the observed plan carries a CollectMetrics node
+    over the filtered scan — metrics accumulate on the task stream,
+    never via a second scan. (The key itself returns the driver-built
+    one-row frame, so the gate rebuilds the observed side.)"""
+    from pyspark.sql import Observation
+
+    from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+    ev = load(spark, SF, "events").filter(F.col("event_type") == "purchase")
+    obs = Observation("gate_metrics")
+    observed = ev.observe(obs, F.count(F.lit(1)).alias("n"))
+    text = inspect.plan_str(observed)
+    assert "CollectMetrics" in text
+    assert text.count("FileScan") + text.count("Scan parquet") >= 1
