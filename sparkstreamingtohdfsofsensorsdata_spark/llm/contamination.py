@@ -60,6 +60,25 @@ def ngram_md5_sql(n: int, toks: str = "t") -> str:
 _SHINGLE_EXPR = ngram_md5_expr(NGRAM)
 
 
+def _source_shingle_groups(docs: DataFrame) -> DataFrame:
+    """(h -> collect_set(source)) over all 8-gram shingles — the
+    un-checkpointed build plan of q_llm_source_overlap's grouped
+    table, split out so tests/test_plans.py can gate its shape (the
+    lazy localCheckpoint in the key truncates the inspectable plan to
+    a block scan). collect_set absorbs the old separate DISTINCT:
+    (source, h) dedup happens inside the aggregation buffer."""
+    return (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(ngram_md5_expr(NGRAM, "split(text, ' ')"))
+            ).alias("h"),
+        )
+        .groupBy("h")
+        .agg(F.collect_set("source").alias("ss"))
+    )
+
+
 @query(
     "q_llm_contamination",
     oracle=f"""
@@ -399,38 +418,47 @@ def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     CommonCrawl-vs-curated-wiki case). Shingles ride the canonical
     md5 template shared with q_llm_contamination / q_llm_boilerplate.
 
-    Scale shape: the stream reduces to DISTINCT (source, shingle)
-    first (map-side partial dedup), so the self-join input scales with
-    distinct shingles x sources, never raw tokens; the join fan-out
-    per shingle is bounded by SOURCE cardinality (tens), not corpus
-    size — a boilerplate shingle present everywhere produces
-    |sources|^2/2 pair rows, still trivial, which is why this is safe
-    where a doc-level all-pairs join is not. Per-source totals are a
-    |sources|-row broadcast. The pair aggregation is map-side combined
-    on a |sources|^2-bounded key space.
+    Scale shape (r15 rewrite — the self-join is GONE): ONE shuffle on
+    the shingle hash builds (h -> set of sources) via collect_set
+    (which absorbs the old separate DISTINCT — set semantics dedupe
+    (source, h) inside the aggregation buffer), then the source pairs
+    per shingle are generated ROW-LOCALLY from the set (array
+    comprehension, y > x for deterministic unordered pairs) and
+    map-side-combine into the |sources|^2-bounded pair key space. The
+    fan-out per shingle is bounded by SOURCE cardinality (tens), not
+    corpus size — a boilerplate shingle present everywhere emits
+    C(|sources|, 2) structs from one row, still trivial. Per-source
+    distinct-shingle totals come from exploding the SAME grouped
+    table (Catalyst plans a ReusedExchange — the shingle shuffle is
+    paid once), so the old plan's second full shuffle + sort-merge
+    self-join (the r14 ramp's 3.87x worst-LLM slope) no longer
+    exists. Per-source totals are a |sources|-row broadcast.
     """
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    sh = (
-        docs.select(
-            "source",
-            F.explode(
-                F.expr(ngram_md5_expr(NGRAM, "split(text, ' ')"))
-            ).alias("h"),
-        )
-        .distinct()
+    # Lazy checkpoint: the grouped table feeds THREE legs (pairs + the
+    # two totals sides); without it Catalyst re-derives the full
+    # scan+shingle+shuffle per leg (exchange reuse does not fire
+    # across the re-aliased subtrees — verified on the executed plan),
+    # tripling the md5 work. One materialization, three block reads.
+    grouped = _source_shingle_groups(docs).localCheckpoint(eager=False)
+    totals = (
+        grouped.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    totals = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.source") < F.col("b.source")),
+        grouped.filter(F.size("ss") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, x ->"
+                    " transform(filter(ss, y -> y > x),"
+                    " y -> struct(x AS s1, y AS s2))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
-        )
+        .select("p.s1", "p.s2")
+        .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     ta = totals.select(

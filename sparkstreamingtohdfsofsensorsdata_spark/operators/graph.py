@@ -173,10 +173,12 @@ def graph_stats(spark: SparkSession, sf_dir: str) -> dict:
             )
             .collect()[0]
         )
+        # an EMPTY graph (hostile edge-values fixture: no co-purchase
+        # pairs) aggregates sum/max to NULL — stats are all-zero then
         cache[key] = {
             "nodes": int(row["v"]),
-            "sym_edges": int(row["e2"]),
-            "max_degree": int(row["dmax"]),
+            "sym_edges": int(row["e2"] or 0),
+            "max_degree": int(row["dmax"] or 0),
         }
     return cache[key]
 

@@ -811,13 +811,36 @@ def test_merge_upsert_source_preaggregated_no_bnlj(spark):
     assert "partial_count" in text
 
 
-def test_source_overlap_distinct_before_selfjoin(spark):
-    # The self-join must consume the DISTINCT (source, shingle) set —
-    # partial aggregation before the exchange — and stay an equi join
-    # on the shingle hash (inequality as residual, never a BNLJ).
+def test_source_overlap_one_shuffle_no_selfjoin(spark):
+    # r15: the shingle self-join is GONE. The grouped (h -> sources)
+    # build is ONE collect_set shuffle over the shingle stream, the
+    # key reads it through a lazy checkpoint shared by all three legs
+    # (pairs + both totals — Catalyst does NOT reuse the exchange
+    # across the re-aliased subtrees, verified), and pairs are
+    # generated row-locally from the source set.
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.contamination import (
+        _source_shingle_groups,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+    build = inspect.plan_str(
+        _source_shingle_groups(
+            load(spark, SF, "documents").filter(F.col("text").isNotNull())
+        )
+    )
+    assert "collect_set" in build and build.count("Exchange hashpartitioning") == 1
     text = inspect.plan_str(q(spark, "q_llm_source_overlap"))
     assert "BroadcastNestedLoopJoin" not in text
-    assert "SortMergeJoin" in text or "ShuffledHashJoin" in text or "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text, "shingle self-join resurfaced"
+    assert "Exchange hashpartitioning(h#" not in text, (
+        "shingle shuffle leaked past the shared checkpoint"
+    )
+    # exactly the two tiny totals joins remain
+    n_joins = sum(
+        text.count(j)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 2, f"expected only the totals joins, saw {n_joins}"
 
 
 def test_cusum_one_series_exchange_stats_broadcast(spark):
