@@ -1523,3 +1523,86 @@ def q_sql_session_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING cutoff_key, status_pick
         """
     )
+
+
+_SQL_UNPIVOT = """
+    SELECT o_orderstatus, metric, val FROM (
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT)           AS total_cents
+        FROM orders GROUP BY o_orderstatus
+    ) UNPIVOT (val FOR metric IN (n_orders, total_cents))
+"""
+
+
+@query(
+    "q_sql_unpivot",
+    oracle="""
+        WITH wide AS (
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT)           AS total_cents
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS val FROM wide
+        UNION ALL
+        SELECT o_orderstatus, 'total_cents' AS metric, total_cents AS val
+        FROM wide
+    """,
+    description="SQL UNPIVOT clause (parser twin of the q_unpivot DataFrame API): wide aggregate back to long, column names become metric labels; oracle is the UNION ALL desugaring",
+    tags=("golden", "sql", "unpivot"),
+)
+def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``UNPIVOT (val FOR metric IN (...))`` clause (r15,
+    Spark 3.4+) — the parser surface of the wide->long melt
+    (q_unpivot pins the ``DataFrame.unpivot`` API; this key pins the
+    SQL spelling analysts port from warehouses). Semantics pinned:
+    unpivoted column NAMES become the label values verbatim, cell
+    values carry their common type (BIGINT), and NULL cells are
+    EXCLUDED by default — the wide matrix here is dense (count/sum
+    over non-empty status groups), so both engines' exclude-NULLs
+    defaults agree trivially and the oracle is the plain UNION ALL
+    desugaring.
+
+    Scale shape: identical to q_unpivot — Catalyst compiles the
+    clause to the same Expand generator (row-local fan-out, output =
+    |value columns| x |rows|, no shuffle beyond the upstream
+    aggregate's own)."""
+    return _sql(spark, sf_dir, _SQL_UNPIVOT)
+
+
+_GROUP_BY_ALL = """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT)   AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT)             AS total_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query(
+    "q_sql_group_by_all",
+    oracle=_GROUP_BY_ALL,
+    description="GROUP BY ALL + ORDER BY ALL (Spark 4.0 / DuckDB-originated): non-aggregate SELECT columns infer the grouping key, the full output infers the sort — same SQL text both engines",
+    tags=("golden", "sql", "aggregate"),
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (r15) — the
+    DuckDB-originated conveniences adopted by Spark 4.0: every
+    non-aggregate SELECT column becomes the grouping key, and ORDER
+    BY ALL sorts by the full output column list left-to-right, so
+    the SAME SQL text runs on both engines and the key pins the
+    INFERENCE rules themselves (a column silently dropped from the
+    inferred key would change the row count; a different ORDER BY
+    ALL ordering contract would still hash-match under the driver's
+    order-insensitive compare — the pin is the grouping arity).
+
+    Scale shape: desugars to a plain map-side-combined hash
+    aggregate on the two-column key plus a final sort — identical to
+    the explicit spelling; inference is parse-time only."""
+    return _sql(spark, sf_dir, _GROUP_BY_ALL)

@@ -201,6 +201,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_sql_session_vars",  # DECLARE/SET VARIABLE + EXECUTE IMMEDIATE
     "q_transpose",  # DataFrame.transpose matrix flip
     "q_agg_observe",  # df.observe/Observation pass metrics
+    "q_sql_unpivot",  # SQL UNPIVOT clause (parser twin of q_unpivot)
+    "q_sql_group_by_all",  # GROUP BY ALL / ORDER BY ALL inference
 )
 
 
