@@ -72,6 +72,12 @@ RAMP_KEYS = [
     "q_graph_pagerank",
     "q_graph_bfs",
     "q_join_lateral_df",
+    # round-15: the grouped value-level band join (pair+signature memos
+    # cleared per tier, so each tier pays signatures + value join +
+    # expansion) and the standing-index delta probe (rides the shared
+    # signature memo — its marginal cost is the batch band probe).
+    "q_llm_simhash_banded",
+    "q_llm_dedup_incremental",
 ]
 
 
