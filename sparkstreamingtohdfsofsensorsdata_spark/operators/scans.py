@@ -1269,3 +1269,78 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_orderkey"),
         F.max("o_orderkey").alias("max_orderkey"),
     )
+
+
+@query(
+    "q_sink_python_ds",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT)           AS cents,
+               TRUE                     AS manifest_ok
+        FROM orders
+        WHERE o_orderkey % 7 = 0
+        GROUP BY o_orderstatus
+    """,
+    description="Python DataSource WRITER (Spark 4.0): per-task JSONL parts + fsync-rename + driver manifest commit; manifest-listed read-back preserves the aggregate and the row-count total",
+    tags=("scan", "sink", "python-datasource"),
+)
+def q_sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of the Spark 4 Python DataSource API (r15;
+    q_scan_python_ds covers batch+stream reads): an orders slice is
+    written through ``jsonl_pyds`` — each task streams its partition
+    to a temp file and fsync-renames on success, then the driver's
+    ``commit(messages)`` writes ``_MANIFEST.json`` naming exactly the
+    committed parts (the two-phase contract; an orphaned part from a
+    retried task is invisible because read-back loads ONLY
+    manifest-listed files). The round-trip aggregate must equal the
+    direct aggregation, and ``manifest_ok`` pins the commit-protocol
+    accounting: the manifest's row-count total equals the read-back
+    total (computed with an unpartitioned window over the 3-row
+    aggregate, not a second scan).
+
+    Scale shape: the write is one distributed pass (part count =
+    upstream parallelism), commit is O(tasks) driver work on
+    kilobyte messages — the same asymptotics as a real DSv2 commit
+    coordinator; JSONL is interchange-tier like the CSV sink next
+    door, not a recommended analytical store."""
+    import json as _json
+    import os
+
+    from pyspark.sql import Window
+
+    from ..session import scratch_dir
+    from ..sources.python_ds import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = scratch_dir("pyds_sink_")
+    sliced = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    sliced.write.format("jsonl_pyds").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    parts = [os.path.join(out, p) for p in sorted(manifest)]
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, cents long"
+    ).json(parts)
+    agg = back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("cents"),
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        "cents",
+        (total == F.lit(int(sum(manifest.values())))).alias("manifest_ok"),
+    )

@@ -203,6 +203,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_agg_observe",  # df.observe/Observation pass metrics
     "q_sql_unpivot",  # SQL UNPIVOT clause (parser twin of q_unpivot)
     "q_sql_group_by_all",  # GROUP BY ALL / ORDER BY ALL inference
+    "q_sink_python_ds",  # Python DataSource writer + manifest commit
 )
 
 

@@ -37,8 +37,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 PYDS_NAME = "events_pyds"
@@ -201,3 +203,99 @@ def sensor_stream(
     if max_rows is not None:
         reader = reader.option("max_rows", str(max_rows))
     return reader.load()
+
+
+# --- Python DataSource WRITER (r15) ---------------------------------
+
+JSONL_SINK_NAME = "jsonl_pyds"
+
+
+class JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: which part file, how many rows."""
+
+    def __init__(self, part: str, rows: int) -> None:
+        self.part = part
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Per-task JSONL part writer with the real two-phase contract:
+
+    - ``write`` (executor Python worker): stream the partition to a
+      DOT-PREFIXED temp file, fsync-rename to its final uuid-named
+      part only after the iterator is exhausted — a task that dies
+      mid-write leaves only an invisible temp, never a torn part;
+    - ``commit`` (driver, all tasks succeeded): write
+      ``_MANIFEST.json`` naming exactly the committed parts and their
+      row counts. The manifest IS the table: readers load the listed
+      parts, so an orphaned part from a speculative/retried task
+      (present on disk, absent from the messages) is invisible —
+      the same reader-side contract every log-structured table format
+      (and the classic _SUCCESS protocol) builds on;
+    - ``abort``: best-effort temp cleanup.
+    """
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_pyds requires .option('path', ...)")
+        self._path = path
+
+    def write(self, iterator):  # executor worker
+        import json as _json
+        import os
+        import uuid
+
+        part = f"part-{uuid.uuid4().hex}.jsonl"
+        tmp = os.path.join(self._path, f".{part}.tmp")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, os.path.join(self._path, part))
+        return JsonlCommit(part=part, rows=n)
+
+    def commit(self, messages):  # driver, after every task succeeded
+        import json as _json
+        import os
+
+        manifest = {m.part: m.rows for m in messages}
+        tmp = os.path.join(self._path, "._MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.rename(tmp, os.path.join(self._path, "_MANIFEST.json"))
+
+    def abort(self, messages):  # best-effort temp cleanup
+        import glob
+        import os
+
+        for tmp in glob.glob(os.path.join(self._path, ".*.tmp")):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """jsonl_pyds: pure-Python JSONL sink with a manifest commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return JSONL_SINK_NAME
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        # the key always writes into a fresh scratch dir, so overwrite
+        # vs append is moot here; a durable deployment would clear (or
+        # version) manifest + parts under overwrite
+        return JsonlSinkWriter(self.options)
+
+
+def register_jsonl_sink(spark: SparkSession) -> None:
+    """Register the sink once per session (idempotent)."""
+    if getattr(spark, "_jsonl_sink_registered", False):
+        return
+    spark.dataSource.register(JsonlSinkDataSource)
+    spark._jsonl_sink_registered = True

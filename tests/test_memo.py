@@ -156,7 +156,8 @@ def test_registry_window_is_the_stale_cohort():
     # the NEXT rotation) — they are never-checked too, but the r15
     # window is the VERDICT r14 item-2 prescription verbatim.
     r15_new = ["q_sql_pipe", "q_sql_session_vars", "q_transpose",
-               "q_agg_observe", "q_sql_unpivot", "q_sql_group_by_all"]
+               "q_agg_observe", "q_sql_unpivot", "q_sql_group_by_all",
+               "q_sink_python_ds"]
     never = sorted(allk - set(latest) - set(r15_new))
     r8 = sorted(k for k, v in latest.items() if v == 8 and k in allk)
     r9 = sorted(k for k, v in latest.items() if v == 9 and k in allk)

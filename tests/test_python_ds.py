@@ -96,3 +96,43 @@ def test_pyds_stream_canary(spark):
         (1, 1, 27_919),
         (2, 2, 25_838),
     ]
+
+
+def test_jsonl_sink_manifest_is_the_table(spark):
+    """r15 writer contract: _MANIFEST.json names exactly the committed
+    parts, and read-back loads ONLY those — an orphaned part (what a
+    speculative/retried task leaves behind) sitting in the directory
+    must be invisible, and no temp files may survive a successful
+    commit."""
+    import glob
+    import json
+    import os
+
+    from sparkstreamingtohdfsofsensorsdata_spark.session import scratch_dir
+    from sparkstreamingtohdfsofsensorsdata_spark.sources.python_ds import (
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = scratch_dir("pyds_sink_test_")
+    df = spark.range(40).selectExpr("id AS k", "id * 3 AS v").repartition(4)
+    df.write.format("jsonl_pyds").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert sum(manifest.values()) == 40
+    assert len(manifest) == 4  # one part per task
+    # every committed part exists; no temps survived the commit
+    for part in manifest:
+        assert os.path.exists(os.path.join(out, part))
+    assert not glob.glob(os.path.join(out, ".*.tmp"))
+
+    # plant an orphan "part" (uncommitted task residue) — read-back
+    # through the manifest must not see its rows
+    with open(os.path.join(out, "part-orphan.jsonl"), "w") as fh:
+        fh.write('{"k": 999999, "v": 0}\n')
+    parts = [os.path.join(out, p) for p in sorted(manifest)]
+    back = spark.read.schema("k long, v long").json(parts)
+    assert back.count() == 40
+    assert back.filter("k = 999999").count() == 0
+    # values round-trip exactly
+    assert back.selectExpr("sum(v) s").first().s == sum(i * 3 for i in range(40))
