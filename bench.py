@@ -817,13 +817,16 @@ def main() -> None:
             and c > 1.8 * floor_cpu[n]
             and (
                 not n.startswith("q_stream_")
-                # a MISSING wall floor must read as "not at floor"
-                # (ADVICE r14): float('inf') here silently widened the
-                # exemption to any streaming key with a CPU floor but
-                # no wall floor — those can never be legitimately
-                # exempt, because the exemption's premise is a wall
-                # PROVEN at floor.
-                or timings.get(n, 0.0) > 1.3 * floor.get(n, 0.0)
+                # MISSING wall evidence must read as "not proven at
+                # floor" (ADVICE r14 + r15): the exemption's premise
+                # is a wall MEASURED and PROVEN at a KNOWN floor, so
+                # a key lacking either a wall timing or a wall floor
+                # cannot be exempted (the old 0.0 > 0.0 comparison
+                # silently exempted a CPU-floored key with no wall
+                # TIMING recorded).
+                or n not in timings
+                or n not in floor
+                or timings[n] > 1.3 * floor[n]
             )
         }
         # Each payer carries its intermediate's cost regardless of

@@ -99,6 +99,31 @@ def main(argv: list[str]) -> int:
         bool(_git("diff", f"{base}..HEAD", "--", reg).strip()),
         "registry.py (VERIFICATION_PRIORITY) changed this round",
     )
+    # Rotation-freshness (VERDICT r15 item 2): the window must have been
+    # recomputed AFTER the newest committed driver artifact — i.e.
+    # ROTATION_ROUND == max CORRECTNESS round + 1. This is the explicit
+    # round-open forcing function; the pytest rotation-policy test pins
+    # to ROTATION_ROUND so the suite itself stays green when the NEXT
+    # artifact lands post-close.
+    import glob
+    import re as _re
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    from sparkstreamingtohdfsofsensorsdata_spark.registry import ROTATION_ROUND
+
+    art_rounds = [
+        int(_re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    want = (max(art_rounds) + 1) if art_rounds else ROTATION_ROUND
+    gate(
+        "rotation_fresh",
+        ROTATION_ROUND == want,
+        f"ROTATION_ROUND={ROTATION_ROUND} == newest CORRECTNESS round + 1 "
+        f"({want}) — re-rotate VERIFICATION_PRIORITY if a new artifact "
+        "landed",
+    )
     gate(
         "floor",
         bool(_git("diff", f"{base}..HEAD", "--", "BASELINE.md").strip()),

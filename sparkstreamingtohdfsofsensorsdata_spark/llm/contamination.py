@@ -429,10 +429,15 @@ def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size — a boilerplate shingle present everywhere emits
     C(|sources|, 2) structs from one row, still trivial. Per-source
     distinct-shingle totals come from exploding the SAME grouped
-    table (Catalyst plans a ReusedExchange — the shingle shuffle is
-    paid once), so the old plan's second full shuffle + sort-merge
-    self-join (the r14 ramp's 3.87x worst-LLM slope) no longer
-    exists. Per-source totals are a |sources|-row broadcast.
+    table — shared through a LAZY localCheckpoint, because exchange
+    reuse does NOT fire across the re-aliased subtrees (verified on
+    the executed plan; see the inline comment and
+    test_source_overlap_one_shuffle_no_selfjoin): the checkpoint
+    materializes the grouped table once and the three legs re-read
+    its blocks, so the scan+md5+shuffle is still paid exactly once.
+    The old plan's second full shuffle + sort-merge self-join (the
+    r14 ramp's 3.87x worst-LLM slope) no longer exists. Per-source
+    totals are a |sources|-row broadcast.
     """
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # Lazy checkpoint: the grouped table feeds THREE legs (pairs + the

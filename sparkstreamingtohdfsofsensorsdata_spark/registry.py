@@ -96,76 +96,34 @@ def query(
 
 # External harnesses may verify only a prefix of the registry (observed:
 # the grading driver checks 50 keys/round in load_all() order), so ORDER
-# ENCODES NEED. Round-15 rotation (VERDICT r14 item 2): the head is
-# (a) the 7 keys registered during round 14 — never driver-checked,
-# their only verdict so far is the builder's own exact sweeps — then
-# (b) q_sql_pivot, whose r14 driver hash failure was an ORACLE typing
-# bug (uncast sums → DuckDB HUGEINT; fixed r15, golden.py _PIVOT_ORACLE)
-# and needs a green driver re-verdict, then (c) the 30 remaining
-# r8-stale keys, then (d) the first 12 of the 42-key r9-stale cohort
-# (alphabetical). (a)+(b)+(c)+(d) fills the 50-key window exactly. The
-# remaining 30 r9-stale keys queue at positions 51+ for r16; every
+# ENCODES NEED. Round-16 rotation (VERDICT r15 item 1): the head is
+# (a) the 7 keys registered during round 15 — never driver-checked,
+# their only verdicts so far are the builder's Arrow-typed exact
+# sweeps — then (b) the whole 30-key r9-stale cohort (oldest standing
+# driver verdicts), then (c) the first 13 of the 47-key r10-stale
+# cohort (alphabetical). (a)+(b)+(c) fills the 50-key window exactly.
+# The remaining 34 r10-stale keys queue at positions 51+ for r17; every
 # queued key is covered by this round's zero-tolerance exact sweeps at
-# sf0.001/0.01/0.1 (which, as of r15, fetch the oracle THROUGH ARROW so
-# driver-grade type divergence is visible locally).
+# sf0.001/0.01/0.1 (Arrow-fetched oracle, driver-grade types).
+#
+# ROTATION_ROUND pins WHICH driver artifacts this window was computed
+# from: all committed CORRECTNESS_r*.json with round < ROTATION_ROUND.
+# The rotation-policy test (tests/test_memo.py) filters on this pin, so
+# the suite stays green when the driver lands THIS round's artifact
+# after close; scripts/round_close.py enforces the re-rotation at the
+# next round instead (ROTATION_ROUND must equal max artifact round + 1).
+ROTATION_ROUND: int = 16
+
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # (a) new in r14 — never driver-checked
-    "q_fn_variant_explode",  # variant_explode TVF array semantics
-    "q_join_lateral_df",  # DataFrame.lateralJoin (Spark 4.0 EP1)
-    "q_sql_distribute_by",  # DISTRIBUTE/CLUSTER BY content neutrality
-    "q_sql_listagg",  # listagg WITHIN GROUP ordered string agg
-    "q_sql_offset",  # LIMIT ... OFFSET pagination pin
-    "q_sql_scalar_udf",  # SQL scalar UDFs incl. composition
-    "q_sql_tablesample",  # TABLESAMPLE deterministic-contract pin
-    # (b) r14 driver FAIL — oracle typing fixed r15, re-verify
-    "q_sql_pivot",
-    # (c) r8-stale cohort remainder, alphabetical
-    "q_llm_split_assign",
-    "q_llm_unigram_logprob",
-    "q_llm_url_normalize",
-    "q_sample_group_topk",
-    "q_scan_schema_evolution",
-    "q_stream_dedup",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_stateful_alerts",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_stream_stream_left_join",
-    "q_stream_tumbling",
-    "q_stream_update_mode",
-    "q_subquery_not_in",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q2",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q4",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_ts_gap_islands",
-    "q_ts_interpolate",
-    "q_ts_outlier_mad",
-    "q_unpivot",
-    "q_win_running_distinct",
-    # (d) r9-stale cohort, first 12 alphabetical (remaining 30 roll
-    # to r16)
-    "q_agg_bool",
-    "q_agg_linear_regr",
-    "q_agg_moments",
-    "q_agg_skew_salted",
-    "q_agg_string_agg",
-    "q_anon_kanonymity",
-    "q_dq_profile",
-    "q_embed_centroid_stats",
-    "q_embed_label_separation",
-    "q_events_ab_test",
-    "q_fn_hash",
-    "q_fn_try_arith",
-    # --- 50-key window boundary ---
-    # r9-stale remainder, alphabetical (queue for r16)
+    # (a) new in r15 — never driver-checked
+    "q_agg_observe",  # df.observe/Observation pass metrics
+    "q_sink_python_ds",  # Python DataSource writer + manifest commit
+    "q_sql_group_by_all",  # GROUP BY ALL / ORDER BY ALL inference
+    "q_sql_pipe",  # SQL pipe syntax |> operator chain
+    "q_sql_session_vars",  # DECLARE/SET VARIABLE + EXECUTE IMMEDIATE
+    "q_sql_unpivot",  # SQL UNPIVOT clause (parser twin of q_unpivot)
+    "q_transpose",  # DataFrame.transpose matrix flip
+    # (b) r9-stale cohort, alphabetical (oldest driver verdicts)
     "q_fn_url_parse",
     "q_fn_variant",
     "q_join_asof_tolerance",
@@ -196,14 +154,57 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_ts_peak_detect",
     "q_ts_rolling_corr",
     "q_ts_seasonal_hod",
-    # round-15 additions, appended as they land
-    "q_sql_pipe",  # SQL pipe syntax |> operator chain
-    "q_sql_session_vars",  # DECLARE/SET VARIABLE + EXECUTE IMMEDIATE
-    "q_transpose",  # DataFrame.transpose matrix flip
-    "q_agg_observe",  # df.observe/Observation pass metrics
-    "q_sql_unpivot",  # SQL UNPIVOT clause (parser twin of q_unpivot)
-    "q_sql_group_by_all",  # GROUP BY ALL / ORDER BY ALL inference
-    "q_sink_python_ds",  # Python DataSource writer + manifest commit
+    # (c) r10-stale cohort, first 13 alphabetical (remaining 34 roll
+    # to r17)
+    "q_agg_approx_distinct",
+    "q_agg_count_distinct",
+    "q_agg_decimal_exact",
+    "q_agg_gini",
+    "q_agg_global",
+    "q_agg_group",
+    "q_agg_hll_union",
+    "q_agg_pareto",
+    "q_agg_percentile",
+    "q_agg_rfm",
+    "q_agg_sketch_audit",
+    "q_anon_ldiversity",
+    "q_dq_rules",
+    # --- 50-key window boundary ---
+    # r10-stale remainder, alphabetical (queue for r17)
+    "q_events_attribution",
+    "q_events_markov",
+    "q_filter_compare",
+    "q_fn_try_datetime",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_full",
+    "q_join_fuzzy_block",
+    "q_join_inner_equi",
+    "q_join_left",
+    "q_join_range",
+    "q_join_right",
+    "q_join_semi",
+    "q_join_theta",
+    "q_llm_shard_assign",
+    "q_project",
+    "q_sample_weighted",
+    "q_scan_backfill_union",
+    "q_scan_multi_source",
+    "q_scan_parquet",
+    "q_set_symdiff",
+    "q_sort_multi",
+    "q_stream_cdc_apply",
+    "q_stream_corpus_ingest",
+    "q_topk_global",
+    "q_ts_cohort_ltv",
+    "q_ts_cusum",
+    "q_ts_time_bucket",
+    "q_win_frame_range",
+    "q_win_frame_rows",
+    "q_win_lag_lead",
+    "q_win_ranking",
+    "q_win_topk_group",
 )
 
 

@@ -124,19 +124,28 @@ def test_dedup_memos_evict_superseded_same_path_entries(spark):
 
 
 def test_registry_window_is_the_stale_cohort():
-    """The r15 rotation (VERDICT r14 item 2): the driver checks a
+    """The rotation policy (VERDICT r15 items 1-2): the driver checks a
     50-key prefix of load_all(), so the prefix must be (a) the keys
-    with NO driver verdict in any committed CORRECTNESS_r*.json (the 7
-    r14 additions), (b) q_sql_pivot — its r14 hash FAIL was an oracle
-    typing bug fixed r15 and needs a green re-verdict, (c) the whole
-    r8-stale cohort, (d) the oldest r9-stale keys filling the window.
-    Computed from the committed driver artifacts, not hand-pinned
-    indices, so the assertion IS the rotation policy."""
+    with NO driver verdict in any CORRECTNESS artifact the rotation
+    could see, then (b) the stalest cohorts in round order (alphabetical
+    within a cohort), truncated to fill the window. Computed from the
+    committed driver artifacts, not hand-pinned indices, so the
+    assertion IS the rotation policy.
+
+    The artifact glob is FILTERED to rounds < registry.ROTATION_ROUND:
+    the driver lands CORRECTNESS_r{N}.json AFTER the builder's close, so
+    an unfiltered glob would flip the cohorts and turn this test red at
+    every round-open (VERDICT r15 item 2). The pin keeps the suite
+    green on a tree carrying newer artifacts; re-rotation at the NEXT
+    round is enforced by scripts/round_close.py's rotation gate
+    (ROTATION_ROUND must equal max artifact round + 1), not by a
+    standing red test."""
     import glob
     import json
     import re
 
     from sparkstreamingtohdfsofsensorsdata_spark.registry import (
+        ROTATION_ROUND,
         VERIFICATION_PRIORITY,
     )
 
@@ -144,35 +153,49 @@ def test_registry_window_is_the_stale_cohort():
     root = os.path.join(os.path.dirname(__file__), "..")
     artifacts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     assert artifacts, "driver CORRECTNESS artifacts missing"
+    seen_rounds = []
     for f in artifacts:
         r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        seen_rounds.append(r)
+        if r >= ROTATION_ROUND:
+            continue  # landed after this rotation was computed
         d = json.load(open(f))
         for k in d.get("queries", d):
             if k.startswith("q_"):
                 latest[k] = max(latest.get(k, 0), r)
     allk = set(registry.load_all())
-    # keys REGISTERED during round 15 queue at the tail (the r14
-    # precedent: additions land behind the prescribed window and head
-    # the NEXT rotation) — they are never-checked too, but the r15
-    # window is the VERDICT r14 item-2 prescription verbatim.
-    r15_new = ["q_sql_pipe", "q_sql_session_vars", "q_transpose",
-               "q_agg_observe", "q_sql_unpivot", "q_sql_group_by_all",
-               "q_sink_python_ds"]
-    never = sorted(allk - set(latest) - set(r15_new))
-    r8 = sorted(k for k, v in latest.items() if v == 8 and k in allk)
-    r9 = sorted(k for k, v in latest.items() if v == 9 and k in allk)
-    expected_head = never + ["q_sql_pivot"] + r8 + r9
+    never = sorted(allk - set(latest))
+    by_round: dict[int, list] = {}
+    for k, v in latest.items():
+        if k in allk:
+            by_round.setdefault(v, []).append(k)
+    # never-checked first, then cohorts oldest-round first; stop at the
+    # first cohort that crosses the 50-key boundary — its tail (sliced
+    # alphabetically) is the queue for the NEXT rotation.
+    expected = list(never)
+    for r in sorted(by_round):
+        if len(expected) >= 50:
+            break
+        expected.extend(sorted(by_round[r]))
+    policy_msg = (
+        "driver verification window diverges from the stale-cohort "
+        f"policy (rotated for round {ROTATION_ROUND}, computed from "
+        f"artifacts < r{ROTATION_ROUND}; committed artifact rounds: "
+        f"{sorted(seen_rounds)}). If a NEW CORRECTNESS artifact landed, "
+        "re-rotate VERIFICATION_PRIORITY and bump ROTATION_ROUND in "
+        "registry.py - scripts/round_close.py gates on this."
+    )
     front = list(registry.load_all())[:50]
-    assert front == expected_head[:50]
-    assert front == list(VERIFICATION_PRIORITY)[:50]
-    # the r16 queue (positions 51+): the r9 remainder, then r15's
-    # own additions
-    assert list(VERIFICATION_PRIORITY)[50:] == expected_head[50:] + r15_new
+    assert front == expected[:50], policy_msg
+    assert front == list(VERIFICATION_PRIORITY)[:50], policy_msg
+    # positions 51+: the sliced cohort's remainder queues for the next
+    # rotation (keys registered mid-round append behind it as they land)
+    queue = list(VERIFICATION_PRIORITY)[50:]
+    assert queue[: len(expected) - 50] == expected[50:], policy_msg
     assert len(set(front)) == 50
-    # keys the r14 driver greened must NOT occupy window slots
+    # keys the previous driver window greened must NOT occupy slots
     for greened in ("q_anon_pseudonym", "q_graph_triangles", "q_agg_mode"):
-        assert greened not in front
-
+        assert greened not in front, policy_msg
 
 
 def test_graph_family_docstring_in_sync():
