@@ -802,22 +802,29 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical doubles — the ranking cannot diverge on an ulp (the
     same argument as q_ts_median_filter's raw-double order statistics).
 
-    Scale shape (r14, VERDICT r13 item 4): the wedge stream is built
-    by joining the (query-node, middle-node) pairs — E/mod rows,
-    repartitioned narrow BEFORE the join so the explode fans out in
-    parallel — against the memoized adjacency-ARRAY table and
-    exploding the middle node's neighbor list inside the stage, so
-    the full E-row edge table is never scanned as the probe side
-    (locally the array table broadcasts; at scale the same join is a
-    node-keyed SMJ, still node-sized vs E/mod-sized). The wedge
-    groupBy stays the dominant cost — sum(deg^2)/mod rows into a
-    map-side-combined count, CPU-equal to the old edge self-join
-    locally but with one E-row scan fewer. The adjacency anti-filter
-    is a broadcast LEFT ANTI against the QUERY-restricted edge slice
-    (E/mod rows — hash-set probe per candidate pair; the
-    array_contains form measured 4x the CPU, a linear scan of a
-    ~deg-wide array per pair, and the full-edge anti-join would
-    shuffle E rows)."""
+    Scale shape (r16 rewrite — the pair groupBy is now EXCHANGE-FREE;
+    VERDICT r15 item 3): the narrow (query-node, middle-node) side —
+    E/mod rows — is hash-repartitioned BY QUERY NODE id before the
+    broadcast join against the memoized adjacency-ARRAY table, so
+    every wedge pair (id_a, id_b) a given query node generates is
+    born in one partition; HashPartitioning(id_a) satisfies the pair
+    groupBy's ClusteredDistribution(id_a, id_b), so Catalyst plans
+    partial+final HashAggregate INSIDE the explode stage with no
+    6M-row shuffle between them (the r15 plan's dominant cost: the
+    wedge multiset has ~1.47 avg multiplicity, so map-side combine
+    bought almost nothing and the shuffle moved nearly the whole
+    stream). REPARTITION_BY_NUM pins the partition count so AQE
+    cannot coalesce the narrow side before the explode (the r14
+    trap). deg_a rides the narrow side via a V-row broadcast joined
+    BEFORE the fan-out (48k rows probe it, not 4M) and folds through
+    the agg as min(); deg_b stays a size-gated broadcast probe on the
+    grouped output. Measured at sf0.1: warm 37.6 -> 17.3 CPU-s
+    (-54%), identical top-20. Skew bound: per-query-node work is
+    sum_{b in N(a)} deg(b) <= dmax^2, governed by the adj_arrays hub
+    ceiling. The adjacency anti-filter is a broadcast LEFT ANTI
+    against the QUERY-restricted edge slice (E/mod rows — hash-set
+    probe per candidate pair; the array_contains form measured 4x the
+    CPU, and the full-edge anti-join would shuffle E rows)."""
     adj = adj_arrays(spark, sf_dir)
     deg = degree_table(spark, sf_dir).select(
         F.col("node").alias("src"), "degree"
@@ -833,21 +840,26 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     qedge_bytes = stats["sym_edges"] // LINKPRED_QUERY_MOD * 16 + 1024
     deg_bytes = stats["nodes"] * 16
     # (middle node b, query node a) pairs: a is adjacent to b and in
-    # the query slice — E/mod rows off the memoized symmetric table
+    # the query slice — E/mod rows off the memoized symmetric table.
+    # deg_a attaches HERE (narrow side, one probe per qa row) and the
+    # clustering repartition happens AFTER it so the join above it
+    # cannot disturb the pinned distribution.
     npart = spark.sparkContext.defaultParallelism
+    da = deg.select(F.col("src").alias("id_a"), F.col("degree").alias("deg_a"))
     qa = (
         sym_edges(spark, sf_dir)
         .filter(F.col("dst") % LINKPRED_QUERY_MOD == 0)
         .select(F.col("src").alias("b"), F.col("dst").alias("id_a"))
-        .repartition(npart)
+        .join(_maybe_broadcast(da, deg_bytes), "id_a")
+        .repartition(npart, "id_a")
     )
     adj_b = _maybe_broadcast(adj, adj_bytes)
     wedge = (
         qa.join(adj_b, qa["b"] == adj["src"])
-        .select("id_a", F.explode("ns").alias("id_b"))
+        .select("id_a", "deg_a", F.explode("ns").alias("id_b"))
         .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("cn"))
+        .agg(F.count(F.lit(1)).alias("cn"), F.min("deg_a").alias("deg_a"))
     )
     # non-adjacency via broadcast LEFT ANTI against the query-sliced
     # edge table (E/mod rows), never the full E-row table
@@ -859,11 +871,9 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonadj = wedge.join(
         _maybe_broadcast(qedges, qedge_bytes), ["id_a", "id_b"], "left_anti"
     )
-    da = deg.select(F.col("src").alias("id_a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("src").alias("id_b"), F.col("degree").alias("deg_b"))
     scored = (
-        nonadj.join(_maybe_broadcast(da, deg_bytes), "id_a")
-        .join(_maybe_broadcast(db, deg_bytes), "id_b")
+        nonadj.join(_maybe_broadcast(db, deg_bytes), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -1543,3 +1543,24 @@ def test_observe_rides_the_scan_pass(spark):
     text = inspect.plan_str(observed)
     assert "CollectMetrics" in text
     assert text.count("FileScan") + text.count("Scan parquet") >= 1
+
+
+def test_common_neighbors_agg_is_exchange_free(spark):
+    """r16 (VERDICT r15 item 3): the wedge pair groupBy must run
+    INSIDE the explode stage — the narrow qa side is repartitioned by
+    query node (REPARTITION_BY_NUM, so AQE cannot coalesce it) and
+    HashPartitioning(id_a) satisfies the pair agg's clustering, so no
+    shuffle moves the ~sum(deg^2)/mod wedge stream. Gate: exactly one
+    non-broadcast exchange (the pinned narrow repartition), the
+    explode Generate present, and the final TakeOrdered top-k."""
+    import re
+
+    df = q(spark, "q_graph_common_neighbors")
+    text = inspect.plan_str(df)
+    assert "Generate explode" in text
+    assert inspect.has_take_ordered(df)
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", text)
+    assert len(shuffles) == 1, f"wedge agg re-shuffles: {shuffles}"
+    assert "id_a" in shuffles[0]
+    assert "REPARTITION_BY_NUM" in text
+    assert "Python" not in text
