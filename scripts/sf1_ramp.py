@@ -68,14 +68,32 @@ for tier, sf in TIERS.items():
     if not os.path.isdir(sf):
         raise SystemExit(f"{sf} missing — run scripts/make_sf1.py first")
     bench._warmup(spark, sf)
-    # every tier pays its own memo builds (charged to the canonical
-    # payer keys, same as bench.py's accounting)
+    # every tier pays its own memo builds — as NAMED phases, so the
+    # per-key rows measure the kernels, not whichever key ran first
+    # (the r16 first-cut ramp charged ~600 CPU-s of edge builds to
+    # q_graph_common_neighbors and read as a false 18x)
     dedup.clear_pair_memo(spark)
     for attr in list(vars(spark).keys()):
         if attr.endswith("_memo"):
             getattr(spark, attr).clear()
     cursor = meter.sample()
     tier_out = {}
+    memo_phases = [
+        ("<graph edges+sym+degree>", lambda: bench._graph_materialize_edges(spark, sf)),
+        ("<tri orientation+corners>", lambda: bench._tri_materialize_orientation(spark, sf)),
+        ("<graph cc_labels>", lambda: bench._graph_materialize_cc(spark, sf)),
+        ("<simhash pairs>", lambda: bench._cc_materialize_pairs(spark, sf)),
+        ("<dedup cc labels>", lambda: bench._cc_materialize_labels(spark, sf)),
+    ]
+    for pname, fn in memo_phases:
+        t0 = time.perf_counter()
+        fn()
+        wall = time.perf_counter() - t0
+        after = meter.sample()
+        cpu = (after - cursor) if cursor is not None and after is not None else -1
+        cursor = after
+        tier_out[pname] = {"wall_s": round(wall, 3), "cpu_s": round(cpu, 3)}
+        print(f"{tier:6s} {pname:30s} wall {wall:7.2f}  cpu {cpu:8.2f}", flush=True)
     for name in KEYS:
         t0 = time.perf_counter()
         specs[name].fn(spark, sf).write.format("noop").mode("overwrite").save()
@@ -90,7 +108,7 @@ for tier, sf in TIERS.items():
 print(json.dumps(results))
 print("\n| key | sf0.1 wall | sf0.1 cpu | sf1 wall | sf1 cpu | cpu ratio (10x data) |")
 print("| --- | --- | --- | --- | --- | --- |")
-for name in KEYS:
+for name in list(results["sf0.1"]):
     a, b = results["sf0.1"][name], results["sf1"][name]
     ratio = (b["cpu_s"] / a["cpu_s"]) if a["cpu_s"] > 0 else float("nan")
     print(

@@ -291,26 +291,54 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Hash once per token (not once per token per bit — 32x fewer md5
-# calls), then fold the 32 sign bits over the cached hex digests.
+# Hash once per token (not once per token per bit — 64x fewer md5
+# calls), then fold the 64 sign bits over the cached hex digests.
 # Operates on a pre-computed `hs` column = transform(toks, t -> md5(t)).
+#
+# 64 bits, not 32 (r16 — the sf1 band-saturation finding): with a
+# 32-bit simhash the 4 pigeonhole bands are 8-bit, i.e. 256 band
+# values; once the corpus carries more than a few thousand DISTINCT
+# signatures every band value collides and the banded candidate set
+# grows ~n^2/2^8 (measured: the sf1 tier's 36k distinct signatures
+# made the pair build 47x CPU at 10x data). The classic simhash is
+# 64-bit precisely so the 4 hamming<=3 bands are 16-bit: the random
+# collision rate drops by 2^8 per band and the pair table stays
+# ~linear until ~10^7 distinct signatures — the next widening (128-bit
+# via both md5 nibble bits x 2 digests) is mechanical when needed.
+# Bits 1..32 take each hex nibble's high bit (>= '8'), bits 33..64 the
+# same nibble's second bit (digit in 4..7 or c..f) — two independent
+# bits per md5 hex character, no extra hashing.
 TOKEN_HASHES_EXPR = "transform(toks, t -> md5(t))"
 SIMHASH_EXPR = (
-    "cast(aggregate(transform(sequence(1, 32),"
+    "cast(aggregate(transform(sequence(1, 64),"
     " b -> CASE WHEN aggregate(hs, 0,"
-    "   (acc, h) -> acc + CASE WHEN substring(h, b, 1) >= '8'"
+    "   (acc, h) -> acc + CASE WHEN CASE WHEN b <= 32"
+    "     THEN substring(h, b, 1) >= '8'"
+    "     ELSE substring(h, b - 32, 1) between '4' and '7'"
+    "       or substring(h, b - 32, 1) >= 'c' END"
     "   THEN 1 ELSE -1 END) > 0"
     " THEN shiftleft(cast(1 as bigint), b - 1) ELSE cast(0 as bigint) END),"
     " cast(0 as bigint), (acc, x) -> acc + x) as bigint)"
 )
-# DuckDB mirror of the same two-step computation (hash once, fold bits).
+# DuckDB mirror of the same two-step computation (hash once, fold
+# bits). Bit 64 is the BIGINT sign bit: DuckDB raises on 1 << 63, so
+# that one bit is spelled as the min-long literal (HUGEINT-parsed,
+# exact); list_sum accumulates in HUGEINT and the outer CAST lands the
+# identical two's-complement value Spark's long arithmetic produces.
 SIMHASH_ORACLE_CTE = """
             SELECT doc_id,
-                   CAST(list_sum(list_transform(range(1, 33),
+                   CAST(list_sum(list_transform(range(1, 65),
                         b -> CASE WHEN list_sum(list_transform(hs,
-                                 h -> CASE WHEN substr(h, b, 1) >= '8'
+                                 h -> CASE WHEN CASE WHEN b <= 32
+                                          THEN substr(h, b, 1) >= '8'
+                                          ELSE substr(h, b - 32, 1)
+                                                 BETWEEN '4' AND '7'
+                                            OR substr(h, b - 32, 1) >= 'c'
+                                          END
                                       THEN 1 ELSE -1 END)) > 0
-                             THEN CAST(1 AS BIGINT) << (b - 1)
+                             THEN CASE WHEN b = 64
+                                  THEN -9223372036854775808
+                                  ELSE CAST(1 AS BIGINT) << (b - 1) END
                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
             FROM (SELECT doc_id,
                          list_transform(string_split(text, ' '), t -> md5(t)) AS hs
@@ -339,7 +367,7 @@ def _simhash_df(docs: DataFrame) -> DataFrame:
         QUALIFY row_number() OVER (ORDER BY hamming ASC, id_a, id_b) <= 20
         ORDER BY hamming ASC, id_a, id_b
     """,
-    description="SimHash near-dup: 32-bit nibble simhash over tokens, top-20 closest pairs by Hamming",
+    description="SimHash near-dup: 64-bit nibble simhash over tokens, top-20 closest pairs by Hamming",
     tags=("llm", "dedup", "simhash"),
 )
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,7 +386,9 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIMHASH_BANDS = 4  # 4 x 8-bit bands over the 32-bit simhash
+SIMHASH_BANDS = 4  # 4 x 16-bit bands over the 64-bit simhash (r16)
+SIMHASH_BAND_BITS = 16
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 SIMHASH_HAMMING_MAX = SIMHASH_BANDS - 1  # banding is COMPLETE within this radius
 
 
@@ -369,7 +399,7 @@ SIMHASH_HAMMING_MAX = SIMHASH_BANDS - 1  # banding is COMPLETE within this radiu
             {SIMHASH_ORACLE_CTE.format(where="")}
         ),
         bands AS (
-            {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bv FROM s" for b in range(SIMHASH_BANDS))}
+            {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash >> {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK} AS bv FROM s" for b in range(SIMHASH_BANDS))}
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -382,14 +412,14 @@ SIMHASH_HAMMING_MAX = SIMHASH_BANDS - 1  # banding is COMPLETE within this radiu
         WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING_MAX}
         ORDER BY hamming ASC, id_a, id_b
     """,
-    description="SimHash banded near-dup: 4x8-bit band bucket join over the FULL corpus, all pairs within the guaranteed Hamming radius",
+    description="SimHash banded near-dup: 4x16-bit band bucket join over the FULL corpus, all pairs within the guaranteed Hamming radius",
     tags=("llm", "dedup", "simhash", "lsh"),
 )
 def q_llm_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-scale SimHash path (q_llm_simhash is the exact
     all-pairs oracle slice; this runs the whole corpus).
 
-    The 32-bit simhash is cut into SIMHASH_BANDS 8-bit bands; by
+    The 64-bit simhash is cut into SIMHASH_BANDS 16-bit bands; by
     pigeonhole, any pair within Hamming distance SIMHASH_BANDS-1 shares
     at least one full band, so a groupBy/join on (band, band_value)
     finds EVERY near-duplicate within that radius without the quadratic
@@ -414,7 +444,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized full-corpus signature table (doc_id, simhash)
     — the r15 shared-pass memo (VERDICT r14 item 3): the banded-pairs
     build and q_llm_dedup_incremental each re-derived the ~6-CPU-s
-    split + md5 + 32-bit fold over the whole corpus; now both read ONE
+    split + md5 + 64-bit fold over the whole corpus; now both read ONE
     lazily-checkpointed table. At 100 TB this IS the persisted
     signature index a dedup pipeline writes once and probes daily.
     Cleared together with the pair memo (clear_pair_memo) so a
@@ -511,11 +541,14 @@ def _simhash_banded_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     r15 CPU diet (VERDICT r14 item 3): the band-bucket join runs over
     DISTINCT simhash VALUES, not documents. A dedup corpus is full of
     exact-duplicate signatures (sf0.1: 5,000 docs -> 4,041 distinct
-    hashes, and the heaviest values carry dozens of docs), and with
-    only 256 buckets per 8-bit band every duplicated value multiplied
-    its bucket's candidate quadratics — collapsing to values first cut
-    the bucket join from 14.7 to 2.4 executor-CPU-s at sf0.1 while
-    producing the IDENTICAL pair set. Shape:
+    hashes, and the heaviest values carry dozens of docs), and every
+    duplicated value multiplied its bucket's candidate quadratics —
+    collapsing to values first cut the bucket join from 14.7 to 2.4
+    executor-CPU-s at sf0.1 while producing the IDENTICAL pair set.
+    r16 widened the signature to 64 bits / 16-bit bands (see the
+    SIMHASH_EXPR note): value-collapse removes the duplicate-driven
+    quadratics, band width removes the random-collision quadratics
+    the sf1 tier exposed at 36k distinct signatures. Shape:
 
     - value band join: the 8-byte simhash rides the band explode
       (4 rows per distinct value), the hamming test runs INSIDE the
@@ -542,7 +575,7 @@ def _simhash_banded_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 *[
-                    F.expr(f"concat('{b}:', shiftright(simhash, {8 * b}) & 255)")
+                    F.expr(f"concat('{b}:', shiftright(simhash, {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK})")
                     for b in range(SIMHASH_BANDS)
                 ]
             )
@@ -870,7 +903,7 @@ _CC_CTES, _CC_FINAL = _cc_oracle_ctes()
             {SIMHASH_ORACLE_CTE.format(where="")}
         ),
         bands AS (
-            {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bv FROM s" for b in range(SIMHASH_BANDS))}
+            {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash >> {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK} AS bv FROM s" for b in range(SIMHASH_BANDS))}
         ),
         pairs AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -962,6 +995,7 @@ def propagate_min_labels(
     max_iters: int = CC_MAX_ITERS,
     sym: DataFrame | None = None,
     adj: DataFrame | None = None,
+    build=None,
 ) -> DataFrame:
     """Min-label propagation over an undirected pair set ``(id_a,
     id_b)`` with ``id_a != id_b``: returns ``(node, label)`` for every
@@ -980,7 +1014,13 @@ def propagate_min_labels(
     fixpoint is the component min; the property tests pin the loop
     against a union-find oracle on arbitrary graphs. Hitting
     ``max_iters`` without converging would mean SILENTLY wrong labels
-    downstream, so it raises instead."""
+    downstream, so it raises instead.
+
+    ``build`` (r16): optional hint applied to the NODE-sized state
+    side of each per-round join (graph callers pass the heap-gated
+    broadcast/shuffle-hash builder from operators.graph); without it
+    the checkpointed rounds plan stat-less sort-merge joins one decade
+    past the fixtures — the sf1 ramp cliff."""
     # No distinct here (VERDICT r7 item 6): the caller contract is a
     # DEDUPLICATED pair set with id_a != id_b (the banded pair table is
     # id_a < id_b distinct by construction), so the two orientations
@@ -1031,11 +1071,13 @@ def propagate_min_labels(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("mn")).alias("label"),
         )
+    if build is None:
+        build = lambda df: df  # noqa: E731 — identity for non-graph callers
     for _ in range(max_iters):
         jumped = (
             labels.alias("x")
             .join(
-                labels.alias("y"),
+                build(labels.alias("y")),
                 F.col("x.label") == F.col("y.node"),
                 "left",
             )
@@ -1050,7 +1092,7 @@ def propagate_min_labels(
         )
         if adj is not None:
             nbr = (
-                adj.join(jumped, adj["src"] == jumped["node"])
+                adj.join(build(jumped), adj["src"] == jumped["node"])
                 .select(F.explode("ns").alias("dst"), "label")
                 .groupBy("dst")
                 .agg(F.min("label").alias("nbr_label"))
@@ -1067,7 +1109,7 @@ def propagate_min_labels(
         # jobs: the checkpoint materialization and a cheap count over
         # the checkpointed result — no extra old-vs-new join.
         stepped = (
-            jumped.join(nbr, jumped["node"] == nbr["dst"], "left")
+            jumped.join(build(nbr), jumped["node"] == nbr["dst"], "left")
             .select(
                 "node",
                 F.least(
@@ -1100,7 +1142,7 @@ def propagate_min_labels(
             {SIMHASH_ORACLE_CTE.format(where="")}
         ),
         bands AS (
-            {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bv FROM s" for b in range(SIMHASH_BANDS))}
+            {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash >> {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK} AS bv FROM s" for b in range(SIMHASH_BANDS))}
         ),
         pairs AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1177,7 +1219,7 @@ INCR_BATCH_REM = 7
             {SIMHASH_ORACLE_CTE.format(where="")}
         ),
         bands AS (
-            {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bv FROM s" for b in range(SIMHASH_BANDS))}
+            {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash >> {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK} AS bv FROM s" for b in range(SIMHASH_BANDS))}
         ),
         cand AS (
             SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid,
@@ -1230,7 +1272,7 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 *[
-                    F.expr(f"concat('{b}:', shiftright(simhash, {8 * b}) & 255)")
+                    F.expr(f"concat('{b}:', shiftright(simhash, {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK})")
                     for b in range(SIMHASH_BANDS)
                 ]
             )

@@ -183,13 +183,57 @@ def graph_stats(spark: SparkSession, sf_dir: str) -> dict:
     return cache[key]
 
 
-# Broadcast a build side only while its estimated size stays under this
-# cap — autoBroadcastJoinThreshold-scale (the hint exists because the
-# memoized tables are localCheckpointed LogicalRDDs whose size stats the
-# static planner cannot see; AQE would eventually convert, but only
-# after planning the exchange). Above the cap the join is left to the
-# planner: node-keyed SMJ, exactly the documented 100x fallback.
-_BROADCAST_BYTES_CAP = 64 << 20
+# Broadcast a build side only while its estimated size stays under the
+# session cap (the hint exists because the memoized tables are
+# localCheckpointed LogicalRDDs whose size stats the static planner
+# cannot see; AQE would eventually convert, but only after planning the
+# exchange — and for deep iterative lineages it often never does).
+#
+# r16 (sf1 ramp finding): the cap was a FIXED 64 MB, which made the
+# whole adjacency-join family fall off a cliff one decade past the
+# driver fixtures — at sf1 the array table (~150-200 MB) stopped
+# broadcasting and every kernel round became a sort-merge join that
+# SORTS wide array rows (triangles measured 124x CPU at 10x data;
+# pagerank 118x). A fixed threshold encodes the wrong invariant: what
+# bounds a broadcast is EXECUTOR MEMORY, not a magic constant. The cap
+# now scales with the JVM heap (heap/16, clamped to [64 MB, 1 GiB],
+# overridable via spark.graft.broadcastCapBytes) — real clusters
+# broadcast node-sized sides in the 100 MB-1 GiB range routinely.
+# Above the cap the build side is hinted SHUFFLE_HASH instead of being
+# left to the planner: a shuffled hash join still exchanges both
+# sides, but never sorts the wide-array stream (the measured SMJ
+# pathology); the hinted side stays the node-sized build.
+_BROADCAST_BYTES_CAP = 64 << 20  # floor
+
+
+def _parse_mem(text: str) -> int:
+    text = text.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if text and text[-1] in mult:
+        return int(float(text[:-1]) * mult[text[-1]])
+    return int(text)
+
+
+def _broadcast_cap(spark: SparkSession) -> int:
+    """Session broadcast cap in bytes: explicit conf override, else
+    heap/16 clamped to [64 MB, 1 GiB]. Memoized per live session."""
+    cached = getattr(spark, "_graft_broadcast_cap", None)
+    if cached is not None:
+        return cached
+    override = spark.conf.get("spark.graft.broadcastCapBytes", None)
+    if override is not None:
+        cap = int(override)
+    else:
+        sc_conf = spark.sparkContext.getConf()
+        heap = 0
+        for key in ("spark.executor.memory", "spark.driver.memory"):
+            try:
+                heap = max(heap, _parse_mem(sc_conf.get(key)))
+            except Exception:
+                pass
+        cap = max(_BROADCAST_BYTES_CAP, min(1 << 30, heap // 16))
+    spark._graft_broadcast_cap = cap
+    return cap
 
 # A single adjacency-array row holds one node's whole neighbor list
 # (8 bytes/neighbor + row overhead). 2M neighbors = ~16 MB in ONE row —
@@ -204,10 +248,28 @@ ADJ_HUB_DEGREE_CEILING = 2_000_000
 
 
 def _maybe_broadcast(df: DataFrame, est_bytes: int) -> DataFrame:
-    """``F.broadcast(df)`` while ``est_bytes`` fits the cap, else the
-    frame unhinted so the planner picks the shuffle join (ADVICE r14:
-    an unconditional hint overrides the planner at EVERY scale)."""
-    return F.broadcast(df) if est_bytes <= _BROADCAST_BYTES_CAP else df
+    """``F.broadcast(df)`` while ``est_bytes`` fits the session cap
+    (heap-scaled, see ``_broadcast_cap``); above it the frame is
+    hinted SHUFFLE_HASH so the join hash-builds this (smaller) side
+    instead of degrading to a sort-merge join that sorts the wide
+    stream — the r16 sf1 finding. (ADVICE r14 still holds: no
+    unconditional broadcast at EVERY scale.)"""
+    if est_bytes <= _broadcast_cap(df.sparkSession):
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
+
+def _node_state(spark: SparkSession, sf_dir: str, df: DataFrame,
+                per_node_bytes: int = 32) -> DataFrame:
+    """Gated build-side hint for a NODE-sized state table (ranks,
+    frontier, labels, alive set) joined against the adjacency arrays:
+    broadcast under the heap-scaled cap, SHUFFLE_HASH build above it.
+    Without the hint every iterative round behind a localCheckpoint
+    plans a sort-merge join (LogicalRDD leaves have no stats and AQE
+    does not convert deep iterative lineages) — the r16 sf1 cliff."""
+    return _maybe_broadcast(
+        df, graph_stats(spark, sf_dir)["nodes"] * per_node_bytes
+    )
 
 
 def adj_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,6 +335,10 @@ def cc_labels_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs,
             sym=sym_edges(spark, sf_dir),
             adj=adj_arrays(spark, sf_dir),
+            # r16: per-round state joins get the heap-gated build hint
+            # (broadcast under cap, shuffle-hash above) — see
+            # _broadcast_cap for the sf1 SMJ cliff this prevents
+            build=lambda df: _node_state(spark, sf_dir, df),
         )
     return cache[key]
 
@@ -379,9 +445,17 @@ def triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd = oriented.groupBy("src").agg(F.collect_list("dst").alias("ns"))
         fa = fwd.select(F.col("src").alias("a2"), F.col("ns").alias("ns_a"))
         fb = fwd.select(F.col("src").alias("b2"), F.col("ns").alias("ns_b"))
+        # r16: the forward-array table must be an explicit gated build
+        # side — at sf1 it outgrows AQE's broadcast conversion and the
+        # un-hinted plan SORTS the E-row-x-array join stream twice
+        # (measured 124x CPU at 10x data; see _broadcast_cap)
+        stats = graph_stats(spark, sf_dir)
+        fwd_bytes = stats["sym_edges"] * 4 + stats["nodes"] * 24
+        fa = _maybe_broadcast(fa, fwd_bytes)
+        fb = _maybe_broadcast(fb, fwd_bytes)
         cache[key] = (
-            oriented.join(fa, oriented["src"] == fa["a2"])
-            .join(fb, oriented["dst"] == fb["b2"])
+            oriented.join(fa, oriented["src"] == F.col("a2"))
+            .join(fb, oriented["dst"] == F.col("b2"))
             .select(
                 F.col("src").alias("a"),
                 F.col("dst").alias("b"),
@@ -719,7 +793,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PAGERANK_ROUNDS):
         # src's rank share is pr(src)/deg(src); deg(src) == size(ns)
         acc = (
-            adj.join(ranks, adj["src"] == ranks["node"])
+            adj.join(_node_state(spark, sf_dir, ranks),
+                     adj["src"] == ranks["node"])
             .select(
                 F.explode("ns").alias("dst"),
                 (F.col("pr") / F.size("ns")).alias("share"),
@@ -728,7 +803,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("share").alias("acc"))
         )
         ranks = (
-            deg.join(acc, deg["node"] == acc["dst"], "left")
+            deg.join(_node_state(spark, sf_dir, acc),
+                     deg["node"] == acc["dst"], "left")
             .select(
                 "node",
                 (
@@ -941,7 +1017,8 @@ def _bfs_oracle() -> str:
     """
 
 
-def _bfs_relax(adj: DataFrame, dist: DataFrame) -> DataFrame:
+def _bfs_relax(adj: DataFrame, dist: DataFrame,
+               state_bytes: int | None = None) -> DataFrame:
     """One BFS relax round on the adjacency-array layout (r14): join
     the reached frontier (node-sized) against the array table
     (node-sized), explode the neighbor lists INSIDE the stage, and
@@ -950,11 +1027,11 @@ def _bfs_relax(adj: DataFrame, dist: DataFrame) -> DataFrame:
     never across a shuffle. Split out so the plan gate
     (tests/test_plans.py) can assert the Generate on the real round
     plan, which the per-round localCheckpoint otherwise hides."""
+    frontier = dist.filter(F.col("dist").isNotNull())
+    if state_bytes is not None:
+        frontier = _maybe_broadcast(frontier, state_bytes)
     return (
-        adj.join(
-            dist.filter(F.col("dist").isNotNull()),
-            adj["src"] == F.col("node"),
-        )
+        adj.join(frontier, adj["src"] == F.col("node"))
         .select(
             F.explode("ns").alias("dst"),
             (F.col("dist") + 1).alias("via"),
@@ -991,10 +1068,12 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.when(F.col("node") % BFS_SEED_MOD == 0, F.lit(0)).alias("dist"),
     )
+    sbytes = graph_stats(spark, sf_dir)["nodes"] * 32
     for _ in range(BFS_ROUNDS):
-        reach = _bfs_relax(adj, dist)
+        reach = _bfs_relax(adj, dist, state_bytes=sbytes)
         dist = (
-            dist.join(reach, dist["node"] == reach["dst"], "left")
+            dist.join(_maybe_broadcast(reach, sbytes),
+                      dist["node"] == reach["dst"], "left")
             .select(
                 "node",
                 F.least(
@@ -1167,9 +1246,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KCORE_MAX_ITERS):
         a_dst = alive.select(F.col("node").alias("n_dst"))
         alive = (
-            adj.join(alive, adj["src"] == F.col("node"), "left_semi")
+            adj.join(_node_state(spark, sf_dir, alive, 16),
+                     adj["src"] == F.col("node"), "left_semi")
             .select("src", F.explode("ns").alias("nbr"))
-            .join(a_dst, F.col("nbr") == F.col("n_dst"), "left_semi")
+            .join(_node_state(spark, sf_dir, a_dst, 16),
+                  F.col("nbr") == F.col("n_dst"), "left_semi")
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= KCORE_K)
@@ -1186,9 +1267,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     a_dst = alive.select(F.col("node").alias("n_dst"))
     edge_count = (
-        adj.join(alive, adj["src"] == F.col("node"), "left_semi")
+        adj.join(_node_state(spark, sf_dir, alive, 16),
+                 adj["src"] == F.col("node"), "left_semi")
         .select(F.explode("ns").alias("nbr"))
-        .join(a_dst, F.col("nbr") == F.col("n_dst"), "left_semi")
+        .join(_node_state(spark, sf_dir, a_dst, 16),
+              F.col("nbr") == F.col("n_dst"), "left_semi")
         .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"))
     )
     node_stats = alive.agg(
@@ -1619,7 +1702,8 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.min("dst").alias("lbl"))
     for _ in range(LPA_ROUNDS - 1):
         votes = (
-            adj.join(labels, adj["src"] == labels["node"])
+            adj.join(_node_state(spark, sf_dir, labels),
+                     adj["src"] == labels["node"])
             .select(
                 F.explode("ns").alias("node"),
                 F.col("lbl").alias("nl"),
@@ -1756,7 +1840,9 @@ def q_graph_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(LANDMARK_ROUNDS):
         reach = (
             adj.join(
-                dist.filter(F.col("dist").isNotNull()),
+                _node_state(spark, sf_dir,
+                            dist.filter(F.col("dist").isNotNull()),
+                            LANDMARK_K * 40),
                 adj["src"] == F.col("node"),
             )
             .select("lm", F.explode("ns").alias("dst"), "dist")
@@ -1767,7 +1853,7 @@ def q_graph_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dist = (
             dist.join(
-                reach,
+                _node_state(spark, sf_dir, reach, LANDMARK_K * 40),
                 (F.col("lm") == F.col("rlm"))
                 & (F.col("node") == F.col("rnode")),
                 "left",
