@@ -233,13 +233,13 @@ def _tri_materialize_orientation(spark, sf_dir: str) -> float:
     Assumes the edge-layer memos are warm — the edges prepay block
     runs first. Cost charged to TRI_PAYER's slot by the caller."""
     from sparkstreamingtohdfsofsensorsdata_spark.operators.graph import (
-        triangle_corners,
+        triangle_node_counts,
         triangle_orientation,
     )
 
     start = time.perf_counter()
     triangle_orientation(spark, sf_dir)
-    triangle_corners(spark, sf_dir).write.format("noop").mode(
+    triangle_node_counts(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     return time.perf_counter() - start

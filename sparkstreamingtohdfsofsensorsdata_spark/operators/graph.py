@@ -411,20 +411,26 @@ def triangle_orientation(spark: SparkSession, sf_dir: str) -> tuple:
     return cache[key]
 
 
-def triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized CLOSED-triangle stream (a, b, c) under the
-    probed orientation — the output of the expensive two-hop wedge
-    join, materialized ONCE and consumed by both wedge consumers
-    (r13, VERDICT r12 item 3): q_graph_triangles folds it to the
-    global count, q_graph_local_clustering explodes the three corners
-    to per-node incidence counts. Rows = n_triangles (orders of
-    magnitude fewer than the wedge stream that produced them), so the
-    checkpoint is cheap next to re-running the join. Charged to
-    TRI_PAYER with the orientation probe (it is the triangle key's own
-    computation)."""
+def triangle_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized per-node closed-triangle incidence counts
+    ``(node, n_tri)`` under the probed orientation — the folded output
+    of the expensive wedge intersection, materialized ONCE and
+    consumed by both wedge consumers: q_graph_triangles sums it to the
+    global count (sum/3 — each triangle contributes its three
+    corners), q_graph_local_clustering joins it per node.
+
+    r16 (sf1 finding): this used to checkpoint the RAW corner stream
+    (one row per (triangle, corner-orientation) — 18.8M rows at sf1),
+    and the checkpoint materialization dominated the build an order of
+    magnitude past the fixtures (the intersect stage itself measures
+    LINEAR: 65-71 warm CPU-s at sf1 = 7x sf0.1). Folding to node
+    incidence INSIDE the build stage keeps the same one-pass
+    intersection but checkpoints a node-sized table — the only two
+    consumers ever needed the counts. Charged to TRI_PAYER with the
+    orientation probe (it is the triangle key's own computation)."""
     from ..llm.dedup import _evict_same_path, _memo, memo_key
 
-    cache = _memo(spark, "_tri_corners_memo")
+    cache = _memo(spark, "_tri_ncounts_memo")
     key = memo_key(sf_dir)
     if key not in cache:
         _evict_same_path(cache, key)
@@ -438,10 +444,9 @@ def triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sum-in(b)·out(b) wedge stream (49.3M rows at sf0.1) never
         # exists: the two joins are E rows against the node-sized
         # forward-array table, and the intersection runs inside the
-        # stage. Measured at sf0.1: 46 -> 10-19 executor-CPU-s for the
-        # identical 1,884,488-triangle corner stream. The orientation
-        # probe still matters — it bounds forward-degree (array width)
-        # exactly as it bounded the wedge fan-out.
+        # stage. The orientation probe still matters — it bounds
+        # forward-degree (array width) exactly as it bounded the wedge
+        # fan-out.
         fwd = oriented.groupBy("src").agg(F.collect_list("dst").alias("ns"))
         fa = fwd.select(F.col("src").alias("a2"), F.col("ns").alias("ns_a"))
         fb = fwd.select(F.col("src").alias("b2"), F.col("ns").alias("ns_b"))
@@ -461,6 +466,13 @@ def triangle_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dst").alias("b"),
                 F.explode(F.array_intersect("ns_a", "ns_b")).alias("c"),
             )
+            .select(
+                F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                    "node"
+                )
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_tri"))
             .localCheckpoint(eager=False)
         )
     return cache[key]
@@ -473,13 +485,13 @@ def orientation_warm(spark: SparkSession, sf_dir: str) -> bool:
 
     key = memo_key(sf_dir)
     return key in getattr(spark, "_tri_orientation_memo", {}) and key in getattr(
-        spark, "_tri_corners_memo", {}
+        spark, "_tri_ncounts_memo", {}
     )
 
 
 def clear_orientation_memo(spark: SparkSession) -> None:
     getattr(spark, "_tri_orientation_memo", {}).clear()
-    getattr(spark, "_tri_corners_memo", {}).clear()
+    getattr(spark, "_tri_ncounts_memo", {}).clear()
 
 
 
@@ -566,7 +578,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph. At 100 TB the probe is two aggregations over the memoized
     edge list — noise next to one wedge join round."""
     edges = copurchase_edges(spark, sf_dir)
-    tri = triangle_corners(spark, sf_dir).agg(F.count(F.lit(1)).alias("t"))
+    tri = triangle_node_counts(spark, sf_dir).agg(
+        (F.sum("n_tri") / 3).cast("long").alias("t")
+    )
     stats = degree_table(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("n_nodes"),
         (F.sum(F.col("degree") * (F.col("degree") - 1)) / 2.0).alias("wedges"),
@@ -1560,16 +1574,7 @@ def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel gets the same sum(in·out) collapse the global count does.
     The oracle stays pinned to id-order edges — same set."""
     deg = degree_table(spark, sf_dir)
-    tcount = (
-        triangle_corners(spark, sf_dir)
-        .select(
-            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
-                "node"
-            )
-        )
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_tri"))
-    )
+    tcount = triangle_node_counts(spark, sf_dir)
     out = (
         deg.filter(F.col("degree") >= 2)
         .join(tcount, "node", "left")

@@ -242,14 +242,14 @@ def test_orientation_memo_single_probe(spark):
     graph.clear_orientation_memo(spark)
     assert not graph.orientation_warm(spark, sf)
     first = graph.triangle_orientation(spark, sf)
-    # r13: TRI_PAYER warmth = probe AND the closed-triangle corner
-    # table (both are TRI-charged intermediates now)
+    # r13/r16: TRI_PAYER warmth = probe AND the folded triangle
+    # node-count table (both are TRI-charged intermediates)
     assert not graph.orientation_warm(spark, sf)
-    corners = graph.triangle_corners(spark, sf)
+    counts = graph.triangle_node_counts(spark, sf)
     assert graph.orientation_warm(spark, sf)
     # memo hit: the same objects come back, no recompute
     assert graph.triangle_orientation(spark, sf) is first
-    assert graph.triangle_corners(spark, sf) is corners
+    assert graph.triangle_node_counts(spark, sf) is counts
     graph.clear_orientation_memo(spark)
     assert not graph.orientation_warm(spark, sf)
 

@@ -1423,13 +1423,13 @@ def test_triangle_corners_are_array_intersection(spark):
     arrays; the old closing wedge join is gone)."""
     from sparkstreamingtohdfsofsensorsdata_spark.operators.graph import (
         clear_orientation_memo,
-        triangle_corners,
+        triangle_node_counts,
     )
 
     clear_orientation_memo(spark)
     # inspect the UNCHECKPOINTED build plan by reproducing it pre-memo:
     # the memoized handle is a LogicalRDD that hides the build
-    df = triangle_corners(spark, SF)
+    df = triangle_node_counts(spark, SF)
     # the memo returns a checkpointed frame; the build already ran.
     # Re-derive the builder plan via the public pieces instead:
     from sparkstreamingtohdfsofsensorsdata_spark.operators import graph
@@ -1451,7 +1451,10 @@ def test_triangle_corners_are_array_intersection(spark):
     text = inspect.plan_str(build)
     assert "array_intersect" in text
     assert "Generate explode" in text
-    assert df.columns == ["a", "b", "c"]
+    # r16: the memoized table is the FOLDED per-node incidence count
+    # (node-sized checkpoint), not the raw corner stream — the 18.8M-row
+    # corner checkpoint dominated the sf1 build
+    assert df.columns == ["node", "n_tri"]
 
 
 def test_lateral_df_decorrelates_to_one_join(spark):
