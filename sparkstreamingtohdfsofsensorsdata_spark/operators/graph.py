@@ -578,8 +578,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph. At 100 TB the probe is two aggregations over the memoized
     edge list — noise next to one wedge join round."""
     edges = copurchase_edges(spark, sf_dir)
+    # coalesce: an EMPTY graph aggregates sum to NULL where the old
+    # corner count() yielded 0 (edge-values fixture)
     tri = triangle_node_counts(spark, sf_dir).agg(
-        (F.sum("n_tri") / 3).cast("long").alias("t")
+        (F.coalesce(F.sum("n_tri"), F.lit(0)) / 3).cast("long").alias("t")
     )
     stats = degree_table(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("n_nodes"),
