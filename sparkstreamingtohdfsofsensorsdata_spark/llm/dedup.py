@@ -303,12 +303,21 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # made the pair build 47x CPU at 10x data). The classic simhash is
 # 64-bit precisely so the 4 hamming<=3 bands are 16-bit: the random
 # collision rate drops by 2^8 per band and the pair table stays
-# ~linear until ~10^7 distinct signatures — the next widening (128-bit
-# via both md5 nibble bits x 2 digests) is mechanical when needed.
+# ~linear until ~10^6-10^7 distinct signatures — the next widening is
+# SHIPPED as q_llm_simhash_banded128 (two digests, 4x32-bit bands).
 # Bits 1..32 take each hex nibble's high bit (>= '8'), bits 33..64 the
 # same nibble's second bit (digit in 4..7 or c..f) — two independent
 # bits per md5 hex character, no extra hashing.
 TOKEN_HASHES_EXPR = "transform(toks, t -> md5(t))"
+
+
+def _fold64_expr(col: str) -> str:
+    """The 64-bit sign fold over a pre-hashed hex-digest array column
+    — parameterized so the 128-bit tier can run the identical fold
+    over a second digest array."""
+    return SIMHASH_EXPR.replace("aggregate(hs,", f"aggregate({col},")
+
+
 SIMHASH_EXPR = (
     "cast(aggregate(transform(sequence(1, 64),"
     " b -> CASE WHEN aggregate(hs, 0,"
@@ -437,6 +446,181 @@ def q_llm_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return _simhash_banded_pairs(spark, sf_dir).orderBy(
         F.col("hamming").asc(), "id_a", "id_b"
+    )
+
+
+SIMHASH128_SALT = ":2"  # second-digest domain separator
+_M32 = (1 << 32) - 1
+
+# DuckDB mirror of one 64-bit fold, parameterized by the hashed-token
+# list column (the 128-bit oracle runs it twice — over hs and hs2).
+# Same sign-bit spelling as SIMHASH_ORACLE_CTE.
+ORACLE_FOLD = """CAST(list_sum(list_transform(range(1, 65),
+                        b -> CASE WHEN list_sum(list_transform({col},
+                                 h -> CASE WHEN CASE WHEN b <= 32
+                                          THEN substr(h, b, 1) >= '8'
+                                          ELSE substr(h, b - 32, 1)
+                                                 BETWEEN '4' AND '7'
+                                            OR substr(h, b - 32, 1) >= 'c'
+                                          END
+                                      THEN 1 ELSE -1 END)) > 0
+                             THEN CASE WHEN b = 64
+                                  THEN -9223372036854775808
+                                  ELSE CAST(1 AS BIGINT) << (b - 1) END
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+
+
+def _simhash128_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, hi, lo): the 128-bit signature as two 64-bit folds —
+    ``lo`` over md5(token), ``hi`` over md5(token || ':2') (a second
+    independent digest; the md5 nibbles' remaining two bits would need
+    per-bit set-membership tests that measure slower than a second
+    hash). Identical fold machinery both halves."""
+    return (
+        spread(docs, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(TOKEN_HASHES_EXPR).alias("hs"),
+            F.expr(
+                f"transform(toks, t -> md5(concat(t, '{SIMHASH128_SALT}')))"
+            ).alias("hs2"),
+        )
+        .select(
+            "doc_id",
+            F.expr(_fold64_expr("hs")).alias("lo"),
+            F.expr(_fold64_expr("hs2")).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_llm_simhash_banded128",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   {ORACLE_FOLD.format(col="hs")} AS lo,
+                   {ORACLE_FOLD.format(col="hs2")} AS hi
+            FROM (SELECT doc_id,
+                         list_transform(string_split(text, ' '),
+                                        t -> md5(t)) AS hs,
+                         list_transform(string_split(text, ' '),
+                                        t -> md5(t || '{SIMHASH128_SALT}')) AS hs2
+                  FROM documents)
+        ),
+        bands AS (
+            SELECT doc_id, lo, hi, 0 AS band, lo & {_M32} AS bv FROM s
+            UNION ALL
+            SELECT doc_id, lo, hi, 1, (lo >> 32) & {_M32} FROM s
+            UNION ALL
+            SELECT doc_id, lo, hi, 2, hi & {_M32} FROM s
+            UNION ALL
+            SELECT doc_id, lo, hi, 3, (hi >> 32) & {_M32} FROM s
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+              <= {SIMHASH_HAMMING_MAX}
+        ORDER BY hamming ASC, id_a, id_b
+    """,
+    description="128-bit SimHash banded near-dup (4x32-bit bands): the next-decade LSH tier past 64-bit band saturation",
+    tags=("llm", "dedup", "simhash", "lsh"),
+)
+def q_llm_simhash_banded128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The next-decade LSH tier (r16, SCALE.md sf1 section): banded
+    SimHash stays linear only while distinct signatures stay sparse in
+    the per-band value space — 16-bit bands saturate around 10^6-10^7
+    distinct signatures the same way the old 8-bit bands saturated at
+    thousands (the measured sf1 cliff). This key runs the IDENTICAL
+    pipeline over a 128-bit signature (two 64-bit folds over two
+    independent md5 digests) with 4x32-bit bands: the pigeonhole
+    guarantee (any pair within hamming <= SIMHASH_BANDS-1 of 128
+    shares a full band) is unchanged, and the random band-collision
+    rate drops another 2^16 — linear to ~10^9 distinct signatures.
+
+    Plan shape mirrors the 64-bit scale path exactly: distinct-VALUE
+    banding (group by (hi, lo) first, so exact-dup multiplicity never
+    multiplies bucket quadratics), hamming tested inside the bucket
+    join, doc expansion from the value-group table, within-group exact
+    dups emitted directly at hamming 0. The 128-bit radius is stricter
+    per bit than the 64-bit key's (3 of 128 vs 3 of 64) — this tier
+    trades recall-per-bit for an n that is 2^16 larger; both spellings
+    are correct LSH, the choice is corpus size."""
+    s = _simhash128_df(load(spark, sf_dir, "documents"))
+    groups = (
+        s.groupBy("hi", "lo")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .localCheckpoint(eager=False)
+    )
+    band_exprs = [
+        F.expr(f"concat('0:', shiftright(lo, 0) & {_M32})"),
+        F.expr(f"concat('1:', shiftright(lo, 32) & {_M32})"),
+        F.expr(f"concat('2:', shiftright(hi, 0) & {_M32})"),
+        F.expr(f"concat('3:', shiftright(hi, 32) & {_M32})"),
+    ]
+    bands = groups.select(
+        "hi", "lo", F.explode(F.array(*band_exprs)).alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    vpairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (
+                F.struct(F.col("a.hi"), F.col("a.lo"))
+                < F.struct(F.col("b.hi"), F.col("b.lo"))
+            ),
+        )
+        .select(
+            F.col("a.hi").alias("ha"),
+            F.col("a.lo").alias("la"),
+            F.col("b.hi").alias("hb"),
+            F.col("b.lo").alias("lb"),
+            F.expr(
+                "bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi)"
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
+    )
+    ga = groups.select(
+        F.col("hi").alias("ha"), F.col("lo").alias("la"),
+        F.col("ids").alias("ids_a"),
+    )
+    gb = groups.select(
+        F.col("hi").alias("hb"), F.col("lo").alias("lb"),
+        F.col("ids").alias("ids_b"),
+    )
+    cross = (
+        vpairs.join(ga, ["ha", "la"])
+        .join(gb, ["hb", "lb"])
+        .select("hamming", F.explode("ids_a").alias("xa"), "ids_b")
+        .select("hamming", "xa", F.explode("ids_b").alias("xb"))
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            "hamming",
+        )
+    )
+    within = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    return (
+        cross.unionByName(within)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy(F.col("hamming").asc(), "id_a", "id_b")
     )
 
 

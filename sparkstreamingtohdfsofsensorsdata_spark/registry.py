@@ -114,6 +114,15 @@ def query(
 # next round instead (ROTATION_ROUND must equal max artifact round + 1).
 ROTATION_ROUND: int = 16
 
+# Keys REGISTERED during the current round, AFTER the window above was
+# computed (r14/r15 precedent: additions queue at the VP tail and head
+# the NEXT rotation). The rotation-policy test excludes these from the
+# stale-cohort expectation — without the pin, any mid-round key
+# addition would flip the `never-checked` cohort and turn the test red.
+ROTATION_NEW_KEYS: tuple[str, ...] = (
+    "q_llm_simhash_banded128",  # next-decade LSH tier (SCALE.md r16)
+)
+
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # (a) new in r15 — never driver-checked
     "q_agg_observe",  # df.observe/Observation pass metrics
@@ -205,6 +214,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_win_lag_lead",
     "q_win_ranking",
     "q_win_topk_group",
+    # round-16 additions, appended as they land (= ROTATION_NEW_KEYS)
+    "q_llm_simhash_banded128",
 )
 
 

@@ -145,6 +145,7 @@ def test_registry_window_is_the_stale_cohort():
     import re
 
     from sparkstreamingtohdfsofsensorsdata_spark.registry import (
+        ROTATION_NEW_KEYS,
         ROTATION_ROUND,
         VERIFICATION_PRIORITY,
     )
@@ -164,7 +165,10 @@ def test_registry_window_is_the_stale_cohort():
             if k.startswith("q_"):
                 latest[k] = max(latest.get(k, 0), r)
     allk = set(registry.load_all())
-    never = sorted(allk - set(latest))
+    # mid-round additions queue at the VP tail and head the NEXT
+    # rotation — they are never-checked too, but were not visible when
+    # this window was computed
+    never = sorted(allk - set(latest) - set(ROTATION_NEW_KEYS))
     by_round: dict[int, list] = {}
     for k, v in latest.items():
         if k in allk:
@@ -192,6 +196,9 @@ def test_registry_window_is_the_stale_cohort():
     # rotation (keys registered mid-round append behind it as they land)
     queue = list(VERIFICATION_PRIORITY)[50:]
     assert queue[: len(expected) - 50] == expected[50:], policy_msg
+    # additions registered after the rotation sit at the very tail
+    tail = queue[len(expected) - 50 :]
+    assert tail == list(ROTATION_NEW_KEYS), policy_msg
     assert len(set(front)) == 50
     # keys the previous driver window greened must NOT occupy slots
     for greened in ("q_anon_pseudonym", "q_graph_triangles", "q_agg_mode"):

@@ -214,3 +214,43 @@ def test_semdedup_drop_rule_and_threshold(spark):
         assert r.cosine >= SEMDEDUP_TAU
         assert r.dropped_id not in seen
         seen.add(r.dropped_id)
+
+
+def test_simhash128_banded_equals_all_pairs(spark):
+    """r16 next-decade tier: the 4x32-bit banding over the 128-bit
+    signature must find EXACTLY the all-pairs set within the pigeonhole
+    radius — same completeness contract as the 64-bit key."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import (
+        SIMHASH_HAMMING_MAX,
+        _simhash128_df,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    s = _simhash128_df(load(spark, sf, "documents"))
+    a, b = s.alias("a"), s.alias("b")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.expr(
+                    "bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi)"
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+            .collect()
+        )
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in registry.load_all()["q_llm_simhash_banded128"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert exact, "fixture has no 128-bit near-pairs; test is vacuous"
+    assert banded == exact

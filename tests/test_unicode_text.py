@@ -97,6 +97,7 @@ KEYS = [
     "q_llm_exact_dedup",
     "q_llm_simhash",
     "q_llm_simhash_banded",
+    "q_llm_simhash_banded128",
     "q_llm_mix_sample",
     "q_llm_bpe_train",
     "q_llm_contamination",
