@@ -259,17 +259,34 @@ def _maybe_broadcast(df: DataFrame, est_bytes: int) -> DataFrame:
     return df.hint("shuffle_hash")
 
 
+# While the adjacency-array table itself sits under this size, AQE
+# broadcast-converts the round joins on its own (observed at sf0.1:
+# un-hinted pagerank rounds run 1.1-1.8 CPU-s vs 2-4 hinted — the
+# explicit per-round broadcast relation builds are pure overhead when
+# AQE was already going to broadcast a side). Matches the session's
+# autoBroadcastJoinThreshold scale.
+_AQE_RESCUE_BYTES = 32 << 20
+
+
 def _node_state(spark: SparkSession, sf_dir: str, df: DataFrame,
                 per_node_bytes: int = 32) -> DataFrame:
     """Gated build-side hint for a NODE-sized state table (ranks,
-    frontier, labels, alive set) joined against the adjacency arrays:
-    broadcast under the heap-scaled cap, SHUFFLE_HASH build above it.
-    Without the hint every iterative round behind a localCheckpoint
-    plans a sort-merge join (LogicalRDD leaves have no stats and AQE
-    does not convert deep iterative lineages) — the r16 sf1 cliff."""
-    return _maybe_broadcast(
-        df, graph_stats(spark, sf_dir)["nodes"] * per_node_bytes
-    )
+    frontier, labels, alive set) joined against the adjacency arrays.
+
+    Below ``_AQE_RESCUE_BYTES`` of adjacency the hint is a NO-OP —
+    AQE converts those joins to broadcast by itself and an explicit
+    per-round broadcast only adds relation-build cost (measured +1-2
+    CPU-s per kernel at sf0.1). Past it, AQE stops rescuing the deep
+    checkpointed lineages and the un-hinted plan degrades to a
+    sort-merge join that sorts the wide array stream (the r16 sf1
+    cliff: pagerank 118x CPU at 10x data) — there the state side is
+    hinted: broadcast under the heap-scaled cap, SHUFFLE_HASH build
+    above it."""
+    stats = graph_stats(spark, sf_dir)
+    adj_bytes = stats["sym_edges"] * 8 + stats["nodes"] * 24
+    if adj_bytes <= _AQE_RESCUE_BYTES:
+        return df
+    return _maybe_broadcast(df, stats["nodes"] * per_node_bytes)
 
 
 def adj_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
