@@ -189,6 +189,103 @@ def _band_key_sql(b: int, spark_dialect: bool = False) -> str:
     return f"md5('{b}|' || {parts})"
 
 
+def _minhash_sig_sql(docs: DataFrame) -> DataFrame:
+    """JVM-SQL spelling of the signature build (the oracle mirror).
+    NOT the production path since r16: like the simhash fold,
+    ProjectCollapse inlines the ``hs`` projection into MIN_EXPR's
+    twelve per-chunk array_min lambdas, so the md5 pair reruns 12x
+    per shingle, all of it interpreted (HOFs are CodegenFallback).
+    Kept for the arrow-vs-sql equivalence test."""
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.expr(WORD_SHINGLES_EXPR).alias("shingles"))
+        .select("doc_id", F.expr(SIG_EXPR).alias("hs"))
+        .select("doc_id", F.expr(MIN_EXPR).alias("sig"))
+    )
+
+
+def _minhash_sig_arrow(docs: DataFrame) -> DataFrame:
+    """Vectorized MinHash signature build (r16, same rewrite family as
+    _simhash_arrow_fold): md5 pair once per DISTINCT shingle (per-task
+    cache), per-doc signature = positional min over the cached 12
+    5-hex-char chunks. Bit-identical to _minhash_sig_sql: lowercase
+    hex is ASCII so Python's code-point string min equals Spark's
+    binary UTF8String ordering; docs with <2 tokens or NULL text
+    produce the [NULL]*12 signature the SQL spelling yields
+    (size(NULL)>=2 is NULL -> else-branch empty shingle array ->
+    array_min over empty = NULL). Measured at sf0.1 (min-of-5, fresh
+    sessions): the signature materialization 0.50 wall / 6.6
+    JVM-CPU-s (spiking to 2.7 / 21.7 under the interpreted-path JIT
+    storms) -> 0.55 wall / 0.3 JVM-CPU-s, flat across reps. Only
+    (doc_id, text) crosses the Arrow boundary; the build stays
+    row-local (zero shuffle)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sig", ArrayType(StringType())),
+        ]
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        cache: dict = {}
+
+        def chunks(sh: str):
+            c = cache.get(sh)
+            if c is None:
+                bs = sh.encode("utf-8")
+                h = (
+                    hashlib.md5(bs).hexdigest()
+                    + hashlib.md5(b"x" + bs).hexdigest()
+                )
+                if len(cache) > 2_000_000:
+                    # bound per-task memory on pathological partitions;
+                    # only costs recomputation, never correctness
+                    cache.clear()
+                c = cache[sh] = tuple(
+                    h[i * 5 : i * 5 + 5] for i in range(N_MINHASH)
+                )
+            return c
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            sigs = []
+            for tx in texts:
+                toks = tx.split(" ") if tx is not None else []
+                if len(toks) < 2:
+                    sigs.append([None] * N_MINHASH)
+                    continue
+                mins = None
+                for sh in {
+                    f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+                }:
+                    cs = chunks(sh)
+                    mins = (
+                        list(cs)
+                        if mins is None
+                        else [m if m < c else c for m, c in zip(mins, cs)]
+                    )
+                sigs.append(mins)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sigs, type=pa.list_(pa.string()))],
+                ["doc_id", "sig"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(gen, out_schema)
+
+
 @query(
     "q_llm_minhash_lsh",
     oracle=f"""
@@ -233,10 +330,9 @@ def _band_key_sql(b: int, spark_dialect: bool = False) -> str:
 def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     sig = (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", F.expr(WORD_SHINGLES_EXPR).alias("shingles"))
-        .select("doc_id", F.expr(SIG_EXPR).alias("hs"))
-        .select("doc_id", F.expr(MIN_EXPR).alias("sig"))
+        # r16: the Arrow kernel replaces the interpreted SQL spelling
+        # (see _minhash_sig_arrow / _minhash_sig_sql)
+        _minhash_sig_arrow(docs)
         # the md5-heavy signature plan is read by the band explode AND
         # two candidate joins — compute it once. localCheckpoint (lazy)
         # caches like persist() but its blocks are released by the

@@ -298,3 +298,44 @@ def test_simhash_arrow_fold_matches_sql_spelling(spark):
         r.doc_id: (r.lo, r.hi) for r in _simhash128_df_sql(corpus).collect()
     }
     assert got128 == want128
+
+
+def test_minhash_sig_arrow_matches_sql_spelling(spark):
+    """r16 signature-build rewrite: the Arrow kernel must reproduce
+    the SQL spelling exactly — including the [NULL]*12 signature for
+    NULL-text and <2-token docs (size(NULL)>=2 is NULL -> else branch
+    -> empty shingle array -> array_min over empty = NULL) and the
+    binary string ordering of array_min (lowercase hex is ASCII, so
+    Python min == UTF8String compare)."""
+    from pyspark.sql import types as T
+
+    from sparkstreamingtohdfsofsensorsdata_spark.llm.dedup import (
+        _minhash_sig_arrow,
+        _minhash_sig_sql,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (10**9 + 1, None),
+            (10**9 + 2, ""),
+            (10**9 + 3, "one"),
+            (10**9 + 4, "a b"),
+            (10**9 + 5, "héllo wörld héllo wörld 你好 你好"),
+        ],
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    corpus = docs.unionByName(edge)
+    got = {r.doc_id: tuple(r.sig) for r in _minhash_sig_arrow(corpus).collect()}
+    want = {r.doc_id: tuple(r.sig) for r in _minhash_sig_sql(corpus).collect()}
+    assert got == want and len(got) > 5
+    assert got[10**9 + 1] == (None,) * 12
+    assert got[10**9 + 3] == (None,) * 12
