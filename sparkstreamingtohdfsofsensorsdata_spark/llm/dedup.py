@@ -488,8 +488,8 @@ def _simhash_arrow_fold(docs: DataFrame, wide: bool) -> DataFrame:
     per doc (Counter + one 64/128-wide SAXPY per distinct token),
     vectorized per guide §4.2; only (doc_id, text) crosses the Arrow
     boundary. At 100 TB the fold stays row-local (zero shuffle); the
-    per-task vocab cache is bounded by the partition's distinct
-    tokens and amortizes md5 across the corpus' Zipf head."""
+    per-task vocab cache is capped at 2M entries (r17, matching the
+    minhash kernel) and amortizes md5 across the corpus' Zipf head."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     fields = [StructField("doc_id", LongType())]
@@ -530,6 +530,13 @@ def _simhash_arrow_fold(docs: DataFrame, wide: bool) -> DataFrame:
                     # SIMHASH_EXPR / oracle hex tests
                     row[64 * k : 64 * k + 32] = (nibs >> 3) & 1
                     row[64 * k + 32 : 64 * k + 64] = (nibs >> 2) & 1
+                if len(vocab) > 2_000_000:
+                    # bound per-task memory on pathological partitions
+                    # (ADVICE r16: each row is a 64/128-cell int64 array,
+                    # ~0.5-1 KB — an unbounded cache on a high-distinct-
+                    # token partition grows the Python worker by GBs);
+                    # clearing only costs recomputation, never correctness
+                    vocab.clear()
                 vocab[tok] = row
             return row
 

@@ -96,14 +96,16 @@ def query(
 
 # External harnesses may verify only a prefix of the registry (observed:
 # the grading driver checks 50 keys/round in load_all() order), so ORDER
-# ENCODES NEED. Round-16 rotation (VERDICT r15 item 1): the head is
-# (a) the 7 keys registered during round 15 — never driver-checked,
-# their only verdicts so far are the builder's Arrow-typed exact
-# sweeps — then (b) the whole 30-key r9-stale cohort (oldest standing
-# driver verdicts), then (c) the first 13 of the 47-key r10-stale
-# cohort (alphabetical). (a)+(b)+(c) fills the 50-key window exactly.
-# The remaining 34 r10-stale keys queue at positions 51+ for r17; every
-# queued key is covered by this round's zero-tolerance exact sweeps at
+# ENCODES NEED. Round-17 rotation (VERDICT r16 item 1): round 16
+# rewrote the physical plans of 17 keys (Arrow simhash/minhash kernels,
+# the graph broadcast-cap family, the executor-side update_mode fold)
+# but only 2 of them fell inside the r16 driver window — the
+# independent oracle has not re-judged the rewrites. The head is
+# therefore (a) the 17-key blast radius, pinned in ROTATION_BLAST_HEAD
+# below (VERDICT order), then (b) the 34-key r10-stale cohort
+# (alphabetical, oldest standing driver verdicts) truncated at the
+# 50-key boundary; its last key queues at position 51 for r18. Every
+# queued key is covered by the zero-tolerance exact sweeps at
 # sf0.001/0.01/0.1 (Arrow-fetched oracle, driver-grade types).
 #
 # ROTATION_ROUND pins WHICH driver artifacts this window was computed
@@ -112,74 +114,41 @@ def query(
 # the suite stays green when the driver lands THIS round's artifact
 # after close; scripts/round_close.py enforces the re-rotation at the
 # next round instead (ROTATION_ROUND must equal max artifact round + 1).
-ROTATION_ROUND: int = 16
+ROTATION_ROUND: int = 17
 
 # Keys REGISTERED during the current round, AFTER the window above was
 # computed (r14/r15 precedent: additions queue at the VP tail and head
-# the NEXT rotation). The rotation-policy test excludes these from the
-# stale-cohort expectation — without the pin, any mid-round key
-# addition would flip the `never-checked` cohort and turn the test red.
-ROTATION_NEW_KEYS: tuple[str, ...] = (
-    "q_llm_simhash_banded128",  # next-decade LSH tier (SCALE.md r16)
+# the NEXT rotation). Round 17 is the semantics-frozen optimization
+# round (VERDICT r16 item 2): no new keys.
+ROTATION_NEW_KEYS: tuple[str, ...] = ()
+
+# The r16 optimization blast radius (VERDICT r16 item 1, in its order):
+# keys whose physical plan or execution path round 16 rewrote and the
+# driver has not re-verified since. They jump the stale-cohort queue
+# for exactly one rotation; the rotation-policy test treats this pin as
+# the window head and checks the stale-cohort fill behind it.
+ROTATION_BLAST_HEAD: tuple[str, ...] = (
+    "q_llm_simhash",  # Arrow signature fold (r16 §1)
+    "q_llm_simhash_banded",  # consumes the fold + 64-bit banding
+    "q_llm_simhash_banded128",  # new in r16 — never driver-checked
+    "q_llm_minhash_lsh",  # Arrow signature build (r16 §1b)
+    "q_llm_dedup_clusters",  # consume the rewritten signature memo
+    "q_llm_dedup_keep",
+    "q_llm_dedup_incremental",
+    "q_graph_triangles",  # triangle_node_counts fold (r16 §6)
+    "q_graph_local_clustering",
+    "q_graph_pagerank",  # heap-scaled broadcast cap + gated hints
+    "q_graph_wcc",  # (r16 §2-3)
+    "q_graph_bfs",
+    "q_graph_kcore",
+    "q_graph_label_propagation",
+    "q_graph_landmark_closeness",
+    "q_graph_common_neighbors",  # exchange-free wedge groupBy (r16 §5)
+    "q_stream_update_mode",  # executor-side changelog fold (r16 §7)
 )
 
-VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # (a) new in r15 — never driver-checked
-    "q_agg_observe",  # df.observe/Observation pass metrics
-    "q_sink_python_ds",  # Python DataSource writer + manifest commit
-    "q_sql_group_by_all",  # GROUP BY ALL / ORDER BY ALL inference
-    "q_sql_pipe",  # SQL pipe syntax |> operator chain
-    "q_sql_session_vars",  # DECLARE/SET VARIABLE + EXECUTE IMMEDIATE
-    "q_sql_unpivot",  # SQL UNPIVOT clause (parser twin of q_unpivot)
-    "q_transpose",  # DataFrame.transpose matrix flip
-    # (b) r9-stale cohort, alphabetical (oldest driver verdicts)
-    "q_fn_url_parse",
-    "q_fn_variant",
-    "q_join_asof_tolerance",
-    "q_join_bloom_runtime",
-    "q_llm_bigram_lm",
-    "q_llm_domain_cap",
-    "q_llm_dup_ngram_coverage",
-    "q_llm_entropy",
-    "q_llm_feature_hash",
-    "q_llm_lsh_audit",
-    "q_llm_ngram_novelty",
-    "q_llm_pmi_bigrams",
-    "q_llm_safety_wordlist",
-    "q_llm_snapshot_diff",
-    "q_llm_source_overlap",
-    "q_llm_vocab_growth",
-    "q_llm_winnowing",
-    "q_llm_zipf_slope",
-    "q_merge_upsert",
-    "q_scan_binary",
-    "q_scan_csv_malformed",
-    "q_sink_csv_roundtrip",
-    "q_stream_chained_windows",
-    "q_stream_sink",
-    "q_ts_autocorr",
-    "q_ts_ewma",
-    "q_ts_median_filter",
-    "q_ts_peak_detect",
-    "q_ts_rolling_corr",
-    "q_ts_seasonal_hod",
-    # (c) r10-stale cohort, first 13 alphabetical (remaining 34 roll
-    # to r17)
-    "q_agg_approx_distinct",
-    "q_agg_count_distinct",
-    "q_agg_decimal_exact",
-    "q_agg_gini",
-    "q_agg_global",
-    "q_agg_group",
-    "q_agg_hll_union",
-    "q_agg_pareto",
-    "q_agg_percentile",
-    "q_agg_rfm",
-    "q_agg_sketch_audit",
-    "q_anon_ldiversity",
-    "q_dq_rules",
-    # --- 50-key window boundary ---
-    # r10-stale remainder, alphabetical (queue for r17)
+VERIFICATION_PRIORITY: tuple[str, ...] = ROTATION_BLAST_HEAD + (
+    # r10-stale cohort, alphabetical, first 33 — fills the window to 50
     "q_events_attribution",
     "q_events_markov",
     "q_filter_compare",
@@ -213,9 +182,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "q_win_frame_rows",
     "q_win_lag_lead",
     "q_win_ranking",
+    # --- 50-key window boundary ---
+    # r10-stale remainder (queue for r18)
     "q_win_topk_group",
-    # round-16 additions, appended as they land (= ROTATION_NEW_KEYS)
-    "q_llm_simhash_banded128",
 )
 
 

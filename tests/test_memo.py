@@ -124,13 +124,17 @@ def test_dedup_memos_evict_superseded_same_path_entries(spark):
 
 
 def test_registry_window_is_the_stale_cohort():
-    """The rotation policy (VERDICT r15 items 1-2): the driver checks a
-    50-key prefix of load_all(), so the prefix must be (a) the keys
-    with NO driver verdict in any CORRECTNESS artifact the rotation
-    could see, then (b) the stalest cohorts in round order (alphabetical
-    within a cohort), truncated to fill the window. Computed from the
-    committed driver artifacts, not hand-pinned indices, so the
-    assertion IS the rotation policy.
+    """The rotation policy (VERDICT r15 items 1-2, amended by VERDICT
+    r16 item 1 for round 17): the driver checks a 50-key prefix of
+    load_all(), so the prefix must be (a) the pinned optimization
+    blast radius — keys whose physical plan the previous round rewrote
+    without a driver re-verdict since (ROTATION_BLAST_HEAD; empty in a
+    round with no standing blast radius) — then (b) the keys with NO
+    driver verdict in any CORRECTNESS artifact the rotation could see,
+    then (c) the stalest cohorts in round order (alphabetical within a
+    cohort), truncated to fill the window. Computed from the committed
+    driver artifacts, not hand-pinned indices, so the assertion IS the
+    rotation policy.
 
     The artifact glob is FILTERED to rounds < registry.ROTATION_ROUND:
     the driver lands CORRECTNESS_r{N}.json AFTER the builder's close, so
@@ -145,6 +149,7 @@ def test_registry_window_is_the_stale_cohort():
     import re
 
     from sparkstreamingtohdfsofsensorsdata_spark.registry import (
+        ROTATION_BLAST_HEAD,
         ROTATION_NEW_KEYS,
         ROTATION_ROUND,
         VERIFICATION_PRIORITY,
@@ -165,18 +170,24 @@ def test_registry_window_is_the_stale_cohort():
             if k.startswith("q_"):
                 latest[k] = max(latest.get(k, 0), r)
     allk = set(registry.load_all())
+    # the pinned blast radius heads the window (VERDICT r16 item 1) and
+    # must consist of registered keys
+    assert set(ROTATION_BLAST_HEAD) <= allk
     # mid-round additions queue at the VP tail and head the NEXT
     # rotation — they are never-checked too, but were not visible when
     # this window was computed
-    never = sorted(allk - set(latest) - set(ROTATION_NEW_KEYS))
+    never = sorted(
+        allk - set(latest) - set(ROTATION_NEW_KEYS) - set(ROTATION_BLAST_HEAD)
+    )
     by_round: dict[int, list] = {}
     for k, v in latest.items():
-        if k in allk:
+        if k in allk and k not in ROTATION_BLAST_HEAD:
             by_round.setdefault(v, []).append(k)
-    # never-checked first, then cohorts oldest-round first; stop at the
-    # first cohort that crosses the 50-key boundary — its tail (sliced
-    # alphabetically) is the queue for the NEXT rotation.
-    expected = list(never)
+    # blast radius first, then never-checked, then cohorts oldest-round
+    # first; stop at the first cohort that crosses the 50-key boundary —
+    # its tail (sliced alphabetically) is the queue for the NEXT
+    # rotation.
+    expected = list(ROTATION_BLAST_HEAD) + list(never)
     for r in sorted(by_round):
         if len(expected) >= 50:
             break
@@ -201,7 +212,9 @@ def test_registry_window_is_the_stale_cohort():
     assert tail == list(ROTATION_NEW_KEYS), policy_msg
     assert len(set(front)) == 50
     # keys the previous driver window greened must NOT occupy slots
-    for greened in ("q_anon_pseudonym", "q_graph_triangles", "q_agg_mode"):
+    # (r16-greened picks; the blast-radius head legitimately re-checks
+    # keys older windows greened, so the canaries must be outside it)
+    for greened in ("q_agg_observe", "q_fn_url_parse", "q_ts_ewma"):
         assert greened not in front, policy_msg
 
 
