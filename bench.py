@@ -111,6 +111,65 @@ class _CpuMeter:
             return None
 
 
+class _PyCpuMeter:
+    """Python-worker CPU sampler (VERDICT r16 item 3): r16 moved the
+    hottest per-row work (simhash/minhash folds) from interpreted JVM
+    expressions into Arrow kernels, which the JVM-side `_CpuMeter`
+    cannot see — the JVM idles while batches are in Python, so a
+    regression inside a kernel would be invisible to the CPU-floor
+    audit. This meter reads /proc for the pyspark daemon/worker
+    processes (local mode: children of the driver JVM) and sums their
+    utime+stime, monotone per PID so a worker's CPU is never counted
+    twice and survives the worker's death at its last-sampled value
+    (workers are reused for the whole bench by default, so mid-key
+    deaths — the only loss window — are rare). Sampled at the same key
+    boundaries as the JVM meter, OUTSIDE every timed region; each poll
+    is one /proc scan (~2 ms). Every failure degrades to
+    ``enabled=False`` — metering must never sink a bench run."""
+
+    def __init__(self) -> None:
+        self._seen: dict[int, int] = {}  # pid -> max (utime+stime) ticks
+        try:
+            self._tck = os.sysconf("SC_CLK_TCK") or 100
+        except (OSError, ValueError):  # pragma: no cover
+            self._tck = 100
+        self.enabled = os.path.isdir("/proc")
+
+    def sample(self) -> float | None:
+        """Advance the monotone per-PID counters; return cumulative
+        Python-worker CPU seconds."""
+        if not self.enabled:
+            return None
+        try:
+            for pid_dir in os.listdir("/proc"):
+                if not pid_dir.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{pid_dir}/cmdline", "rb") as fh:
+                        cmd = fh.read()
+                    if (
+                        b"pyspark.daemon" not in cmd
+                        and b"pyspark.worker" not in cmd
+                    ):
+                        continue
+                    with open(f"/proc/{pid_dir}/stat") as fh:
+                        st = fh.read()
+                    # fields after the ")" that closes comm: state ppid
+                    # ... utime is field 14 overall = index 11 here
+                    fields = st[st.rindex(")") + 2 :].split()
+                    ticks = int(fields[11]) + int(fields[12])
+                    pid = int(pid_dir)
+                    if ticks > self._seen.get(pid, 0):
+                        self._seen[pid] = ticks
+                except (OSError, ValueError, IndexError):
+                    continue  # process raced away mid-read
+            return sum(self._seen.values()) / self._tck
+        except Exception as exc:  # pragma: no cover - meter must not sink bench
+            print(f"bench: py cpu meter disabled: {exc}", file=sys.stderr)
+            self.enabled = False
+            return None
+
+
 def _warmup(spark, sf_dir: str) -> None:
     """Start the JVM pipelines, the Python UDF workers, and the parquet
     reader before timing.
@@ -124,11 +183,24 @@ def _warmup(spark, sf_dir: str) -> None:
 
     @pandas_udf("double")
     def _identity(s: pd.Series) -> pd.Series:
+        # r17 (VERDICT r16 items 3+6): spawn AND fast-path every worker
+        # up front — numpy/pyarrow imports land here (the heavy-library
+        # init several kernels pay on their first key otherwise), and
+        # workerfast.activate() pins the per-task fixed costs (zip
+        # re-scan + full gc) down for the whole bench, so per-key
+        # py_cpu_s reads kernel work, not worker boot.
+        import numpy  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        from sparkstreamingtohdfsofsensorsdata_spark.workerfast import activate
+
+        activate()
         return s
 
-    spark.range(1000).repartition(32).select(_identity("id")).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    n_par = spark.sparkContext.defaultParallelism
+    spark.range(100 * n_par).repartition(n_par).select(
+        _identity("id")
+    ).write.format("noop").mode("overwrite").save()
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).write.format(
         "noop"
     ).mode("overwrite").save()
@@ -459,6 +531,9 @@ def _stdout_line(payload: dict) -> dict:
             # contention-immune companion to `value`: total executor
             # CPU s of the kept runs (per-key map in bench_last.json)
             "cpu_total": payload.get("cpu_total"),
+            # Python-worker CPU s (Arrow kernels; per-key map in
+            # bench_last.json py_cpu_s) — r17, VERDICT r16 item 3
+            "py_cpu_total": payload.get("py_cpu_total"),
             # rocksdb state-store canary rows/s (error → null)
             "stream_rps_rocksdb": payload.get("stream_canary", {})
             .get("rocksdb", {})
@@ -622,9 +697,12 @@ def main() -> None:
     _warmup(spark, sf_dir)
     meter = _CpuMeter(spark)
     cursor = meter.sample()  # cumulative CPU after warmup = key-0 baseline
+    pymeter = _PyCpuMeter()
+    py_cursor = pymeter.sample()  # Python-worker CPU after warmup
     specs = load_all()
     timings: dict[str, float] = {}
     cpus: dict[str, float] = {}  # executor CPU s of the KEPT run
+    py_cpus: dict[str, float] = {}  # Python-worker CPU s of the KEPT run
     loads: dict[str, float] = {}  # 1-min load when the key's KEPT run started
     reruns: dict[str, float] = {}  # rerun wall-clock for adjudicated keys
     # intermediate costs fronted for their canonical payers (see above)
@@ -637,6 +715,7 @@ def main() -> None:
         GRAPH_CC_PAYER: 0.0,
     }
     prepaid_cpu = dict.fromkeys(prepaid, 0.0)
+    prepaid_py = dict.fromkeys(prepaid, 0.0)
     # Audit trail (VERDICT r12 item 2): every shared-memo build this
     # run actually executed — payer slot it was charged to, the key
     # boundary that triggered it ("<upfront>" for the pinned block
@@ -644,9 +723,10 @@ def main() -> None:
     memo_payments: list[dict] = []
 
     def charge(payer: str, build_fn, trigger: str) -> None:
-        """Run a payer-charged materialization, attributing both its
-        wall-clock and its executor CPU to the payer's slot."""
-        nonlocal cursor
+        """Run a payer-charged materialization, attributing its
+        wall-clock, executor CPU, and Python-worker CPU to the payer's
+        slot."""
+        nonlocal cursor, py_cursor
         wall = build_fn(spark, sf_dir)
         prepaid[payer] += wall
         after = meter.sample()
@@ -655,6 +735,10 @@ def main() -> None:
             cpu = round(after - cursor, 3)
             prepaid_cpu[payer] += after - cursor
         cursor = after
+        py_after = pymeter.sample()
+        if py_cursor is not None and py_after is not None:
+            prepaid_py[payer] += py_after - py_cursor
+        py_cursor = py_after
         memo_payments.append(
             {"payer": payer, "trigger": trigger, "wall_s": round(wall, 3), "cpu_s": cpu}
         )
@@ -736,13 +820,20 @@ def main() -> None:
             if cursor is not None and after is not None:
                 cpus[name] = round(after - cursor, 3)
             cursor = after
+            py_after = pymeter.sample()
+            if py_cursor is not None and py_after is not None:
+                py_cpus[name] = round(py_after - py_cursor, 3)
+            py_cursor = py_after
         except Exception as exc:  # a failing query must not sink the run
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
             cursor = meter.sample()  # don't charge the wreckage downstream
+            py_cursor = pymeter.sample()
     for payer, cost in prepaid.items():
         if prepaid_cpu.get(payer) and cpus.get(payer, -1.0) >= 0:
             cpus[payer] = round(cpus[payer] + prepaid_cpu[payer], 3)
+        if prepaid_py.get(payer) and py_cpus.get(payer, -1.0) >= 0:
+            py_cpus[payer] = round(py_cpus[payer] + prepaid_py[payer], 3)
         if not cost:
             continue
         if timings.get(payer, -1.0) >= 0:
@@ -863,15 +954,25 @@ def main() -> None:
                     else None
                 )
                 cursor = after
+                py_after = pymeter.sample()
+                rerun_py = (
+                    round(py_after - py_cursor, 3)
+                    if py_cursor is not None and py_after is not None
+                    else None
+                )
+                py_cursor = py_after
                 reruns[name] = rerun
                 if rerun < timings[name]:
                     timings[name] = rerun
                     loads[name] = rerun_load
                     if rerun_cpu is not None:
                         cpus[name] = rerun_cpu
+                    if rerun_py is not None:
+                        py_cpus[name] = rerun_py
             except Exception as exc:
                 print(f"bench: {name} rerun FAILED: {exc}", file=sys.stderr)
                 cursor = meter.sample()
+                py_cursor = pymeter.sample()
     canary = _stream_canary(spark, sf_dir)
     spark.stop()
 
@@ -887,6 +988,14 @@ def main() -> None:
         # headline because they are what BASELINE.md's history is in.
         "cpu_s": cpus,
         "cpu_total": round(sum(cpus.values()), 1) if cpus else None,
+        # Python-worker CPU seconds of each key's KEPT run (VERDICT r16
+        # item 3): the Arrow-kernel companion to cpu_s — work the JVM
+        # meter cannot see because the JVM idles while batches are in
+        # Python workers. Keys that never cross the Python boundary
+        # read ~0; the simhash/minhash/heavy-hitters keys must read
+        # nonzero or their kernels silently stopped being audited.
+        "py_cpu_s": py_cpus,
+        "py_cpu_total": round(sum(py_cpus.values()), 1) if py_cpus else None,
         "sf": sf,
         # Contention adjudication record (VERDICT r8 item 3): `load_1m`
         # is the 1-min load when each key's KEPT run started; `rerun_s`

@@ -1045,6 +1045,9 @@ def _mg_candidates(batches):
     """
     import pandas as pd
 
+    from sparkstreamingtohdfsofsensorsdata_spark.workerfast import activate
+
+    activate()
     counters: dict[int, int] = {}
     for pdf in batches:
         for g, c in pdf["gh"].value_counts().items():
