@@ -152,6 +152,13 @@ class _PyCpuMeter:
                         and b"pyspark.worker" not in cmd
                     ):
                         continue
+                    # argv[0] must be a python executable: a shell whose
+                    # command STRING merely mentions the module (e.g. a
+                    # wrapper that launched this bench) must not be
+                    # counted as a worker
+                    argv0 = cmd.split(b"\0", 1)[0]
+                    if b"python" not in os.path.basename(argv0):
+                        continue
                     with open(f"/proc/{pid_dir}/stat") as fh:
                         st = fh.read()
                     # fields after the ")" that closes comm: state ppid

@@ -990,21 +990,37 @@ MG_CAPACITY = 512
 HEAVY_HITTERS_K = 25
 
 
-def _gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-only document stream for the heavy-hitters passes. The
+    fixture ships documents as ONE parquet file, so without the
+    repartition both Arrow passes run on a single core — 16 s at sf0.1
+    on a 32-core box. Repartitioning at the DOCUMENT level (hash on
+    doc_id, deterministic) restores the parallelism a real multi-file
+    corpus has natively. The MG superset guarantee is
+    partitioning-independent (pigeonhole per partition), so the exact
+    recount output is unchanged."""
     from ..tables import load as _load
 
     docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    # The fixture ships documents as ONE parquet file, so without this
-    # the whole gram stream (and both Arrow mapInPandas passes) runs on
-    # a single core — 16 s at sf0.1 on a 32-core box. Repartitioning at
-    # the DOCUMENT level (hash on doc_id, deterministic) restores the
-    # parallelism a real multi-file corpus has natively; the shuffle
-    # moves documents, never the exploded grams. The MG superset
-    # guarantee is partitioning-independent (pigeonhole per partition),
-    # so the exact recount output is unchanged.
-    docs = docs.repartition(
+    return docs.repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    ).select("text")
+
+
+def _gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM spelling of the gram stream (unigrams + word trigrams) —
+    since r17 the RETAINED EXECUTABLE SPEC, not the production path
+    (the _simhash_df_sql precedent): the trigram builder is a
+    higher-order-function lambda tree, which is CodegenFallback —
+    interpreted per element — and interpreted expression trees are
+    exactly the JIT-deopt-storm surface r16 root-caused on the simhash
+    fold (this key read 203 executor-CPU-s on one r17 bench run vs a
+    9.7 s quiet-host floor, with an identical plan). The production
+    passes (_mg_candidates_text / the recount kernel in
+    q_agg_heavy_hitters) generate the same grams inside the Arrow
+    kernel; tests/test_similarity.py pins this spelling against the
+    kernel's gram generation and the MG superset guarantee."""
+    docs = _docs_stream(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     tri = F.when(
         F.size(toks) >= 3,
@@ -1021,42 +1037,67 @@ def _gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(F.explode(F.concat(toks, tri)).alias("gram"))
 
 
-def _mg_candidates(batches):
-    """Per-partition Misra-Gries summary over Arrow batches of int64
-    GRAM HASHES (xxhash64, computed JVM-side before the Python
-    boundary — an int64 column costs a fraction of the gram strings in
-    Arrow transfer and value_counts time; with the doc-level
-    repartition this lands the two-pass query at ~3 s warm / ~11 s
-    cold-workers at sf0.1, vs 16 s before the pair of fixes).
+def _count_grams_into(counts: dict, texts, want=None) -> None:
+    """Fold one Arrow batch of texts into ``counts``: unigrams + word
+    trigrams, the exact gram set `_gram_stream` spells in JVM
+    expressions (``tx.split(" ")`` keeps empty tokens exactly like
+    ``F.split(text, ' ')`` / DuckDB ``string_split``; pinned by
+    test_gram_kernel_matches_jvm_spelling). With ``want`` (a set),
+    only member grams are counted — the recount pass."""
+    for tx in texts:
+        toks = tx.split(" ")
+        if want is None:
+            for g in toks:
+                counts[g] = counts.get(g, 0) + 1
+            for i in range(len(toks) - 2):
+                g = f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                counts[g] = counts.get(g, 0) + 1
+        else:
+            for g in toks:
+                if g in want:
+                    counts[g] = counts.get(g, 0) + 1
+            for i in range(len(toks) - 2):
+                g = f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                if g in want:
+                    counts[g] = counts.get(g, 0) + 1
 
-    Batched form: merge each batch's value_counts into the running
-    summary; when the summary exceeds capacity, subtract the
-    (capacity+1)-th largest count from every counter and drop the
-    non-positive ones (the standard MG merge/prune). Each prune
-    removes >= (capacity+1) * d stream mass, so the total undercount
-    of any key is <= N_partition / (capacity + 1) — which is what
-    guarantees every gram with global count > N / (capacity+1)
-    survives in at least one partition's candidate set (pigeonhole
-    over partitions). Hashing cannot break the guarantee: a collision
-    only MERGES mass into a counter (counts never decrease), so true
-    heavy hitters still survive; a spurious survivor just costs one
-    extra exact-recount key, and the recount joins back on the REAL
-    gram string, so the final top-k is exact either way.
-    """
-    import pandas as pd
+
+def _mg_candidates_text(batches):
+    """Pass 1 (r17): per-partition Misra-Gries sketch straight off the
+    text column — tokenization, trigram build, and the MG merge/prune
+    all inside the Arrow kernel, emitting <= MG_CAPACITY candidate
+    gram STRINGS per partition.
+
+    r17 rationale (guide §4.2, the r16 simhash-playbook): the JVM gram
+    stream's trigram builder is a higher-order-function lambda tree —
+    CodegenFallback, interpreted per element, and the documented
+    JIT-deopt-storm surface (this key spiked to 203 executor-CPU-s on
+    an r17 bench run at an identical plan; quiet-host floor 9.7).
+    Generating the grams in the kernel removes the interpreted tree,
+    the 500k-row explode, the xxhash projection, and pass 2's
+    broadcast join outright; the sketch guarantee is unchanged (the
+    string domain drops even the hash-collision caveat). MG merge
+    semantics are identical to _mg_candidates: merge a batch's counts,
+    then subtract the (capacity+1)-th largest and drop non-positives
+    when over capacity."""
+    import pyarrow as pa
 
     from sparkstreamingtohdfsofsensorsdata_spark.workerfast import activate
 
     activate()
-    counters: dict[int, int] = {}
-    for pdf in batches:
-        for g, c in pdf["gh"].value_counts().items():
-            counters[g] = counters.get(g, 0) + int(c)
+    counters: dict[str, int] = {}
+    for batch in batches:
+        fresh: dict[str, int] = {}
+        _count_grams_into(fresh, batch.column(0).to_pylist())
+        for g, c in fresh.items():
+            counters[g] = counters.get(g, 0) + c
         if len(counters) > MG_CAPACITY:
             vals = sorted(counters.values(), reverse=True)
             d = vals[MG_CAPACITY]
             counters = {g: c - d for g, c in counters.items() if c > d}
-    yield pd.DataFrame({"gh": pd.array(list(counters.keys()), dtype="int64")})
+    yield pa.RecordBatch.from_arrays(
+        [pa.array(list(counters.keys()), type=pa.string())], ["gram"]
+    )
 
 
 @query(
@@ -1086,31 +1127,60 @@ def _mg_candidates(batches):
 def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 most frequent n-grams via the two-pass frequent-items
     pattern: (1) a per-partition Misra-Gries sketch (capacity 512,
-    Arrow-batched mapInPandas) emits a small candidate set with the
-    guarantee that every gram of global frequency > N/513 survives;
-    (2) the candidates broadcast back into the stream and ONLY they
-    are exactly recounted, so the final answer is exact — equal to
-    the full groupBy's top-k whenever the k-th count clears the
-    sketch floor (asserted at every fixture SF; min top-25 count is
-    ~17x the floor at sf0.01).
+    Arrow kernel over the text column) emits a small candidate set
+    with the guarantee that every gram of global frequency > N/513
+    survives; (2) ONLY the candidates are exactly recounted — a second
+    Arrow pass emits per-partition partial counts for the candidate
+    set, summed by one gram-keyed exchange — so the final answer is
+    exact: equal to the full groupBy's top-k whenever the k-th count
+    clears the sketch floor (asserted at every fixture SF; min top-25
+    count is ~17x the floor at sf0.01).
+
+    r17 rewrite (guide §4.2; see _mg_candidates_text): gram generation
+    moved inside the Arrow kernels, removing the interpreted-HOF
+    trigram builder (the JIT-storm surface — 203 CPU-s on one bench
+    run), both 500k-row explodes, the xxhash projection, and the
+    pass-2 broadcast hash join. The candidate set rides a Spark
+    broadcast variable into the recount kernel (same driver posture as
+    the old F.broadcast(cands): bounded by capacity x partitions,
+    small because true heavies repeat across partitions).
 
     Scale shape: pass 1 shuffles nothing (sketch rides the scan,
-    emitting <= 512 rows per partition); pass 2's shuffle carries
-    map-side-combined partial counts for <= |candidates| grams
-    instead of the full gram cardinality — at 100 TB that is the
-    difference between exchanging ~10^2 candidate keys and ~10^9
-    distinct trigrams. A production run fuses the two passes by
-    caching the tokenized stream; here each pass re-derives it from
-    the scan to keep the key stateless."""
-    grams = _gram_stream(spark, sf_dir)
-    hashed = grams.select("gram", F.xxhash64("gram").alias("gh"))
-    cands = (
-        hashed.select("gh").mapInPandas(_mg_candidates, "gh long").distinct()
-    )
+    emitting <= 512 rows per partition); pass 2's one exchange carries
+    <= |candidates| partial-count rows per partition instead of the
+    full gram cardinality — at 100 TB that is the difference between
+    exchanging ~10^2 candidate keys and ~10^9 distinct trigrams. A
+    production run fuses the two passes by caching the tokenized
+    stream; here each pass re-derives it from the scan to keep the key
+    stateless."""
+    docs = _docs_stream(spark, sf_dir)
+    cand_rows = docs.mapInArrow(_mg_candidates_text, "gram string").collect()
+    bc = spark.sparkContext.broadcast(sorted({r.gram for r in cand_rows}))
+
+    def recount(batches):
+        import pyarrow as pa
+
+        from sparkstreamingtohdfsofsensorsdata_spark.workerfast import (
+            activate,
+        )
+
+        activate()
+        want = frozenset(bc.value)
+        counts: dict[str, int] = {}
+        for batch in batches:
+            _count_grams_into(counts, batch.column(0).to_pylist(), want)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(counts.keys()), type=pa.string()),
+                pa.array(list(counts.values()), type=pa.int64()),
+            ],
+            ["gram", "cnt"],
+        )
+
     return (
-        hashed.join(F.broadcast(cands), "gh")
+        docs.mapInArrow(recount, "gram string, cnt long")
         .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("freq"))
+        .agg(F.sum("cnt").alias("freq"))
         .orderBy(F.col("freq").desc(), "gram")
         .limit(HEAVY_HITTERS_K)
     )

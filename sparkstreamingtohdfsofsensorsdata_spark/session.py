@@ -101,6 +101,36 @@ def _package_zip() -> str:
     return zpath
 
 
+FASTDAEMON_MODULE = "sparkstreamingtohdfsofsensorsdata_spark.fastdaemon"
+
+
+def _fastdaemon_available() -> bool:
+    """True iff the warm-fork daemon module (fastdaemon.py) will be
+    importable by the Python worker processes — which requires the
+    package's parent directory on the PYTHONPATH **environment
+    variable** (the daemon is a fresh ``python -m`` process; the
+    driver's sys.path does not reach it). Exports the path when the
+    JVM has not launched yet; if a JVM is already up without it, the
+    daemon module could not import, so report False and leave the
+    stock daemon in place (r17, see fastdaemon.py for the measured
+    rationale)."""
+    from pyspark import SparkContext
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isfile(os.path.join(pkg_dir, "fastdaemon.py")):
+        return False  # running from a zip/egg: not reachable by -m
+    root = os.path.dirname(pkg_dir)
+    current = os.environ.get("PYTHONPATH", "")
+    if root in current.split(os.pathsep):
+        return True
+    if SparkContext._gateway is not None:
+        return False  # JVM env is frozen and lacks the path
+    os.environ["PYTHONPATH"] = (
+        current + os.pathsep + root if current else root
+    )
+    return True
+
+
 def build_session(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,
@@ -176,6 +206,17 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    # Warm-fork Python daemon (r17, guide §4.5): workers are forked
+    # from a daemon that already imported numpy/pandas/pyarrow and
+    # applied workerfast.activate(), so respawned workers (the JVM
+    # reaps the idle pool after a hardcoded 1 minute) cost a bare fork
+    # instead of ~0.6 CPU-s of imports, and no task anywhere pays the
+    # per-task zip re-scan / full-gc fixed costs. Gated on the module
+    # being importable by the worker processes — see fastdaemon.py.
+    if _fastdaemon_available():
+        builder = builder.config(
+            "spark.python.daemon.module", FASTDAEMON_MODULE
+        )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
 

@@ -719,14 +719,18 @@ def test_semdedup_bucket_equi_join_no_python(spark):
 
 
 def test_heavy_hitters_recount_broadcasts_candidates(spark):
-    # Pass 2 joins the gram stream against the sketched candidate set:
-    # the candidates must be the broadcast side (the stream never
-    # shuffles for the join), and the exact recount partial-aggregates
-    # map-side before its one exchange.
+    # r17 shape: both passes are Arrow kernels over the text column
+    # (the interpreted-HOF gram stream, the explodes, the xxhash
+    # projection and the pass-2 broadcast join are gone); the one
+    # exchange carries candidate partial counts, partial-aggregated
+    # map-side under the global top-k.
     text = inspect.plan_str(q(spark, "q_agg_heavy_hitters"))
-    assert "BroadcastHashJoin" in text or "BroadcastExchange" in text
-    assert "partial_count" in text or "partial_" in text
+    assert "MapInArrow" in text
+    assert "partial_sum" in text or "partial_" in text
     assert "TakeOrderedAndProject" in text
+    assert "BroadcastHashJoin" not in text
+    assert "xxhash64" not in text
+    assert "Generate" not in text  # no explode of the gram stream
 
 
 def test_skew_salted_two_stage_partials(spark):

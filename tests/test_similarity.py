@@ -165,38 +165,94 @@ def test_cc_labels_at_bench_scale_match_union_find(spark):
 
 
 def test_mg_candidates_superset_of_true_topk(spark):
-    # The Misra-Gries guarantee made executable: the candidate union
-    # (int64 xxhash64 domain — collisions only merge mass, so the
-    # superset property is hash-proof) must contain every gram of the
-    # exact top-25 (it provably contains every gram with count >
+    # The Misra-Gries guarantee made executable for the r17 text
+    # kernel: the candidate union must contain every gram of the exact
+    # top-25 (it provably contains every gram with count >
     # N/(capacity+1); the fixture's 25th count clears that floor by
     # >10x), and each partition emits at most MG_CAPACITY candidates.
+    # The exact top-25 is computed from the RETAINED JVM spelling
+    # (_gram_stream), so this also cross-checks the kernel's gram
+    # domain against the executable spec.
     from pyspark.sql import functions as F
 
     from sparkstreamingtohdfsofsensorsdata_spark.operators.aggregates import (
         HEAVY_HITTERS_K,
         MG_CAPACITY,
+        _docs_stream,
         _gram_stream,
-        _mg_candidates,
+        _mg_candidates_text,
     )
 
-    grams = _gram_stream(spark, SF)
-    hashed = grams.select(F.xxhash64("gram").alias("gh"))
-    n_parts = hashed.rdd.getNumPartitions()
+    docs = _docs_stream(spark, SF)
+    n_parts = docs.rdd.getNumPartitions()
     cands = {
-        r.gh for r in hashed.mapInPandas(_mg_candidates, "gh long").collect()
+        r.gram
+        for r in docs.mapInArrow(_mg_candidates_text, "gram string").collect()
     }
     assert len(cands) <= n_parts * MG_CAPACITY
     true_topk = {
-        r.gh
-        for r in grams.groupBy("gram")
+        r.gram
+        for r in _gram_stream(spark, SF)
+        .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), "gram")
         .limit(HEAVY_HITTERS_K)
-        .select(F.xxhash64("gram").alias("gh"))
         .collect()
     }
     assert true_topk <= cands
+
+
+def test_gram_kernel_matches_jvm_spelling(spark):
+    # The Python gram generator (_count_grams_into, used by both r17
+    # heavy-hitters passes) must produce EXACTLY the multiset the
+    # retained JVM HOF spelling (_gram_stream) produces — empty-token
+    # splits, short docs, and unicode included. Full-count equality on
+    # the sf0.001 fixture corpus is the strongest cheap pin.
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtohdfsofsensorsdata_spark.operators.aggregates import (
+        _count_grams_into,
+        _gram_stream,
+    )
+    from sparkstreamingtohdfsofsensorsdata_spark.tables import load
+
+    jvm = {
+        r.gram: r.freq
+        for r in _gram_stream(spark, SF)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    }
+    texts = [
+        r.text
+        for r in load(spark, SF, "documents")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    ]
+    # hostile edges the fixture may not cover
+    texts += ["", " ", "a", "a b", "a  b c", "x y z w", "é 中 é 中"]
+    for tx in ["", " ", "a", "a b", "a  b c", "x y z w", "é 中 é 中"]:
+        row = spark.createDataFrame([(0, tx)], "doc_id long, text string")
+        toks = F.split(F.col("text"), " ")
+        tri = F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        for r in row.select(
+            F.explode(F.concat(toks, tri)).alias("gram")
+        ).collect():
+            jvm[r.gram] = jvm.get(r.gram, 0) + 1
+    py: dict = {}
+    _count_grams_into(py, texts)
+    assert py == jvm
 
 
 def test_semdedup_drop_rule_and_threshold(spark):
