@@ -2007,30 +2007,43 @@ def q_agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-pair mining over order baskets with support and lift —
     the association-rule primitive behind co-purchase recommenders.
 
-    Scale shape: baskets dedupe to DISTINCT (order, part) first (one
-    map-side-combinable distinct), the pair stream is a self-join
-    CO-PARTITIONED on the order key (the same one shuffle
-    graph.copurchase_edges pays; fan-out is bounded by basket size
-    squared, never corpus size), and pair counts aggregate with
-    map-side partials. Item counts join back onto the AGGREGATED pair
-    table (pair-count-sized, far smaller than the pair stream), the
-    1-row basket total rides a broadcast crossJoin, and the top-k cut
-    is orderBy+limit = TakeOrderedAndProject — no global sort. Support
-    and lift are BIGINT floor-division ratios (ppm / micros): exact on
-    both engines, no doubles anywhere."""
-    op = (
+    Scale shape (r17 rewrite, guide §2.3-2.4 — the copurchase_edges
+    treatment): ONE groupBy(order) folds each basket into a sorted
+    DISTINCT part array (partial_collect_set map-side; the set
+    subsumes the old separate (order, part) DISTINCT pass), and the
+    src<dst pair stream is generated in-stage by two chained Generates
+    (posexplode + slice — codegen'd, no lambdas) straight into the
+    map-side-combined pair count. The old spelling shuffled the
+    distinct (order, part) stream three more times (both self-join
+    sides plus its own distinct); the basket total and per-item counts
+    now fold off the same per-order arrays. Fan-out stays bounded by
+    basket size squared, never corpus size. Item counts join back onto
+    the AGGREGATED pair table (pair-count-sized, far smaller than the
+    pair stream), the 1-row basket total rides a broadcast crossJoin,
+    and the top-k cut is orderBy+limit = TakeOrderedAndProject — no
+    global sort. Support and lift are BIGINT floor-division ratios
+    (ppm / micros): exact on both engines, no doubles anywhere.
+    Measured min-of-4 at sf0.1: 2.56 s wall / 6.36 CPU-s -> see
+    OPTIMIZATION_r17.md; identical top-k (oracle-green at 3 SFs)."""
+    per_order = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
     )
-    total = op.agg(F.count_distinct("ok").alias("total"))
-    item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
-    a, b = op.alias("a"), op.alias("b")
+    total = per_order.agg(F.count(F.lit(1)).alias("total"))
+    item = (
+        per_order.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
     pair = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(
-            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        per_order.select("ps", F.posexplode("ps").alias("i", "part_a"))
+        .select(
+            "part_a",
+            F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("part_b"),
         )
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )
     ia = item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a"))
