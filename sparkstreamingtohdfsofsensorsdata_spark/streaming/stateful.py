@@ -51,8 +51,18 @@ def _alert_fn(
     if not batches:
         state.update((run,))
         return
-    pdf = pd.concat(batches).sort_values(["ts", "event_id"])
-    high = pdf["value"].to_numpy() > ALERT_THRESHOLD
+    # r17 per-group diet: this function runs once per (user, micro-batch)
+    # — ~16k calls per replay at sf0.1 — so the per-call pandas overhead
+    # (concat copy + sort_values) was most of the key's Python CPU.
+    # Single-batch groups skip the concat, and the (ts, event_id) sort
+    # is a numpy lexsort over the already-extracted columns (identical
+    # total order: lexsort's last key is primary).
+    pdf = batches[0] if len(batches) == 1 else pd.concat(batches)
+    ts = pdf["ts"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    val = pdf["value"].to_numpy()
+    order = np.lexsort((eid, ts))
+    high = val[order] > ALERT_THRESHOLD
     n = len(high)
     # run[i] = length of the consecutive-high run ending at i:
     # distance to the most recent non-high position (vectorized fold).
@@ -63,7 +73,7 @@ def _alert_fn(
     first_low = lows[0] if lows.size else n
     run_vec[:first_low] += run  # carry the run in progress from prior batches
     state.update((int(run_vec[-1]),))
-    alert_ids = pdf["event_id"].to_numpy()[run_vec >= RUN_LENGTH]
+    alert_ids = eid[order][run_vec >= RUN_LENGTH]
     if alert_ids.size:
         yield pd.DataFrame({"user_id": user_id, "event_id": alert_ids})
 
