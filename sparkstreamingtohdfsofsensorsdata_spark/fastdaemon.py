@@ -63,6 +63,17 @@ def _prewarm() -> None:
     except Exception:  # pragma: no cover
         pass
     try:
+        # Pre-import the whole operator surface (~0.1 CPU-s once) so a
+        # fork's first by-reference unpickle finds every kernel module
+        # already in sys.modules — otherwise each of 32 workers pays
+        # the import on its first task (~3-4 CPU-s per wave, visible as
+        # first-exec py_cpu on whichever Arrow key runs first).
+        from sparkstreamingtohdfsofsensorsdata_spark.registry import load_all
+
+        load_all()
+    except Exception:  # pragma: no cover
+        pass
+    try:
         from sparkstreamingtohdfsofsensorsdata_spark.workerfast import activate
 
         activate()
